@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (graft.queries.Relational.queries, graft.queries.Relational.oracles))
+      (graft.queries.Relational.queries, graft.queries.Relational.oracles),
+      (graft.queries.MrQueries.queries, graft.queries.MrQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+import graft.mr.{Emit, KSV, KV, MapReduce}
+
+/** Layer A (the distributed MapReduce trait) exercised end-to-end and
+  * exposed through the same oracle-checked query surface as Layer B —
+  * these queries prove the parity engine computes the same answers as
+  * declarative SQL, through the reference's own canonical workloads.
+  */
+object MrQueries {
+
+  /** The reference's canonical query: word count
+    * (`/root/reference/docs.rst:139-159`), as a MapReduce job. The
+    * reducer is mergeable, so values stream; no sort requested —
+    * exactly the serial path of SURVEY §3.1, distributed.
+    */
+  class WordCount extends MapReduce[String, String, Int, Long] {
+    def mapper(line: String): IterableOnce[Emit[String, Int, Long]] =
+      line.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
+        .map(w => KV(w, 1L))
+    def reducer(word: String, counts: Iterator[Long]): IterableOnce[Emit[String, Int, Long]] =
+      Iterator.single(KV(word, counts.sum))
+  }
+
+  def mr01WordCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.documents(s, d).select("text").as[String].rdd
+    new WordCount().run(lines)
+      .map { case (w, vs) => (w, vs.head) }
+      .toDF("word", "n")
+  }
+
+  /** Key-overloading for bounded reduce parallelism
+    * (`docs.rst:373-407`): round-robin synthetic keys, count distinct
+    * words per key. Reference keys by line arrival; we key by
+    * doc_id % 4 so the grouping is deterministic and oracle-checkable.
+    */
+  class KeyOverload extends MapReduce[(Long, String), Long, Int, String] {
+    def mapper(doc: (Long, String)): IterableOnce[Emit[Long, Int, String]] =
+      doc._2.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
+        .map(w => KV(doc._1 % 4, w))
+    def reducer(k: Long, words: Iterator[String]): IterableOnce[Emit[Long, Int, String]] =
+      Iterator.single(KV(k, words.toSet.size.toString))
+  }
+
+  def mr02KeyOverload(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+      .as[(Long, String)].rdd
+    new KeyOverload().runCollapsed(docs)
+      .map { case (k, n) => (k, n.toLong) }
+      .toDF("k", "n_distinct_words")
+  }
+
+  /** arg-max through the 3-tuple + return-style-collapse idiom (SURVEY
+    * O5+O9 [verified]): sort element (n_chars, doc_id), reduce-side
+    * descending sort, collapse keeps the first (= max) value per key.
+    */
+  class LongestDoc extends MapReduce[(String, Long, Long), String, (Long, Long), (Long, Long)] {
+    override def sortReduceReverse = true
+    def mapper(r: (String, Long, Long)): IterableOnce[Emit[String, (Long, Long), (Long, Long)]] =
+      Iterator.single(KSV(r._1, (r._3, r._2), (r._2, r._3)))
+    def reducer(lang: String, vs: Iterator[(Long, Long)]): IterableOnce[Emit[String, (Long, Long), (Long, Long)]] =
+      vs.map(v => KSV(lang, (v._2, v._1), v)) // re-attach sort for round 2
+  }
+
+  def mr03LongestDoc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("lang", "doc_id", "n_chars")
+      .as[(String, Long, Long)].rdd
+    new LongestDoc().runCollapsed(docs)
+      .map { case (lang, (docId, nChars)) => (lang, docId, nChars) }
+      .toDF("lang", "doc_id", "n_chars")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr01_word_count" -> mr01WordCount,
+    "mr02_key_overload" -> mr02KeyOverload,
+    "mr03_longest_doc" -> mr03LongestDoc)
+
+  val oracles: Map[String, String] = Map(
+    "mr01_word_count" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+           FROM documents) t
+         WHERE word <> '' GROUP BY 1""",
+    "mr02_key_overload" ->
+      """SELECT doc_id % 4 AS k, count(DISTINCT word) AS n_distinct_words
+         FROM (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+           FROM documents) t
+         WHERE word <> '' GROUP BY 1""",
+    "mr03_longest_doc" ->
+      """SELECT lang, doc_id, n_chars FROM (
+           SELECT lang, doc_id, n_chars, row_number() OVER (
+             PARTITION BY lang ORDER BY n_chars DESC, doc_id DESC) AS rn
+           FROM documents) t WHERE rn = 1""")
+}
