@@ -14,7 +14,11 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
-      (graft.queries.MrQueries.queries, graft.queries.MrQueries.oracles))
+      (graft.queries.MrQueries.queries, graft.queries.MrQueries.oracles),
+      (graft.queries.TextOps.queries, graft.queries.TextOps.oracles),
+      (graft.queries.Dedup.queries, graft.queries.Dedup.oracles),
+      (graft.queries.Similarity.queries, graft.queries.Similarity.oracles),
+      (graft.queries.Multimodal.queries, graft.queries.Multimodal.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns
+  * with typed metadata, decoded via a per-partition batch pass.
+  *
+  * The Spark-side plumbing is real and what matters at 100 TB:
+  *   - assets live in a BinaryType column next to typed metadata
+  *     (the lakehouse pattern: parquet holds bytes + width/height/codec
+  *     so filters prune before any decode happens);
+  *   - decode runs inside `mapPartitions` so a real codec would be
+  *     initialized once per partition (the batch shape a Pandas-UDF /
+  *     Arrow pipeline has), not once per row;
+  *   - the decoded output is a typed Dataset with an Encoder, so
+  *     downstream stays columnar.
+  *
+  * DECODE IS A DETERMINISTIC FAKE: no image libs exist in this
+  * container, so "decoding" parses the self-describing FAKEIMG1 header
+  * this same query synthesizes. Swapping `FakeCodec.decode` for a real
+  * JNI/javax codec changes nothing upstream or downstream of it.
+  */
+object Multimodal {
+
+  /** One decoded asset record (the Encoder keeps this columnar). */
+  case class AssetMeta(doc_id: Long, width: Long, height: Long,
+      n_bytes: Long, payload_md5: String)
+
+  /** The clearly-marked stub codec: parses the FAKEIMG1 textual header
+    * `FAKEIMG1:<w>:<h>:<md5payload>` back out of the bytes. A real
+    * implementation would decode pixels here.
+    */
+  private object FakeCodec extends Serializable {
+    def decode(docId: Long, bytes: Array[Byte]): AssetMeta = {
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val parts = s.split(":")
+      AssetMeta(docId, parts(1).toLong, parts(2).toLong,
+        bytes.length.toLong, parts(3))
+    }
+  }
+
+  /** Synthesize binary assets from `documents` (deterministic per
+    * doc_id), then decode them per-partition and aggregate the typed
+    * metadata. The oracle recomputes the metadata arithmetic directly —
+    * proving the bytes→decode→typed-row round-trip loses nothing.
+    */
+  def m01DecodeMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(32) + col("doc_id") % 97).cast("long").as("width"),
+        (lit(32) + (col("doc_id") * 7) % 89).cast("long").as("height"),
+        md5(col("text").cast("binary")).as("payload_md5"))
+      .select(col("doc_id"),
+        concat_ws(":", lit("FAKEIMG1"), col("width"), col("height"),
+          col("payload_md5")).cast("binary").as("asset"))
+    // binary → typed decode, one codec init per partition
+    val decoded = assets.select(col("doc_id"), col("asset"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = FakeCodec // real codec: init libs here, once
+        it.map { case (id, bytes) => codec.decode(id, bytes) }
+      }
+    decoded.toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_decode_meta" -> m01DecodeMeta)
+
+  val oracles: Map[String, String] = Map(
+    "m01_decode_meta" ->
+      """SELECT doc_id, 32 + doc_id % 97 AS width,
+         32 + (doc_id * 7) % 89 AS height,
+         length('FAKEIMG1::' || (32 + doc_id % 97) || (32 + (doc_id * 7) % 89))
+           + 1 + 32 AS n_bytes,
+         md5(text) AS payload_md5
+         FROM documents""")
+}

@@ -103,7 +103,7 @@ object Relational {
     Tables.orders(s, d)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn").cast("long").as("rn"))
   }
 
   /** Global top-k ≡ `Counter.most_common(k)` (`docs.rst:157-159`).

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane-LSH bucketed variant as the 100 TB path. All
+  * vector math is double-precision left folds over in-row arrays
+  * (`zip_with`/`aggregate` — codegen'd, no UDF), so results are
+  * bit-reproducible against the oracle's identical fold.
+  */
+object Similarity {
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
+  private def norm(x: Column): Column =
+    sqrt(aggregate(transform(x, p => p * p), lit(0.0), (acc, z) => acc + z))
+
+  /** Brute-force cosine top-5 for a 10-probe set. The probe side is
+    * tiny → broadcast; the full scan side streams. At 100 TB this exact
+    * tier runs over a candidate subset (see s02); as written it is the
+    * recall=1 baseline a pipeline validates its ANN stage against.
+    */
+  def s01CosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val joined = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", dot(col("pv"), col("v")) / (norm(col("pv")) * norm(col("v"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH bucketing — the ANN scale path. 8
+    * deterministic pseudo-random hyperplanes (LCG-derived weights, no
+    * RNG at runtime) hash every vector to a 8-bit bucket; search is
+    * brute-force WITHIN the probe's bucket only (~1/256 of the data at
+    * scale). Approximate by construction: a neighbor in another bucket
+    * is missed — that is the documented recall trade; the same
+    * deterministic formula is mirrored in the oracle so even the
+    * approximation is hash-checked.
+    */
+  def s02AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // weight(plane j, dim k) = LCG((j*64+k)) scaled to [-0.5, 0.5)
+    val bucketed = e.selectExpr("vec_id", "v",
+      """aggregate(sequence(0, 7), 0L, (acc, j) ->
+           acc + CASE WHEN aggregate(sequence(0, 63), 0.0D, (dacc, k) ->
+             dacc + v[k] *   -- Spark [] is 0-based (DuckDB's is 1-based)
+               (CAST((CAST(1103515245 AS BIGINT) * (j * 64 + k) + 12345) % 2147483648 AS DOUBLE)
+                / 2147483648.0D - 0.5D)) > 0.0D
+           THEN shiftleft(1L, j) ELSE 0L END) AS bucket""")
+    val probes = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("bucket").as("pbucket"))
+    val joined = bucketed.join(broadcast(probes),
+      col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", dot(col("pv"), col("v")) / (norm(col("pv")) * norm(col("v"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_cosine_topk" -> s01CosineTopK,
+    "s02_ann_lsh" -> s02AnnLsh)
+
+  private val foldCosine =
+    """list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * e.v[i])), (acc, x) -> acc + x)
+       / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.v, x -> x * x)), (acc, x) -> acc + x))
+        * sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (acc, x) -> acc + x)))"""
+
+  val oracles: Map[String, String] = Map(
+    "s01_cosine_topk" ->
+      s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          scored AS (
+            SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
+            FROM ev p JOIN ev e ON p.vec_id < 10 AND e.vec_id <> p.vec_id)
+          SELECT probe_id, rank, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
+          WHERE rank <= 5""",
+    "s02_ann_lsh" ->
+      s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          b AS (
+            SELECT vec_id, v,
+              list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
+                CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), k ->
+                  v[k + 1] * (((1103515245::BIGINT * (j * 64 + k) + 12345) % 2147483648)::DOUBLE
+                              / 2147483648.0 - 0.5))), (acc, x) -> acc + x) > 0.0
+                THEN (1::BIGINT << j) ELSE 0 END)), (acc, x) -> acc + x) AS bucket
+            FROM ev),
+          scored AS (
+            SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
+            FROM b p JOIN b e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
+                             AND p.bucket = e.bucket)
+          SELECT probe_id, rank, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
+          WHERE rank <= 5""")
+}

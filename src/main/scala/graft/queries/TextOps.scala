@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline extension (BASELINE.json north star). The
+  * reference's text capability is whatever Python allows inside
+  * `mapper` (`/root/reference/docs.rst:145`,
+  * `tests/test_mapreduce_concurrency.py:34`); here each analysis is a
+  * columnar, codegen'd expression pipeline — no UDFs, so whole-stage
+  * codegen covers the entire plan and the operators scale linearly
+  * with a parquet scan (the 100 TB shape: narrow maps, one small
+  * aggregation at most).
+  */
+object TextOps {
+
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** Token statistics per document: whitespace tokenization + a
+    * BPE-ish subword proxy (runs of letters/digits), all via native
+    * array functions — one narrow pass, no shuffle at all.
+    */
+  def t01TokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(toks(col("text")))).cast("long").as("n_uniq_tokens"),
+        size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
+          .cast("long").as("n_subwords"))
+
+  /** Quality scoring: length, punctuation/digit/whitespace ratios,
+    * stopword hits, mean token length. Ratios stay raw doubles — both
+    * engines do the same IEEE division, so equality is exact.
+    */
+  def t02QualityScore(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val len = length(col("text")).cast("double")
+    def countMatches(re: String): Column =
+      (len - length(regexp_replace(col("text"), re, ""))).cast("double")
+    val nTok = size(toks(col("text"))).cast("double")
+    doc.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len"),
+      (countMatches("[.,!?;:]") / len).as("punct_ratio"),
+      (countMatches("[0-9]") / len).as("digit_ratio"),
+      (countMatches("\\s") / len).as("space_ratio"),
+      size(array_intersect(array_distinct(toks(col("text"))),
+        array(lit("the"), lit("a"), lit("and"), lit("of"), lit("to"))))
+        .cast("long").as("n_stopwords"),
+      (len / nTok).as("chars_per_token"))
+  }
+
+  /** Language identification via an n-gram/stopword scoring heuristic
+    * (the classic textcat approach, shrunk to marker tokens). The score
+    * for each candidate language is the count of its marker-token hits;
+    * prediction = arg-max with a fixed precedence order. Every branch is
+    * a codegen'd expression — the whole classifier is one projection.
+    */
+  def t03LangId(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    def hits(words: Seq[String]): Column =
+      size(array_intersect(array_distinct(toks(col("text"))),
+        array(words.map(lit): _*)))
+    val en = hits(Seq("the", "a", "and", "of", "is"))
+    val de = hits(Seq("der", "die", "und", "das", "ist"))
+    val fr = hits(Seq("le", "la", "et", "les", "est"))
+    val es = hits(Seq("el", "los", "y", "es", "una"))
+    val cjk = length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", ""))
+    doc.select(col("doc_id"), col("lang"),
+      when(cjk > 0, "zh")
+        .when(de >= en && de >= fr && de >= es && de > 0, "de")
+        .when(fr >= en && fr >= es && fr > 0, "fr")
+        .when(es >= en && es > 0, "es")
+        .when(en > 0, "en")
+        .otherwise("unknown").as("pred_lang"))
+  }
+
+  /** Document fingerprinting: 61-bit polynomial rolling hash over the
+    * whole text (mod 1e9+7 so the accumulator never overflows int64 in
+    * either engine), via the codegen'd higher-order `aggregate` — the
+    * Spark-native fold, no UDF.
+    */
+  def t04Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(split(col("text"), ""), lit(7L),
+          (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L).as("fingerprint"))
+
+  /** Character-trigram profile: top-5 trigrams per language — the
+    * feature extractor a real n-gram language model trains on.
+    * sequence+transform+explode generates trigrams in-plan; one shuffle
+    * for the count, one for the per-lang rank.
+    */
+  def t05TrigramProfile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val doc = Tables.documents(s, d)
+    // substring with a dynamic start position needs the expr form (the
+    // Column API overload takes Int positions only):
+    val grams = doc.selectExpr("lang",
+      "explode(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS trigram")
+    val counts = grams.groupBy(col("lang"), col("trigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("trigram"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("trigram"), col("n"), col("rank").cast("long").as("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> t01TokenStats,
+    "t02_quality_score" -> t02QualityScore,
+    "t03_lang_id" -> t03LangId,
+    "t04_fingerprint" -> t04Fingerprint,
+    "t05_trigram_profile" -> t05TrigramProfile)
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS n_tokens,
+         len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> ''))) AS n_uniq_tokens,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_subwords
+         FROM documents""",
+    "t02_quality_score" ->
+      """SELECT doc_id, len::BIGINT AS "len",
+         (len - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / len AS punct_ratio,
+         (len - length(regexp_replace(text, '[0-9]', '', 'g'))) / len AS digit_ratio,
+         (len - length(regexp_replace(text, '\s', '', 'g'))) / len AS space_ratio,
+         len(list_intersect(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')),
+             ['the','a','and','of','to'])) AS n_stopwords,
+         len / len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS chars_per_token
+         FROM (SELECT *, length(text)::DOUBLE AS len FROM documents)""",
+    "t03_lang_id" ->
+      """WITH scored AS (
+           SELECT doc_id, lang,
+             len(list_intersect(toks, ['the','a','and','of','is'])) AS en,
+             len(list_intersect(toks, ['der','die','und','das','ist'])) AS de,
+             len(list_intersect(toks, ['le','la','et','les','est'])) AS fr,
+             len(list_intersect(toks, ['el','los','y','es','una'])) AS es,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+           FROM (SELECT doc_id, lang, text,
+                   list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS toks
+                 FROM documents))
+         SELECT doc_id, lang,
+           CASE WHEN cjk > 0 THEN 'zh'
+                WHEN de >= en AND de >= fr AND de >= es AND de > 0 THEN 'de'
+                WHEN fr >= en AND fr >= es AND fr > 0 THEN 'fr'
+                WHEN es >= en AND es > 0 THEN 'es'
+                WHEN en > 0 THEN 'en'
+                ELSE 'unknown' END AS pred_lang
+         FROM scored""",
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(list_prepend(7::BIGINT,
+           list_transform(regexp_split_to_array(text, ''), ch -> ascii(ch)::BIGINT)),
+           (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fingerprint
+         FROM documents""",
+    "t05_trigram_profile" ->
+      """SELECT lang, trigram, n, rank FROM (
+           SELECT lang, trigram, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, trigram) AS rank
+           FROM (
+             SELECT lang, substr(text, i, 3) AS trigram, count(*) AS n
+             FROM documents, unnest(range(1, length(text) - 1)) AS u(i)
+             GROUP BY 1, 2) c) r
+         WHERE rank <= 5""")
+}
