@@ -18,7 +18,9 @@ object SparkEntry {
       (graft.queries.TextOps.queries, graft.queries.TextOps.oracles),
       (graft.queries.Dedup.queries, graft.queries.Dedup.oracles),
       (graft.queries.Similarity.queries, graft.queries.Similarity.oracles),
-      (graft.queries.Multimodal.queries, graft.queries.Multimodal.oracles))
+      (graft.queries.Multimodal.queries, graft.queries.Multimodal.oracles),
+      (graft.queries.AggQueries.queries, graft.queries.AggQueries.oracles),
+      (graft.streaming.EventStreams.queries, graft.streaming.EventStreams.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+import scala.collection.mutable
+
+/** Typed `Aggregator[IN, BUF, OUT]` library (SURVEY §7.2 P3) — the
+  * engine-level form of the reference's user-space map-side-combine
+  * idiom: mapper pre-aggregates a `Counter` per item, reducer merges
+  * with `reduce(op.iadd)` (`/root/reference/docs.rst:236-246,259-265`;
+  * `tests/test_mapreduce_concurrency.py:56-75`). As Aggregators these
+  * run inside Spark's partial-aggregation machinery, so the merge
+  * happens map-side BEFORE the shuffle — at 100 TB the shuffle carries
+  * one small buffer per key per task instead of every value.
+  */
+object Aggregators {
+
+  /** Counter-merge: Map[String, Long] buffers merged associatively —
+    * `collections.Counter` + `operator.iadd`, distributed.
+    */
+  class CounterMerge[I](tok: I => String)
+    extends Aggregator[I, mutable.Map[String, Long], Map[String, Long]] {
+    def zero: mutable.Map[String, Long] = mutable.Map.empty
+    def reduce(b: mutable.Map[String, Long], in: I): mutable.Map[String, Long] = {
+      val t = tok(in); b.update(t, b.getOrElse(t, 0L) + 1L); b
+    }
+    def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
+      b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }; a
+    }
+    def finish(b: mutable.Map[String, Long]): Map[String, Long] = b.toMap
+    def bufferEncoder: Encoder[mutable.Map[String, Long]] =
+      Encoders.kryo[mutable.Map[String, Long]]
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Bounded top-k by count: the scalable `Counter.most_common(k)`
+    * (`docs.rst:57-58,157-159`). The buffer is compacted to `cap`
+    * entries, bounding shuffle volume per key regardless of input size
+    * (exact when per-partition distinct keys stay under `cap`; raise
+    * `cap` for heavy-hitter accuracy — the space-saving trade-off).
+    */
+  class TopKByCount[I](k: Int, kv: I => (String, Long), cap: Int = 4096)
+    extends Aggregator[I, mutable.Map[String, Long], Seq[(String, Long)]] {
+    def zero: mutable.Map[String, Long] = mutable.Map.empty
+    private def compact(b: mutable.Map[String, Long]): mutable.Map[String, Long] =
+      if (b.size <= cap) b
+      else mutable.Map.from(b.toSeq.sortBy { case (w, n) => (-n, w) }.take(cap))
+    def reduce(b: mutable.Map[String, Long], in: I): mutable.Map[String, Long] = {
+      val (w, n) = kv(in); b.update(w, b.getOrElse(w, 0L) + n); compact(b)
+    }
+    def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
+      b.foreach { case (kk, v) => a.update(kk, a.getOrElse(kk, 0L) + v) }; compact(a)
+    }
+    def finish(b: mutable.Map[String, Long]): Seq[(String, Long)] =
+      b.toSeq.sortBy { case (w, n) => (-n, w) }.take(k)
+    def bufferEncoder: Encoder[mutable.Map[String, Long]] =
+      Encoders.kryo[mutable.Map[String, Long]]
+    def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+}
