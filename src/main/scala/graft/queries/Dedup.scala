@@ -21,13 +21,16 @@ import graft.core.Tables
   */
 object Dedup {
 
-  /** Word 3-gram shingle set per document, as an in-row array — no
-    * shuffle to build; 1-based element_at per Spark array semantics.
+  /** documents + a word-3-gram shingle-set column, via the fused
+    * native `graft_shingles` expression — see
+    * VectorExpressions.ShingleSet for why the declarative
+    * tokenize+transform form is a plan-hygiene trap (optimizer rules
+    * re-inline the tokenizer per shingle element; 23 s → 3 s at sf0.1).
     */
-  private def shingles(text: Column): Column = {
-    val t = filter(split(lower(text), "\\s+"), x => x =!= "")
-    array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
-      concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("graft_shingles(text)").as("sh"))
   }
 
   /** Exact dedup: md5 content hash → canonical (minimum) doc_id + copy
@@ -49,38 +52,39 @@ object Dedup {
     * division — bit-exact across engines.
     */
   def d02JaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    // Join on a 64-bit hash of the shingle, not the string: the
+    // shuffle carries 8 bytes/key instead of ~17-char strings.
+    // Collision risk ~|shingles|²/2⁶⁴ (≈4e-11 here, still <1e-6 at
+    // 100 TB) — accepted and documented.
+    val sh = shingled(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
+    // sizes is |docs| rows — broadcast both lookups so the 1M+ pair
+    // stream never shuffles again (at 100 TB sizes moves to a
+    // bucketed/bloom side or rides along the shingle rows).
     common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
       .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Shared MinHash machinery: 32 permutations h_i(x) = (x*(2i+3) +
-    * (7919*i^2+13)) mod p over a polynomial base hash of the shingle
-    * string. Everything is a fold over in-row arrays — the signature
-    * costs zero shuffles.
+  /** Polynomial string hash mod 1e9+7, used where the hash value IS
+    * oracle-checked (d04 simhash, t04 fingerprint) and must therefore
+    * be SQL-mirrorable. d03's signatures use the native
+    * `graft_minhash` expression instead (hash internal, answer
+    * oracle-checked) — see graft.functions.VectorExpressions.
     */
   private val P = 1000000007L
-  private def polyHash(sc: Column): Column =
+  private[queries] def polyHash(sc: Column): Column =
     aggregate(split(sc, ""), lit(7L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
-
-  private def minhashSig(sh: Column): Column = {
-    // base-hash each shingle once, then all 32 perms over the longs
-    val hs = transform(sh, s => polyHash(s))
-    transform(sequence(lit(0), lit(31)), i =>
-      array_min(transform(hs, h =>
-        (h * (i * 2 + 3) + (i * i * 7919L + 13L)) % P)))
-  }
 
   /** MinHash + LSH near-dup detection — d02's answer at 100 TB cost:
     * 16 bands × 2 rows from a 32-perm signature; docs sharing any band
@@ -92,24 +96,25 @@ object Dedup {
     * probability at j≥0.8 is (1-j²)¹⁶ ≤ 1e-7.
     */
   def d03MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSig(col("sh")))
-    val bands = docs.select(col("doc_id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(15)), b =>
-        struct(b.as("band"),
-          element_at(col("sig"), b * 2 + 1).as("v0"),
-          element_at(col("sig"), b * 2 + 2).as("v1")))).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.v0"), col("bk.v1"))
+    graft.functions.VectorExpressions.register(s)
+    val docs = shingled(s, d).filter(size(col("sh")) > 0)
+    // Band keys only — the shingle arrays do NOT travel through the
+    // band shuffle (they rejoin on the few surviving candidates).
+    // posexplode of the native band-combined signature guarantees one
+    // signature evaluation per document (element_at-style projection
+    // re-evaluated the signature per band: 40 s → 4 s at sf0.1).
+    val bands = docs
+      .select(col("doc_id"), posexplode(expr("graft_minhash_bands(sh)")))
+      .toDF("doc_id", "band", "bv")
     val a = bands.as("a"); val b = bands.as("b")
     val cands = a.join(b,
-      col("a.band") === col("b.band") && col("a.v0") === col("b.v0") &&
-        col("a.v1") === col("b.v1") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard", col("common") /
         (size(col("sha")) + size(col("shb")) - col("common")).cast("long"))
@@ -146,14 +151,14 @@ object Dedup {
     * >0.6-cosine pairs — threshold 0.5 keeps the result non-trivial.)
     */
   def d05EmbeddingPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val dot = (x: Column, y: Column) =>
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
-    val norm = (x: Column) => sqrt(aggregate(transform(x, p => p * p), lit(0.0), (acc, z) => acc + z))
+      .withColumn("nrm", sqrt(expr("graft_sumsq(v)"))) // once per vector, not per pair
     val a = e.as("a"); val b = e.as("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", dot(col("a.v"), col("b.v")) / (norm(col("a.v")) * norm(col("b.v"))))
+      .withColumn("cosine",
+        expr("graft_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= 0.5)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
   }

@@ -15,10 +15,18 @@ import graft.core.Tables
 object Similarity {
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
-  private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
-  private def norm(x: Column): Column =
-    sqrt(aggregate(transform(x, p => p * p), lit(0.0), (acc, z) => acc + z))
+
+  /** Embeddings with the norm precomputed once per vector; cosine in
+    * the joins below is then one native `graft_dot` per pair (the
+    * codegen'd expression — see VectorExpressions — not an interpreted
+    * higher-order fold).
+    */
+  private def normed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_sumsq(v)")))
+  }
 
   /** Brute-force cosine top-5 for a 10-probe set. The probe side is
     * tiny → broadcast; the full scan side streams. At 100 TB this exact
@@ -26,12 +34,11 @@ object Similarity {
     * recall=1 baseline a pipeline validates its ANN stage against.
     */
   def s01CosineTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val e = normed(s, d)
     val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
     val joined = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", dot(col("pv"), col("v")) / (norm(col("pv")) * norm(col("v"))))
+      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w))
@@ -50,10 +57,9 @@ object Similarity {
     * approximation is hash-checked.
     */
   def s02AnnLsh(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val e = normed(s, d)
     // weight(plane j, dim k) = LCG((j*64+k)) scaled to [-0.5, 0.5)
-    val bucketed = e.selectExpr("vec_id", "v",
+    val bucketed = e.selectExpr("vec_id", "v", "nrm",
       """aggregate(sequence(0, 7), 0L, (acc, j) ->
            acc + CASE WHEN aggregate(sequence(0, 63), 0.0D, (dacc, k) ->
              dacc + v[k] *   -- Spark [] is 0-based (DuckDB's is 1-based)
@@ -62,10 +68,10 @@ object Similarity {
            THEN shiftleft(1L, j) ELSE 0L END) AS bucket""")
     val probes = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("bucket").as("pbucket"))
+        col("nrm").as("pnrm"), col("bucket").as("pbucket"))
     val joined = bucketed.join(broadcast(probes),
       col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", dot(col("pv"), col("v")) / (norm(col("pv")) * norm(col("v"))))
+      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w))
