@@ -14,6 +14,7 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
+      (graft.queries.Relational2.queries, graft.queries.Relational2.oracles),
       (graft.queries.MrQueries.queries, graft.queries.MrQueries.oracles),
       (graft.queries.TextOps.queries, graft.queries.TextOps.oracles),
       (graft.queries.Dedup.queries, graft.queries.Dedup.oracles),
