@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Smoke + semantics tests for the query surface and the native
+  * expressions/aggregators, on the sf0.001 fixtures (TESTDATA.md).
+  * Exact-value correctness against DuckDB is the driver's t2 gate
+  * (tools/check.py locally); these tests pin behaviors that gate
+  * doesn't see: expression semantics, aggregator merge laws, plan
+  * shapes (pushdown, broadcast, top-k).
+  */
+class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  test("every SparkEntry query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every query key has either an oracle or a documented rows-only check") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // s02/q17 are approximate/engine-specific by design; everything else
+    // must be oracle-backed.
+    assert(noOracle.subsetOf(Set("q17_approx_distinct")), s"missing oracles: $noOracle")
+  }
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // --- native expressions --------------------------------------------
+
+  test("DotProduct/SumSquares match left-fold semantics exactly") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val xs = Seq(0.1, -2.5, 3.25, 7.0, 1e-9)
+    val ys = Seq(4.0, 0.5, -1.25, 2.0, 1e9)
+    val df = Seq((xs, ys)).toDF("x", "y")
+      .selectExpr("graft_dot(x, y) AS d", "graft_sumsq(x) AS s")
+    val (d, sq) = df.as[(Double, Double)].head()
+    val expD = xs.zip(ys).foldLeft(0.0) { case (a, (p, q)) => a + p * q }
+    val expS = xs.foldLeft(0.0)((a, p) => a + p * p)
+    assert(d == expD && sq == expS) // bit-exact, not approx
+  }
+
+  test("ShingleSet produces the distinct word-3-gram set") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val got = Seq("The  quick\tbrown fox the quick brown fox")
+      .toDF("text").selectExpr("graft_shingles(text) AS sh")
+      .as[Seq[String]].head()
+    assert(got == Seq("the quick brown", "quick brown fox", "brown fox the",
+      "fox the quick"))
+    val short = Seq("one two").toDF("text")
+      .selectExpr("graft_shingles(text) AS sh").as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("MinHash bands: identical docs collide in every band, disjoint docs in none") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x y z")).toDF("id", "text")
+      .selectExpr("id", "graft_minhash_bands(graft_shingles(text)) AS b")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(df(1L) == df(2L))
+    assert(df(1L).intersect(df(3L)).isEmpty)
+    assert(df(1L).length == 16)
+  }
+
+  // --- aggregators ----------------------------------------------------
+
+  test("CounterMerge equals a local Counter; TopK equals most_common(k)") {
+    import spark.implicits._
+    import graft.functions.Aggregators._
+    val words = Seq("b", "a", "b", "c", "b", "a")
+    val ds = words.map(w => ("k", w)).toDS()
+    val merged = ds.groupByKey(_._1)
+      .agg(new CounterMerge[(String, String)](_._2).toColumn).head()._2
+    assert(merged == Map("a" -> 2L, "b" -> 3L, "c" -> 1L))
+    val topk = ds.groupByKey(_._1)
+      .agg(new TopKByCount[(String, String)](2, t => (t._2, 1L)).toColumn).head()._2
+    assert(topk == Seq(("b", 3L), ("a", 2L)))
+  }
+
+  // --- plan shapes (the 100 TB contract) ------------------------------
+
+  def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(500))
+    assert(!p.contains("l_returnflag"), "scan should not read unused columns")
+  }
+
+  test("q03 uses a broadcast hash join (dimension never shuffles the fact side)") {
+    assert(planOf("q03_broadcast_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q08 plans global top-k as TakeOrderedAndProject (no global sort shuffle)") {
+    assert(planOf("q08_global_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q01 aggregates partially before the exchange (map-side combine)") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(800))
+  }
+
+  test("q05/q06 plan semi/anti joins, not inner join + dedup") {
+    assert(planOf("q05_semi_join").contains("LeftSemi"))
+    assert(planOf("q06_anti_join").contains("LeftAnti"))
+  }
+}
