@@ -190,6 +190,40 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** 8-bit random-hyperplane LSH bucket. Bit j = sign of the dot
+    * product with pseudo-random plane j whose weight for dimension k is
+    * LCG(j·64+k) scaled to [-0.5, 0.5). Arithmetic is ordered exactly
+    * like the SQL formulation in the s02 oracle (integer LCG, then
+    * double divide/subtract/multiply, sequential accumulation), so the
+    * bucket assignment — and therefore even the ANN approximation — is
+    * bit-reproducible across engines.
+    */
+  case class LshBucket(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData].toDoubleArray()
+      var acc = 0L
+      var j = 0
+      while (j < 8) {
+        var dacc = 0.0
+        var k = 0
+        val n = math.min(64, v.length)
+        while (k < n) {
+          val lcg = (1103515245L * (j * 64 + k) + 12345L) % 2147483648L
+          dacc += v(k) * (lcg.toDouble / 2147483648.0 - 0.5)
+          k += 1
+        }
+        if (dacc > 0.0) acc += 1L << j
+        j += 1
+      }
+      acc
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Register as SQL temp functions (`graft_dot`, `graft_sumsq`,
     * `graft_minhash`) so the query surface reaches them through
     * `expr(...)` without touching the Column constructor
@@ -206,5 +240,7 @@ object VectorExpressions {
       "graft_minhash_bands", es => MinHashBands(es.head), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", es => ShingleSet(es.head, 3), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_bucket", es => LshBucket(es.head), "built-in")
   }
 }

@@ -58,14 +58,11 @@ object Similarity {
     */
   def s02AnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = normed(s, d)
-    // weight(plane j, dim k) = LCG((j*64+k)) scaled to [-0.5, 0.5)
+    // Native LshBucket expression (same LCG/double arithmetic as the
+    // oracle SQL, see VectorExpressions) — the interpreted 8×64
+    // higher-order fold cost ~2.5 s of s02's 2.8 s at sf0.1.
     val bucketed = e.selectExpr("vec_id", "v", "nrm",
-      """aggregate(sequence(0, 7), 0L, (acc, j) ->
-           acc + CASE WHEN aggregate(sequence(0, 63), 0.0D, (dacc, k) ->
-             dacc + v[k] *   -- Spark [] is 0-based (DuckDB's is 1-based)
-               (CAST((CAST(1103515245 AS BIGINT) * (j * 64 + k) + 12345) % 2147483648 AS DOUBLE)
-                / 2147483648.0D - 0.5D)) > 0.0D
-           THEN shiftleft(1L, j) ELSE 0L END) AS bucket""")
+      "graft_lsh_bucket(v) AS bucket")
     val probes = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("bucket").as("pbucket"))
