@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dumps `explain("formatted")` for the headline queries to
+  * PLANS.md — the plan-quality evidence (pushdown, broadcast, partial
+  * agg, TakeOrderedAndProject) reviewed each round.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val d = "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val picks = Seq(
+      "q01_pricing_summary", "q02_filter_project", "q03_broadcast_join_agg",
+      "q04_multi_join_revenue", "q08_global_topk", "q24_asof_join",
+      "d03_minhash_lsh", "s01_cosine_topk")
+    val sb = new StringBuilder
+    sb ++= "# PLANS — physical plans of headline queries (sf0.01, AQE off for readability)\n\n"
+    sb ++= "Regenerate: `sbt \"runMain graft.Plans\"`. What to look for per query\n"
+    sb ++= "is noted inline; EngineSpec asserts the load-bearing properties.\n"
+    for (name <- picks) {
+      val df = SparkEntry.queries(name)(spark, d)
+      sb ++= s"\n## $name\n\n```\n"
+      sb ++= df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb ++= "```\n"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
+    println("[plans] wrote PLANS.md")
+    spark.stop()
+  }
+}
