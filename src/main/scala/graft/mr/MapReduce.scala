@@ -218,4 +218,37 @@ object UntypedEmit {
     case other => throw new ElementCountError(
       s"Record must have 2 or 3 elements, got ${other.length}")
   }
+
+  /** Natural ordering over runtime Comparables — heterogeneous or
+    * non-comparable sort elements fail at sort time, mirroring the
+    * reference's `TypeError` (`tinymr.py:337-343` [verified]).
+    */
+  implicit object AnyOrdering extends Ordering[Any] {
+    @SuppressWarnings(Array("unchecked"))
+    def compare(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+}
+
+/** The reference's dynamically-typed surface end-to-end: mapper and
+  * reducer emit raw `Seq[Any]` records; every record passes the arity
+  * check ([[UntypedEmit.validate]]) exactly where the reference checks
+  * (after map and after reduce, `tinymr.py:202-205,217-221`) — except
+  * distributed, so EVERY record is checked, not just the first
+  * (strictly stronger than the reference's first-record peek,
+  * SURVEY §1.2).
+  */
+abstract class UntypedMapReduce
+  extends MapReduce[Seq[Any], Any, Any, Any]()(
+    scala.reflect.ClassTag.Any, UntypedEmit.AnyOrdering,
+    scala.reflect.ClassTag.Any, UntypedEmit.AnyOrdering,
+    scala.reflect.ClassTag.Any, UntypedEmit.AnyOrdering) {
+
+  def rawMapper(item: Seq[Any]): IterableOnce[Seq[Any]]
+  def rawReducer(key: Any, values: Iterator[Any]): IterableOnce[Seq[Any]]
+
+  final def mapper(item: Seq[Any]): IterableOnce[Emit[Any, Any, Any]] =
+    rawMapper(item).iterator.map(UntypedEmit.validate)
+  final def reducer(key: Any, values: Iterator[Any]): IterableOnce[Emit[Any, Any, Any]] =
+    rawReducer(key, values).iterator.map(UntypedEmit.validate)
 }

@@ -204,4 +204,28 @@ class MapReduceSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("map-side and reduce-side sorts are independent (sorting.py:48-49)") {
     assert(valuesOf(new UnsortedMapSide(), data213) == Seq(1, 2, 3))
   }
+
+  test("untyped surface runs end-to-end and raises ElementCountError on bad arity") {
+    val wc = new UntypedWC(bad = false)
+    val got = wc.run(sc.parallelize(text.map(Seq[Any](_)), 2)).collect()
+      .map { case (k, vs) => (k.asInstanceOf[String], vs.head) }.toMap
+    assert(got("word") == 2L && got("python") == 1L)
+    val ex = intercept[org.apache.spark.SparkException] {
+      new UntypedWC(bad = true).run(sc.parallelize(text.map(Seq[Any](_)), 2)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(ex).exists(_.isInstanceOf[ElementCountError]))
+  }
+}
+
+/** Word count through the dynamically-typed surface (arity checked per
+  * record at runtime, tests/test_exceptions.py analogue end-to-end).
+  */
+class UntypedWC(bad: Boolean) extends UntypedMapReduce {
+  def rawMapper(item: Seq[Any]): IterableOnce[Seq[Any]] =
+    item.head.asInstanceOf[String].toLowerCase.split("\\s+").toSeq
+      .map(w => if (bad) Seq[Any](w, 1L, 2L, 3L) else Seq[Any](w, 1L))
+  def rawReducer(key: Any, values: Iterator[Any]): IterableOnce[Seq[Any]] =
+    Iterator.single(Seq(key, values.map(_.asInstanceOf[Long]).sum))
 }
