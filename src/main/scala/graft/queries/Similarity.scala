@@ -77,9 +77,61 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** IVF-style search: the `label` column plays the coarse quantizer's
+    * cell assignment (as in a trained IVF index); centroids are the
+    * per-cell means, computed with a vec_id-ordered sequential fold so
+    * they are bit-reproducible; probes route to their nearest centroid
+    * (nprobe=1) and brute-force only that cell — ~1/10 of the data
+    * here, 1/nlist at scale. Recall loss vs s01 is the documented IVF
+    * trade. Centroid math runs in `mapGroups` (the one place imperative
+    * per-group code is warranted — a deterministic fold Catalyst can't
+    * express).
+    */
+  def s03IvfTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val e = normed(s, d)
+    val centroids = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"),
+        toDouble(col("embedding")).as("v"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (label, it) =>
+        val arr = it.toArray.sortBy(_._2) // vec_id order → deterministic fold
+        val sums = new Array[Double](64)
+        arr.foreach { r => var k = 0; while (k < 64) { sums(k) += r._3(k); k += 1 } }
+        (label, sums.map(_ / arr.length).toSeq)
+      }
+      .toDF("label", "cv")
+      .withColumn("cnrm", sqrt(expr("graft_sumsq(cv)")))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    // route each probe to its nearest centroid (nprobe = 1)
+    val routed = probes.join(broadcast(centroids), lit(true))
+      .withColumn("ccos", expr("graft_dot(pv, cv)") / (col("pnrm") * col("cnrm")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("label"))))
+      .filter(col("crk") === 1)
+      .select(col("probe_id"), col("pv"), col("pnrm"), col("label").as("cell"))
+    val members = Tables.embeddings(s, d)
+      .select(col("label").as("cell"), col("vec_id"),
+        toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_sumsq(v)")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    members.join(broadcast(routed),
+      members("cell") === routed("cell") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> s01CosineTopK,
-    "s02_ann_lsh" -> s02AnnLsh)
+    "s02_ann_lsh" -> s02AnnLsh,
+    "s03_ivf_topk" -> s03IvfTopK)
 
   private val foldCosine =
     """list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * e.v[i])), (acc, x) -> acc + x)
@@ -110,6 +162,40 @@ object Similarity {
             SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
             FROM b p JOIN b e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
                              AND p.bucket = e.bucket)
+          SELECT probe_id, rank, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
+          WHERE rank <= 5""",
+    "s03_ivf_topk" ->
+      """WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          cent AS (
+            SELECT label, list(dim_sum / n ORDER BY k) AS cv FROM (
+              SELECT label, k,
+                list_reduce(list_prepend(0.0,
+                  list_transform(vs, vv -> vv[k])), (a, x) -> a + x) AS dim_sum,
+                n
+              FROM (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS n
+                    FROM ev GROUP BY label),
+                   unnest(range(1, 65)) AS u(k)) dims
+            GROUP BY label),
+          routed AS (
+            SELECT probe_id, label AS cell FROM (
+              SELECT p.vec_id AS probe_id, c.label,
+                row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                  (list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * c.cv[i])), (acc, x) -> acc + x)
+                   / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.v, x -> x * x)), (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_prepend(0.0, list_transform(c.cv, x -> x * x)), (acc, x) -> acc + x)))) DESC,
+                  c.label) AS crk
+              FROM ev p CROSS JOIN cent c WHERE p.vec_id < 10) t
+            WHERE crk = 1),
+          scored AS (
+            SELECT r.probe_id, e.vec_id AS neighbor_id,
+              (list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * e.v[i])), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.v, x -> x * x)), (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (acc, x) -> acc + x)))) AS cosine
+            FROM routed r
+            JOIN ev p ON p.vec_id = r.probe_id
+            JOIN ev e ON e.label = r.cell AND e.vec_id <> r.probe_id)
           SELECT probe_id, rank, neighbor_id, cosine FROM (
             SELECT *, row_number() OVER (PARTITION BY probe_id
               ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
