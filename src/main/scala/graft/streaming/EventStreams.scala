@@ -80,9 +80,79 @@ object EventStreams {
         timestamp_micros(col("end_us")).as("session_end"))
   }
 
+  /** Stateful streaming sessionization via `flatMapGroupsWithState` —
+    * the custom-state operator (SURVEY P5). The events file is staged
+    * as 4 chunks replayed one file per micro-batch so the event-time
+    * watermark actually advances and closes sessions with a 30-minute
+    * gap + timeout. Sessions still open when the replay ends stay in
+    * state (exactly as they would on a live stream), so the output is
+    * exactly the sessions whose close deadline precedes the final
+    * watermark (global max ts − 30 min) — SQL-expressible, hence
+    * oracle-checked like everything else. Timeouts are scheduled on
+    * the OLDEST open session's deadline so closed sessions are never
+    * held hostage by a user's newer activity.
+    */
+  def st04StatefulSessions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    // stage the events as 4 TIME-ORDERED chunks → 4 micro-batches in
+    // event-time order, so the watermark advances without dropping
+    // anything as late (chunking by id would interleave time ranges
+    // and the first batch's watermark would discard later chunks)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream4_")
+    Tables.events(s, d).coalesce(1)
+      .withColumn("chunk", org.apache.spark.sql.functions.ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+      .write.partitionBy("chunk").mode("overwrite")
+      .parquet(dir.toString)
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString + "/chunk=*")
+    val gapUs = 30L * 60 * 1000000
+    type SessState = (Long, Long, Long) // start, last, n
+    // state is opaque to Catalyst — kryo encoder is the right tool here
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Seq[(Long, Long, Long)]] =
+      org.apache.spark.sql.Encoders.kryo[Seq[(Long, Long, Long)]]
+    val q = stream
+      .withWatermark("ts", "30 minutes")
+      // keep the watermarked ts column itself — event-time timeout
+      // requires it to reach the stateful operator
+      .select(col("user_id"), unix_micros(col("ts")).as("tsus"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[SessState], (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)], state: GroupState[Seq[SessState]]) =>
+          val wm = state.getCurrentWatermarkMs * 1000
+          val sorted = (state.getOption.getOrElse(Seq.empty).toList ++
+            rows.map { case (_, t, _) => (t, t, 1L) }).sortBy(_._1)
+          // merge runs closer than the gap
+          val merged = sorted.foldLeft(List.empty[SessState]) {
+            case (acc, (st0, en0, n0)) => acc match {
+              case (st1, en1, n1) :: tail if st0 - en1 <= gapUs =>
+                (st1, math.max(en0, en1), n0 + n1) :: tail
+              case _ => (st0, en0, n0) :: acc
+            }
+          }.reverse
+          val (closed, open) = merged.partition(_._2 + gapUs < wm)
+          if (open.isEmpty) state.remove()
+          else { state.update(open); state.setTimeoutTimestamp(open.map(_._2).min / 1000 + 30 * 60 * 1000) }
+          closed.iterator.map { case (st0, en0, n0) => (uid, st0, en0, n0) }
+      }
+    val name = "st04_sink"
+    val sq = q.toDF("user_id", "start_us", "end_us", "n_events")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try sq.processAllAvailable() finally sq.stop()
+    s.table(name)
+      .select(col("user_id"), timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"), col("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_hourly" -> st01StreamHourly,
-    "st02_sessionize" -> st02Sessionize)
+    "st02_sessionize" -> st02Sessionize,
+    "st04_stateful_sessions" -> st04StatefulSessions)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_hourly" ->
@@ -105,5 +175,27 @@ object EventStreams {
          SELECT user_id, session_id, count(*) AS n_events,
            date_trunc('microsecond', min(ts)) AS session_start,
            date_trunc('microsecond', max(ts)) AS session_end
-         FROM sess GROUP BY 1, 2""")
+         FROM sess GROUP BY 1, 2""",
+    "st04_stateful_sessions" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         sess AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked),
+         agg AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+             min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+             date_trunc('microsecond', min(ts)) AS session_start,
+             date_trunc('microsecond', max(ts)) AS session_end
+           FROM sess GROUP BY 1, 2),
+         wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS w FROM events)
+         SELECT user_id, session_start, session_end, n_events
+         FROM agg, wm WHERE end_us + 1800000000 < w""")
 }
