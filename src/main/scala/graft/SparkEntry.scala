@@ -18,6 +18,7 @@ object SparkEntry {
       (graft.queries.Relational3.queries, graft.queries.Relational3.oracles),
       (graft.queries.Relational4.queries, graft.queries.Relational4.oracles),
       (graft.queries.Relational5.queries, graft.queries.Relational5.oracles),
+      (graft.queries.Relational6.queries, graft.queries.Relational6.oracles),
       (graft.queries.MrQueries.queries, graft.queries.MrQueries.oracles),
       (graft.queries.TextOps.queries, graft.queries.TextOps.oracles),
       (graft.queries.Dedup.queries, graft.queries.Dedup.oracles),

@@ -126,4 +126,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planOf("q05_semi_join").contains("LeftSemi"))
     assert(planOf("q06_anti_join").contains("LeftAnti"))
   }
+
+  test("q35 bucketed join needs no exchange on either join key") {
+    val p = planOf("q35_bucketed_join")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p.take(600))
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p.take(600))
+  }
 }

@@ -219,6 +219,65 @@ class MapReduceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 }
 
+/** The reference's 4-shape execution matrix
+  * (tests/test_mapreduce_concurrency.py:31-98): {yield,return}-style
+  * mapper × {yield,return}-style reducer, each checked against the
+  * independent Counter oracle across partition counts (partitioning
+  * replaces the reference's pool matrix — Spark owns parallelism).
+  */
+class ShapeMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+  def sc = spark.sparkContext
+
+  val text = Seq(
+    "word something else",
+    "else something word",
+    "mr python could be cool 1")
+  val oracle: Map[String, Long] = text.flatMap(_.toLowerCase.split("\\s+"))
+    .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  val lineOracle: Map[String, Long] =
+    text.map(l => l -> l.split("\\s+").length.toLong).toMap
+
+  for (parts <- Seq(1, 2, 4)) {
+    test(s"yield-mapper × yield-reducer over $parts partitions") {
+      val got = new WC().run(sc.parallelize(text, parts)).collect()
+        .map { case (k, vs) => (k, vs.head) }.toMap
+      assert(got == oracle)
+    }
+    test(s"return-mapper (exactly one emission) × yield-reducer over $parts partitions") {
+      val got = new ReturnMapperWC().run(sc.parallelize(text, parts)).collect()
+        .map { case (k, vs) => (k, vs.head) }.toMap
+      assert(got == lineOracle)
+    }
+    test(s"yield-mapper × return-reducer (collapse) over $parts partitions") {
+      val got = new WC().runCollapsed(sc.parallelize(text, parts)).collect()
+        .map { case (k, v) => (k, v) }.toMap
+      assert(got == oracle) // single emission per key → collapse == yield
+    }
+    test(s"return-mapper × return-reducer over $parts partitions") {
+      val got = new ReturnMapperWC().runCollapsed(sc.parallelize(text, parts))
+        .collect().toMap
+      assert(got == lineOracle)
+    }
+  }
+}
+
+/** Return-style mapper: exactly one emission per item (the reference's
+  * non-generator mapper, tinymr.py:196-199) — key = the line itself,
+  * value = its token count.
+  */
+class ReturnMapperWC extends MapReduce[String, String, Int, Long] {
+  def mapper(line: String): IterableOnce[Emit[String, Int, Long]] =
+    Iterator.single(KV(line, line.split("\\s+").length.toLong))
+  def reducer(k: String, vs: Iterator[Long]): IterableOnce[Emit[String, Int, Long]] =
+    Iterator.single(KV(k, vs.sum))
+}
+
 /** Word count through the dynamically-typed surface (arity checked per
   * record at runtime, tests/test_exceptions.py analogue end-to-end).
   */
