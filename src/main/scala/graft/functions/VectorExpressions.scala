@@ -73,14 +73,16 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
-  /** 32-permutation MinHash signature over a string array in one
+  /** 64-permutation MinHash signature over a string array in one
     * native pass: base polynomial hash per shingle (over UTF-8 bytes,
     * mod 1e9+7), then min over affine permutations h·(2i+3)+(7919i²+13)
     * mod p. One call per row; interpreted eval is fine
     * (CodegenFallback) because the loops are primitive. The signature
     * is internal to the LSH candidate stage — the oracle checks the
     * final exact-Jaccard pairs, not the hashes — so this is free to be
-    * fast rather than SQL-mirrorable.
+    * fast rather than SQL-mirrorable. 64 perms / 32 bands: a 16×2
+    * scheme empirically missed a j=0.8 pair at sf0.1 (per-pair miss
+    * ~8e-8 with 16 bands; ~1e-14 with 32).
     */
   private val MinHashP = 1000000007L
 
@@ -94,12 +96,18 @@ object VectorExpressions {
       while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % MinHashP; i += 1 }
       h0(j) = h; j += 1
     }
-    val sig = new Array[Long](32)
+    val sig = new Array[Long](64)
     var p = 0
-    while (p < 32) {
+    while (p < 64) {
+      // LCG-derived LARGE multipliers: small sequential multipliers
+      // (2p+3) leave the affine maps rank-correlated — the argmin
+      // barely moves between permutations and band collisions co-fail
+      // (observed: one j=0.8 pair missed by ALL bands at sf0.1).
+      val a = (1103515245L * (p + 1) + 12345L) % (MinHashP - 1) + 1
+      val c = (69069L * (p + 7) + 362437L) % MinHashP
       var m = Long.MaxValue; var jj = 0
       while (jj < n) {
-        val v = (h0(jj) * (2 * p + 3) + (p.toLong * p * 7919L + 13L)) % MinHashP
+        val v = (h0(jj) * a + c) % MinHashP
         if (v < m) m = v
         jj += 1
       }
@@ -121,7 +129,7 @@ object VectorExpressions {
   }
 
   /** LSH band keys from the MinHash signature, combined in-expression:
-    * band b of 16 → sig[2b]·p + sig[2b+1] (exact pairing — both values
+    * band b of 32 → sig[2b]·p + sig[2b+1] (exact pairing — both values
     * are < p, so no information is lost). Returning the combined longs
     * directly lets the caller `posexplode` them, which guarantees ONE
     * signature evaluation per row — `element_at(sig, …)` × 16 in a
@@ -135,9 +143,9 @@ object VectorExpressions {
       ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
     override protected def nullSafeEval(a: Any): Any = {
       val sig = minhashSignature(a.asInstanceOf[ArrayData])
-      val bands = new Array[Long](16)
+      val bands = new Array[Long](32)
       var b = 0
-      while (b < 16) {
+      while (b < 32) {
         bands(b) = sig(2 * b) * MinHashP + sig(2 * b + 1)
         b += 1
       }

@@ -87,13 +87,14 @@ object Dedup {
     aggregate(split(sc, ""), lit(7L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
 
   /** MinHash + LSH near-dup detection — d02's answer at 100 TB cost:
-    * 16 bands × 2 rows from a 32-perm signature; docs sharing any band
-    * bucket become candidates (shuffle is |docs|×16 tiny band keys, not
+    * 32 bands × 2 rows from a 64-perm signature; docs sharing any band
+    * bucket become candidates (shuffle is |docs|×32 tiny band keys, not
     * |shingle| fan-out); candidates are then verified with EXACT
     * Jaccard via array_intersect on the two shingle sets. Output — and
     * oracle — identical to d02: with the planted dup separation
     * (nothing between j=0.2 and 0.8 in this corpus) the banding's miss
-    * probability at j≥0.8 is (1-j²)¹⁶ ≤ 1e-7.
+    * probability at j≥0.8 is (1-j²)³² ≈ 1e-14 (16 bands measurably
+    * missed one j=0.8 pair at sf0.1).
     */
   def d03MinhashLsh(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)

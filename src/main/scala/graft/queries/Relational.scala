@@ -205,7 +205,10 @@ object Relational {
     Tables.events(s, d)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(col("event_type"))
-      .agg(round(avg(col("k")), 4).as("avg_k"), count(lit(1)).as("n"))
+      // exact integer sum, not avg: round(avg, n) flakes when the exact
+      // decimal average lands on a rounding boundary (group sizes that
+      // divide powers of 10) — integer sums hash-match unconditionally
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
 
   /** The reference's canonical query: word count
     * (`docs.rst:141-159`). split → explode → groupBy(word).count() —
@@ -344,7 +347,7 @@ object Relational {
          FROM events GROUP BY 1, 2""",
     "q19_events_json" ->
       """SELECT event_type,
-         round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
          count(*) AS n
          FROM events GROUP BY 1""",
     "q20_word_count" ->

@@ -48,7 +48,10 @@ object Relational3 {
     Tables.events(s, d)
       .withColumn("p", from_json(col("props"), lit("k INT")))
       .groupBy(col("p.k").cast("long").as("k"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      // round(sum, 2) is boundary-safe for 2-decimal inputs (the exact
+      // sum has 2 decimals, so the 1e-12 order error can't cross a
+      // boundary); round(avg, 4) is NOT — see q19
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
   /** CSV sink + source round-trip: the reference has no file formats
     * (callers pass opened iterables, docs.rst:343-347); here the
@@ -95,7 +98,7 @@ object Relational3 {
       """SELECT 'all' AS k, round(sum(l_quantity), 2) AS sum_qty FROM lineitem""",
     "q28_json_struct" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-         count(*) AS n, round(avg(value), 4) AS avg_value
+         count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1""",
     "q29_csv_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars

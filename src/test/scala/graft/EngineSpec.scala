@@ -80,7 +80,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Seq[Long])].collect().toMap
     assert(df(1L) == df(2L))
     assert(df(1L).intersect(df(3L)).isEmpty)
-    assert(df(1L).length == 16)
+    assert(df(1L).length == 32)
   }
 
   // --- aggregators ----------------------------------------------------
