@@ -66,9 +66,32 @@ object Relational6 {
         count(lit(1)).as("n_items"))
   }
 
+  /** Partition pruning: orders laid out as year-partitioned parquet
+    * (written once per input dir, like q35's buckets); a year-filtered
+    * query then scans ONE directory — the plan's PartitionFilters
+    * prunes before any I/O. At 100 TB date-partitioned layout is the
+    * first line of defense: most queries touch a time slice, and
+    * pruning turns a full scan into a fractional one.
+    */
+  def q36PartitionPruning(s: SparkSession, d: String): DataFrame = {
+    val suffix = math.abs(d.hashCode).toString
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_orders_part_$suffix")
+    if (!java.nio.file.Files.exists(base)) {
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(base.toString)
+    }
+    s.read.parquet(base.toString)
+      .filter(col("o_year") === 1995)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_text_roundtrip" -> q34TextRoundtrip,
-    "q35_bucketed_join" -> q35BucketedJoin)
+    "q35_bucketed_join" -> q35BucketedJoin,
+    "q36_partition_pruning" -> q36PartitionPruning)
 
   val oracles: Map[String, String] = Map(
     "q34_text_roundtrip" ->
@@ -81,5 +104,10 @@ object Relational6 {
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
          count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q36_partition_pruning" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         round(sum(o_totalprice), 2) AS sum_price
+         FROM orders WHERE year(o_orderdate) = 1995
          GROUP BY 1""")
 }

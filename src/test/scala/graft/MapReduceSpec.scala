@@ -205,6 +205,14 @@ class MapReduceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(valuesOf(new UnsortedMapSide(), data213) == Seq(1, 2, 3))
   }
 
+  test("write() finalizes distributed to a parquet sink (SURVEY 7.4.6)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mr_sink_").toString
+    new WC().write(spark, sc.parallelize(text, 2), tmp)
+    val back = spark.read.parquet(tmp).as[(String, Long)].collect().toMap
+    assert(back("word") == 2L && back("python") == 1L)
+  }
+
   test("untyped surface runs end-to-end and raises ElementCountError on bad arity") {
     val wc = new UntypedWC(bad = false)
     val got = wc.run(sc.parallelize(text.map(Seq[Any](_)), 2)).collect()
