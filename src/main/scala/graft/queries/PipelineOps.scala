@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Training-data pipeline composites: the filter stage an LLM-data
+  * pipeline actually runs (quality gates producing keep/drop decisions
+  * with reasons), corpus statistics (frequency-of-frequencies), and
+  * embedding cluster quality.
+  */
+object PipelineOps {
+
+  /** Quality gate: every document scored against explicit thresholds;
+    * output keeps the decision AND the first failing reason — pipelines
+    * need the why for audit. One narrow pass, no shuffle; at 100 TB
+    * this is a pure map stage that pushes the kept subset straight to
+    * the next operator's scan.
+    */
+  def t06QualityFilter(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val nTok = size(toks).cast("long")
+    val uniqRatio = size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
+        uniqRatio.as("uniq_ratio"))
+      .withColumn("drop_reason",
+        when(col("n_chars") < 100, "too_short")
+          .when(col("n_tokens") < 20, "too_few_tokens")
+          .when(col("uniq_ratio") < 0.3, "too_repetitive")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("drop_reason").isNull)
+  }
+
+  /** Frequency-of-frequencies (the Good–Turing spectrum): how many
+    * distinct words occur exactly k times. Two partial-agg shuffles,
+    * both tiny after combine.
+    */
+  def t07FreqSpectrum(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(filter(split(lower(col("text")), "\\s+"), x => x =!= "")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_words"))
+
+  /** Embedding cluster quality: per label, member count and inertia
+    * (sum of squared distances to the label centroid), centroid
+    * computed with the same vec_id-ordered deterministic fold as s03 —
+    * the quantities a clustering/IVF training loop monitors.
+    */
+  def e01ClusterStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val members = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centroids = members.as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (label, it) =>
+        val arr = it.toArray.sortBy(_._2)
+        val sums = new Array[Double](64)
+        arr.foreach { r => var k = 0; while (k < 64) { sums(k) += r._3(k); k += 1 } }
+        (label, sums.map(_ / arr.length).toSeq)
+      }
+      .toDF("label", "cv")
+    members.join(broadcast(centroids), "label")
+      .withColumn("dist2",
+        expr("graft_sumsq(zip_with(v, cv, (x, y) -> x - y))"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(sum(col("dist2")), 4).as("inertia"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t06_quality_filter" -> t06QualityFilter,
+    "t07_freq_spectrum" -> t07FreqSpectrum,
+    "e01_cluster_stats" -> e01ClusterStats)
+
+  val oracles: Map[String, String] = Map(
+    "t06_quality_filter" ->
+      """WITH scored AS (
+           SELECT doc_id, n_chars,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS uniq_ratio
+           FROM (SELECT doc_id, n_chars,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+                 FROM documents))
+         SELECT doc_id, n_chars, n_tokens, uniq_ratio,
+           CASE WHEN n_chars < 100 THEN 'too_short'
+                WHEN n_tokens < 20 THEN 'too_few_tokens'
+                WHEN uniq_ratio < 0.3 THEN 'too_repetitive'
+                ELSE NULL END AS drop_reason,
+           (CASE WHEN n_chars < 100 THEN 'too_short'
+                 WHEN n_tokens < 20 THEN 'too_few_tokens'
+                 WHEN uniq_ratio < 0.3 THEN 'too_repetitive'
+                 ELSE NULL END) IS NULL AS keep
+         FROM scored""",
+    "t07_freq_spectrum" ->
+      """SELECT k, count(*) AS n_words FROM (
+           SELECT word, count(*) AS k FROM (
+             SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+             FROM documents) t GROUP BY 1) c
+         GROUP BY 1""",
+    "e01_cluster_stats" ->
+      """WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (
+           SELECT label, list(dim_sum / n ORDER BY k) AS cv FROM (
+             SELECT label, k,
+               list_reduce(list_prepend(0.0,
+                 list_transform(vs, vv -> vv[k])), (a, x) -> a + x) AS dim_sum,
+               n
+             FROM (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS n
+                   FROM ev GROUP BY label),
+                  unnest(range(1, 65)) AS u(k)) dims
+           GROUP BY label),
+         d2 AS (
+           SELECT e.label,
+             list_reduce(list_prepend(0.0,
+               list_transform(range(1, 65), i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
+               (a, x) -> a + x) AS dist2
+           FROM ev e JOIN cent c ON e.label = c.label)
+         SELECT label, count(*) AS n, round(sum(dist2), 4) AS inertia
+         FROM d2 GROUP BY 1""")
+}
