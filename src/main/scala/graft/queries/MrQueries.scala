@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.mr.{Emit, KSV, KV, MapReduce}
 
@@ -75,10 +76,39 @@ object MrQueries {
       .toDF("lang", "doc_id", "n_chars")
   }
 
+  /** Secondary sort against a real table (SURVEY O5 with an oracle):
+    * per-customer orders arrive at the reducer ALREADY sorted by
+    * (orderdate, orderkey) — the reducer reads first/last positionally,
+    * exactly the positional-logic-over-sorted-values idiom the
+    * reference's sort matrix exists for. No in-reducer sorting.
+    */
+  class OrdersTimeline extends MapReduce[(Long, Long, Long), Long, (Long, Long), (Long, Long, Long, Long)] {
+    def mapper(r: (Long, Long, Long)): IterableOnce[Emit[Long, (Long, Long), (Long, Long, Long, Long)]] =
+      Iterator.single(KSV(r._1, (r._3, r._2), (r._2, 0L, 0L, 0L)))
+    def reducer(cust: Long, vs: Iterator[(Long, Long, Long, Long)]): IterableOnce[Emit[Long, (Long, Long), (Long, Long, Long, Long)]] = {
+      val first = vs.next()._1
+      var last = first; var n = 1L
+      vs.foreach { v => last = v._1; n += 1 }
+      Iterator.single(KV(cust, (first, last, n, 0L)))
+    }
+  }
+
+  def mr06OrdersTimeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+      .as[(Long, Long, Long)].rdd
+    new OrdersTimeline().run(orders)
+      .map { case (cust, vs) => (cust, vs.head._1, vs.head._2, vs.head._3) }
+      .toDF("o_custkey", "first_orderkey", "last_orderkey", "n_orders")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr01_word_count" -> mr01WordCount,
     "mr02_key_overload" -> mr02KeyOverload,
-    "mr03_longest_doc" -> mr03LongestDoc)
+    "mr03_longest_doc" -> mr03LongestDoc,
+    "mr06_orders_timeline" -> mr06OrdersTimeline)
 
   val oracles: Map[String, String] = Map(
     "mr01_word_count" ->
@@ -97,5 +127,20 @@ object MrQueries {
       """SELECT lang, doc_id, n_chars FROM (
            SELECT lang, doc_id, n_chars, row_number() OVER (
              PARTITION BY lang ORDER BY n_chars DESC, doc_id DESC) AS rn
-           FROM documents) t WHERE rn = 1""")
+           FROM documents) t WHERE rn = 1""",
+    // (o_orderdate, o_orderkey) tiebreak — dates are day-granular so
+    // per-customer ties are common and bare arg_min/arg_max would be
+    // nondeterministic
+    "mr06_orders_timeline" ->
+      """WITH r AS (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n
+           FROM orders)
+         SELECT o_custkey,
+           max(CASE WHEN rn = 1 THEN o_orderkey END) AS first_orderkey,
+           max(CASE WHEN rn = n THEN o_orderkey END) AS last_orderkey,
+           CAST(max(n) AS BIGINT) AS n_orders
+         FROM r GROUP BY 1""")
 }

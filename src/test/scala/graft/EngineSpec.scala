@@ -127,6 +127,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planOf("q06_anti_join").contains("LeftAnti"))
   }
 
+  test("q36 prunes partitions at the scan (PartitionFilters)") {
+    val p = planOf("q36_partition_pruning")
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"), p.take(600))
+  }
+
   test("q35 bucketed join needs no exchange on either join key") {
     val p = planOf("q35_bucketed_join")
     assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p.take(600))
