@@ -110,12 +110,46 @@ object TextOps {
       .select(col("lang"), col("trigram"), col("n"), col("rank").cast("long").as("rank"))
   }
 
+  /** textcat: the classic n-gram-profile language classifier (the
+    * full version of t03's marker heuristic). Train: top-100 char
+    * trigrams per language (deterministic rank: count desc, trigram
+    * asc). Classify: each document scores |its distinct trigrams ∩
+    * each profile|; prediction = arg-max with language tiebreak. The
+    * profiles are 5 tiny arrays → broadcast; classification is a
+    * narrow map over documents — at 100 TB the train side is a fixed
+    * small model and the classify side scales linearly.
+    */
+  def t08Textcat(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val doc = Tables.documents(s, d)
+    val grams = doc.selectExpr("lang",
+      "explode(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS g")
+    val rn = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("g"))
+    val profiles = grams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(rn))
+      .filter(col("rn") <= 100)
+      .groupBy(col("lang").as("cand"))
+      .agg(collect_list(col("g")).as("pg")) // set-intersection ignores order
+    val docGrams = doc.selectExpr("doc_id", "lang",
+      "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS dgs")
+    val scored = docGrams.join(broadcast(profiles), lit(true))
+      .withColumn("score", size(array_intersect(col("dgs"), col("pg"))).cast("long"))
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand"))
+    scored.withColumn("brn", row_number().over(best))
+      .filter(col("brn") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("pred_lang"),
+        col("score").as("best_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> t01TokenStats,
     "t02_quality_score" -> t02QualityScore,
     "t03_lang_id" -> t03LangId,
     "t04_fingerprint" -> t04Fingerprint,
-    "t05_trigram_profile" -> t05TrigramProfile)
+    "t05_trigram_profile" -> t05TrigramProfile,
+    "t08_textcat" -> t08Textcat)
 
   val oracles: Map[String, String] = Map(
     "t01_token_stats" ->
@@ -158,6 +192,29 @@ object TextOps {
            list_transform(regexp_split_to_array(text, ''), ch -> ascii(ch)::BIGINT)),
            (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fingerprint
          FROM documents""",
+    "t08_textcat" ->
+      """WITH grams AS (
+           SELECT lang, substr(text, i, 3) AS g
+           FROM documents, unnest(range(1, length(text) - 1)) AS u(i)),
+         prof AS (
+           SELECT lang AS cand, list(g) AS pg FROM (
+             SELECT lang, g, row_number() OVER (PARTITION BY lang
+               ORDER BY count(*) DESC, g) AS rn
+             FROM grams GROUP BY lang, g) t
+           WHERE rn <= 100 GROUP BY lang),
+         dg AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, length(text) - 1),
+               i -> substr(text, i, 3))) AS dgs
+           FROM documents),
+         scored AS (
+           SELECT doc_id, lang, cand,
+             len(list_intersect(dgs, pg)) AS score
+           FROM dg CROSS JOIN prof)
+         SELECT doc_id, lang, cand AS pred_lang, score AS best_score FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, cand) AS brn FROM scored) r
+         WHERE brn = 1""",
     "t05_trigram_profile" ->
       """SELECT lang, trigram, n, rank FROM (
            SELECT lang, trigram, n,
