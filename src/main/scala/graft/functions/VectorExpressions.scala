@@ -232,6 +232,44 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Character n-grams of a string in one native pass, optionally
+    * first-occurrence-distinct. Gram extraction uses
+    * `UTF8String.substringSQL` — the exact same primitive SQL
+    * `substr(text, i, n)` lowers to — so the produced strings are
+    * byte-identical to the oracle's `substr` formulation (the grams ARE
+    * oracle-visible, unlike the minhash internals). Replaces
+    * `transform(sequence(...), i -> substring(text, i, 3))`, which pays
+    * an interpreted lambda per gram and re-enters the
+    * InferFiltersFromGenerate duplication trap under explode.
+    */
+  case class CharGrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override protected def nullSafeEval(a: Any): Any = {
+      val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val len = s.numChars()
+      val count = math.max(0, len - n + 1)
+      if (distinct) {
+        val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+        var i = 0
+        while (i < count) { out.add(s.substringSQL(i + 1, n)); i += 1 }
+        val arr = new Array[Any](out.size)
+        val it = out.iterator(); var k = 0
+        while (it.hasNext) { arr(k) = it.next(); k += 1 }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+      } else {
+        val arr = new Array[Any](count)
+        var i = 0
+        while (i < count) { arr(i) = s.substringSQL(i + 1, n); i += 1 }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+      }
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Register as SQL temp functions (`graft_dot`, `graft_sumsq`,
     * `graft_minhash`) so the query surface reaches them through
     * `expr(...)` without touching the Column constructor
@@ -250,5 +288,9 @@ object VectorExpressions {
       "graft_shingles", es => ShingleSet(es.head, 3), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lsh_bucket", es => LshBucket(es.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_trigrams", es => CharGrams(es.head, 3, distinct = false), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_trigrams_distinct", es => CharGrams(es.head, 3, distinct = true), "built-in")
   }
 }

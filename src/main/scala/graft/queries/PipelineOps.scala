@@ -69,10 +69,22 @@ object PipelineOps {
       .agg(count(lit(1)).as("n"), round(sum(col("dist2")), 4).as("inertia"))
   }
 
+  /** Deterministic hash sampling — THE reproducible way to subsample
+    * training data (rand()-based sampling cannot be replayed or
+    * audited). Content-hash modulus keeps ~10%; the same document is
+    * always in or always out, across runs, engines and partitionings.
+    */
+  def q37HashSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h", conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10).cast("long"))
+      .filter(col("h") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_quality_filter" -> t06QualityFilter,
     "t07_freq_spectrum" -> t07FreqSpectrum,
-    "e01_cluster_stats" -> e01ClusterStats)
+    "e01_cluster_stats" -> e01ClusterStats,
+    "q37_hash_sample" -> q37HashSample)
 
   val oracles: Map[String, String] = Map(
     "t06_quality_filter" ->
@@ -118,5 +130,8 @@ object PipelineOps {
                (a, x) -> a + x) AS dist2
            FROM ev e JOIN cent c ON e.label = c.label)
          SELECT label, count(*) AS n, round(sum(dist2), 4) AS inertia
-         FROM d2 GROUP BY 1""")
+         FROM d2 GROUP BY 1""",
+    "q37_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 = 0""")
 }

@@ -96,11 +96,13 @@ object TextOps {
     */
   def t05TrigramProfile(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(s)
     val doc = Tables.documents(s, d)
-    // substring with a dynamic start position needs the expr form (the
-    // Column API overload takes Int positions only):
+    // native gram extraction (CharGrams) — the transform+substring
+    // lambda form pays interpreted per-gram evaluation and the
+    // generate-filter duplication trap (8.4 s vs ~2 s at sf0.1)
     val grams = doc.selectExpr("lang",
-      "explode(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS trigram")
+      "explode(graft_trigrams(text)) AS trigram")
     val counts = grams.groupBy(col("lang"), col("trigram"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("lang"))
@@ -121,9 +123,9 @@ object TextOps {
     */
   def t08Textcat(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(s)
     val doc = Tables.documents(s, d)
-    val grams = doc.selectExpr("lang",
-      "explode(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS g")
+    val grams = doc.selectExpr("lang", "explode(graft_trigrams(text)) AS g")
     val rn = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("g"))
     val profiles = grams.groupBy(col("lang"), col("g"))
       .agg(count(lit(1)).as("n"))
@@ -132,7 +134,7 @@ object TextOps {
       .groupBy(col("lang").as("cand"))
       .agg(collect_list(col("g")).as("pg")) // set-intersection ignores order
     val docGrams = doc.selectExpr("doc_id", "lang",
-      "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS dgs")
+      "graft_trigrams_distinct(text) AS dgs")
     val scored = docGrams.join(broadcast(profiles), lit(true))
       .withColumn("score", size(array_intersect(col("dgs"), col("pg"))).cast("long"))
     val best = Window.partitionBy(col("doc_id"))
