@@ -18,12 +18,18 @@ object Aggregators {
 
   /** Counter-merge: Map[String, Long] buffers merged associatively —
     * `collections.Counter` + `operator.iadd`, distributed.
+    *
+    * `tok` extracts ALL tokens of one input row (a whole document/line),
+    * so each row folds into the buffer in one call — the reference's
+    * idiom exactly (mapper pre-aggregates a line into a Counter,
+    * `docs.rst:236-246`), and the aggregation input is |docs| rows, not
+    * an exploded |tokens| stream.
     */
-  class CounterMerge[I](tok: I => String)
+  class CounterMerge[I](tok: I => IterableOnce[String])
     extends Aggregator[I, mutable.Map[String, Long], Map[String, Long]] {
     def zero: mutable.Map[String, Long] = mutable.Map.empty
     def reduce(b: mutable.Map[String, Long], in: I): mutable.Map[String, Long] = {
-      val t = tok(in); b.update(t, b.getOrElse(t, 0L) + 1L); b
+      tok(in).iterator.foreach(t => b.update(t, b.getOrElse(t, 0L) + 1L)); b
     }
     def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
       b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }; a

@@ -19,12 +19,15 @@ object AggQueries {
     */
   def a01CounterMerge(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, d)
-      .select(col("lang"), explode(
-        filter(split(lower(col("text")), "\\s+"), x => x =!= "")).as("tok"))
-      .as[(String, String)]
-    toks.groupByKey(_._1)
-      .agg(new CounterMerge[(String, String)](_._2).toColumn.name("counts"))
+    // whole documents flow into the aggregator (5k rows, not 330k
+    // exploded tokens) — the buffer does the per-line pre-aggregation,
+    // exactly the reference's Counter-per-line idiom
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("text")).as[(String, String)]
+    docs.groupByKey(_._1)
+      .agg(new CounterMerge[(String, String)](
+        r => r._2.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty))
+        .toColumn.name("counts"))
       .toDF("lang", "counts")
       .select(col("lang"), explode(col("counts")).as(Seq("word", "n")))
   }

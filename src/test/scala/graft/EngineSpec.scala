@@ -91,7 +91,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val words = Seq("b", "a", "b", "c", "b", "a")
     val ds = words.map(w => ("k", w)).toDS()
     val merged = ds.groupByKey(_._1)
-      .agg(new CounterMerge[(String, String)](_._2).toColumn).head()._2
+      .agg(new CounterMerge[(String, String)](r => Seq(r._2)).toColumn).head()._2
     assert(merged == Map("a" -> 2L, "b" -> 3L, "c" -> 1L))
     val topk = ds.groupByKey(_._1)
       .agg(new TopKByCount[(String, String)](2, t => (t._2, 1L)).toColumn).head()._2
