@@ -270,6 +270,42 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** 32-bit SimHash over a token array in one native pass: per token a
+    * polynomial hash over its characters (code points, mod 1e9+7 —
+    * matching the oracle's `ascii()`-based `list_reduce` exactly for
+    * BMP text), then per-bit ±1 votes over every occurrence, sign →
+    * bit. Replaces a tokens×32 explode (10.6 M rows at sf0.1) with one
+    * call per document; the signature is oracle-visible and the
+    * arithmetic is identical to the SQL formulation.
+    */
+  case class SimHash32(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val votes = new Array[Long](32)
+      var j = 0
+      while (j < n) {
+        val s = arr.getUTF8String(j).toString
+        var h = 7L; var i = 0
+        while (i < s.length) { h = (h * 31 + s.charAt(i).toLong) % MinHashP; i += 1 }
+        var b = 0
+        while (b < 32) {
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+        j += 1
+      }
+      var sig = 0L; var b = 0
+      while (b < 32) { if (votes(b) > 0) sig += 1L << b; b += 1 }
+      sig
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Register as SQL temp functions (`graft_dot`, `graft_sumsq`,
     * `graft_minhash`) so the query surface reaches them through
     * `expr(...)` without touching the Column constructor
@@ -292,5 +328,7 @@ object VectorExpressions {
       "graft_trigrams", es => CharGrams(es.head, 3, distinct = false), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_trigrams_distinct", es => CharGrams(es.head, 3, distinct = true), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash32", es => SimHash32(es.head), "built-in")
   }
 }
