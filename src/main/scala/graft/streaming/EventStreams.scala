@@ -149,10 +149,38 @@ object EventStreams {
         timestamp_micros(col("end_us")).as("session_end"), col("n_events"))
   }
 
+  /** Stream–static enrichment join: the streaming events joined
+    * against a static dimension (customer, via user_id ≡ custkey) with
+    * the dimension broadcast per micro-batch — the standard streaming
+    * enrichment pattern. Final aggregated state equals the batch join,
+    * hence the shared oracle.
+    */
+  def st05StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream5_")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
+    dir.toFile.deleteOnExit()
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+    val cust = broadcast(Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")))
+    val agg = stream
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    val name = "st05_sink"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_hourly" -> st01StreamHourly,
     "st02_sessionize" -> st02Sessionize,
-    "st04_stateful_sessions" -> st04StatefulSessions)
+    "st04_stateful_sessions" -> st04StatefulSessions,
+    "st05_stream_static_join" -> st05StreamStaticJoin)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_hourly" ->
@@ -197,5 +225,10 @@ object EventStreams {
            FROM sess GROUP BY 1, 2),
          wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS w FROM events)
          SELECT user_id, session_start, session_end, n_events
-         FROM agg, wm WHERE end_us + 1800000000 < w""")
+         FROM agg, wm WHERE end_us + 1800000000 < w""",
+    "st05_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1""")
 }

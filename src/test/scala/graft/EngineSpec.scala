@@ -41,6 +41,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("BuildInfo exposes version metadata (tests/test_packaging.py analogue)") {
+    assert(BuildInfo.version.nonEmpty && BuildInfo.name == "tinymrspark")
+    assert(BuildInfo.scalaVersion.startsWith("2.13"))
+  }
+
   // --- native expressions --------------------------------------------
 
   test("DotProduct/SumSquares match left-fold semantics exactly") {
