@@ -132,9 +132,12 @@ object TextOps {
       .withColumn("rn", row_number().over(rn))
       .filter(col("rn") <= 100)
       .groupBy(col("lang").as("cand"))
-      .agg(collect_list(col("g")).as("pg")) // set-intersection ignores order
+      // 64-bit-hashed grams: the 25k array_intersect calls compare
+      // longs instead of strings (order irrelevant — set intersection;
+      // collisions ~|grams|²/2⁶⁴, negligible and score-only)
+      .agg(collect_list(xxhash64(col("g"))).as("pg"))
     val docGrams = doc.selectExpr("doc_id", "lang",
-      "graft_trigrams_distinct(text) AS dgs")
+      "transform(graft_trigrams_distinct(text), x -> xxhash64(x)) AS dgs")
     val scored = docGrams.join(broadcast(profiles), lit(true))
       .withColumn("score", size(array_intersect(col("dgs"), col("pg"))).cast("long"))
     val best = Window.partitionBy(col("doc_id"))
