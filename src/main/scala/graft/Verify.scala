@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same persistent catalog as Bench — see Bench.scala
+      .config("spark.sql.warehouse.dir", "/root/repo/spark-warehouse")
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        "jdbc:derby:;databaseName=/root/repo/metastore_db;create=true")
+      .enableHiveSupport()
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

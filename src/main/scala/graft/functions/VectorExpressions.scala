@@ -270,6 +270,80 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Character n-gram COUNTS of a string in one native pass: a map of
+    * gram → occurrence count (first-occurrence key order). Emitting
+    * per-document pre-combined counts instead of one row per gram
+    * occurrence cuts the explode row count — and therefore the shuffle
+    * feeding the per-language profile aggregation — by the in-document
+    * repeat factor: the map-side combine the reference gets from its
+    * per-chunk `Counter` (`/root/reference/docs.rst:236-246`), done
+    * inside one expression before the generate. Gram extraction uses
+    * `substringSQL`, byte-identical to the oracle's `substr(text,i,3)`.
+    */
+  case class CharGramCounts(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.LongType, valueContainsNull = false)
+    override protected def nullSafeEval(a: Any): Any = {
+      val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val count = math.max(0, s.numChars() - n + 1)
+      val m = new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+      var i = 0
+      while (i < count) {
+        val g = s.substringSQL(i + 1, n)
+        val prev = m.get(g)
+        m.put(g, if (prev == null) 1L else prev + 1L)
+        i += 1
+      }
+      val keys = new Array[Any](m.size)
+      val vals = new Array[Any](m.size)
+      val it = m.entrySet().iterator(); var k = 0
+      while (it.hasNext) {
+        val e = it.next(); keys(k) = e.getKey; vals(k) = e.getValue.longValue()
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** xxhash64 of each distinct character n-gram of a string, in one
+    * native pass. Hashing goes through Spark's own `XxHash64Function`
+    * (seed 42) so the longs are bit-identical to SQL `xxhash64(gram)` —
+    * the other side of t08's intersection is built with the SQL
+    * function, and the scores are oracle-checked. Replaces
+    * `transform(graft_trigrams_distinct(text), x -> xxhash64(x))`,
+    * which pays an interpreted lambda per gram (~10 M evals at sf0.1).
+    */
+  case class CharGramHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    override protected def nullSafeEval(a: Any): Any = {
+      val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val count = math.max(0, s.numChars() - n + 1)
+      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      var i = 0
+      while (i < count) { seen.add(s.substringSQL(i + 1, n)); i += 1 }
+      val arr = new Array[Long](seen.size)
+      val it = seen.iterator(); var k = 0
+      while (it.hasNext) {
+        arr(k) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(it.next(), org.apache.spark.sql.types.StringType, 42L)
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** 32-bit SimHash over a token array in one native pass: per token a
     * polynomial hash over its characters (code points, mod 1e9+7 —
     * matching the oracle's `ascii()`-based `list_reduce` exactly for
@@ -330,5 +404,9 @@ object VectorExpressions {
       "graft_trigrams_distinct", es => CharGrams(es.head, 3, distinct = true), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash32", es => SimHash32(es.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_trigram_counts", es => CharGramCounts(es.head, 3), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_trigram_hashes", es => CharGramHashes(es.head, 3), "built-in")
   }
 }

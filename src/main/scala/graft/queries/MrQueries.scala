@@ -37,13 +37,23 @@ object MrQueries {
     * (`docs.rst:373-407`): round-robin synthetic keys, count distinct
     * words per key. Reference keys by line arrival; we key by
     * doc_id % 4 so the grouping is deterministic and oracle-checkable.
+    *
+    * The distinct count STREAMS through the engine's own secondary sort
+    * (SURVEY O5): words arrive at the reducer already sorted within the
+    * key, so counting value boundaries gives the distinct count with
+    * O(1) reducer state — with 4 synthetic keys a per-key `toSet` would
+    * hold ~25% of the corpus vocabulary in one task's memory at scale,
+    * while the shuffle's ExternalSorter spills.
     */
-  class KeyOverload extends MapReduce[(Long, String), Long, Int, String] {
-    def mapper(doc: (Long, String)): IterableOnce[Emit[Long, Int, String]] =
+  class KeyOverload extends MapReduce[(Long, String), Long, String, String] {
+    def mapper(doc: (Long, String)): IterableOnce[Emit[Long, String, String]] =
       doc._2.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
-        .map(w => KV(doc._1 % 4, w))
-    def reducer(k: Long, words: Iterator[String]): IterableOnce[Emit[Long, Int, String]] =
-      Iterator.single(KV(k, words.toSet.size.toString))
+        .map(w => KSV(doc._1 % 4, w, w))
+    def reducer(k: Long, words: Iterator[String]): IterableOnce[Emit[Long, String, String]] = {
+      var n = 0L; var prev: String = null
+      words.foreach { w => if (prev == null || w != prev) { n += 1; prev = w } }
+      Iterator.single(KV(k, n.toString))
+    }
   }
 
   def mr02KeyOverload(s: SparkSession, d: String): DataFrame = {

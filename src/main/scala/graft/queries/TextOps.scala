@@ -98,13 +98,13 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorExpressions.register(s)
     val doc = Tables.documents(s, d)
-    // native gram extraction (CharGrams) — the transform+substring
-    // lambda form pays interpreted per-gram evaluation and the
-    // generate-filter duplication trap (8.4 s vs ~2 s at sf0.1)
+    // native per-doc gram→count maps (CharGramCounts): the explode and
+    // the shuffle carry one row per DISTINCT gram per doc instead of
+    // one per occurrence — the in-expression map-side combine
     val grams = doc.selectExpr("lang",
-      "explode(graft_trigrams(text)) AS trigram")
+      "explode(graft_trigram_counts(text)) AS (trigram, c)")
     val counts = grams.groupBy(col("lang"), col("trigram"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("c")).as("n"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("n").desc, col("trigram"))
     counts.withColumn("rank", row_number().over(w))
@@ -125,10 +125,12 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorExpressions.register(s)
     val doc = Tables.documents(s, d)
-    val grams = doc.selectExpr("lang", "explode(graft_trigrams(text)) AS g")
+    // per-doc pre-combined gram counts (see t05) — profile training's
+    // shuffle shrinks by the in-document gram repeat factor
+    val grams = doc.selectExpr("lang", "explode(graft_trigram_counts(text)) AS (g, c)")
     val rn = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("g"))
     val profiles = grams.groupBy(col("lang"), col("g"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("c")).as("n"))
       .withColumn("rn", row_number().over(rn))
       .filter(col("rn") <= 100)
       .groupBy(col("lang").as("cand"))
@@ -136,8 +138,12 @@ object TextOps {
       // longs instead of strings (order irrelevant — set intersection;
       // collisions ~|grams|²/2⁶⁴, negligible and score-only)
       .agg(collect_list(xxhash64(col("g"))).as("pg"))
+    // native distinct-gram hashing (CharGramHashes): one pass, hashes
+    // via Spark's XXH64 so they bit-match the profile side's SQL
+    // xxhash64 — the transform(...)+xxhash64 lambda form re-enters the
+    // interpreted-HOF trap (~10 M lambda evals at sf0.1)
     val docGrams = doc.selectExpr("doc_id", "lang",
-      "transform(graft_trigrams_distinct(text), x -> xxhash64(x)) AS dgs")
+      "graft_trigram_hashes(text) AS dgs")
     val scored = docGrams.join(broadcast(profiles), lit(true))
       .withColumn("score", size(array_intersect(col("dgs"), col("pg"))).cast("long"))
     val best = Window.partitionBy(col("doc_id"))

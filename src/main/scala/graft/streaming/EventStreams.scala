@@ -46,38 +46,27 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
-  /** Sessionization: per-user sessions closed by a 30-minute gap —
-    * the custom-state shape (`flatMapGroupsWithState` in streaming; here
-    * the batch twin via `flatMapGroups` over a secondary-sorted group,
-    * which is exactly the reference's sorted-reducer idiom, SURVEY O5).
-    * One shuffle on user_id; per-user events sorted in-task.
+  /** Sessionization: per-user sessions closed by a 30-minute gap — via
+    * Spark's native `session_window` aggregation instead of a per-user
+    * `it.toArray` materialization: the sessionization runs inside the
+    * aggregation operator with spillable sorting, so a hot user's
+    * events never have to fit in task memory. One shuffle on user_id +
+    * session merge, then a tiny window over the SESSIONS (not the
+    * events) numbers them in time order. Gap is 30 min + 1 µs so an
+    * exactly-30-minute gap stays in-session, matching the reference's
+    * strict-`>` split (and the oracle's `> 1800000000`).
     */
   def st02Sessionize(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), unix_micros(col("ts")).as("tsus"), col("event_id"))
-      .as[(Long, Long, Long)]
-    val gapUs = 30L * 60 * 1000000
-    ev.groupByKey(_._1)
-      .flatMapGroups { (uid, it) =>
-        val evs = it.toArray.sortBy(e => (e._2, e._3))
-        var sessionId = 0L
-        var out = List.newBuilder[(Long, Long, Long, Long, Long)]
-        var start = 0L; var last = 0L; var n = 0L
-        for (e <- evs) {
-          if (n == 0 || e._2 - last > gapUs) {
-            if (n > 0) out += ((uid, sessionId, n, start, last))
-            sessionId += 1; start = e._2; n = 0
-          }
-          last = e._2; n += 1
-        }
-        if (n > 0) out += ((uid, sessionId, n, start, last))
-        out.result()
-      }
-      .toDF("user_id", "session_id", "n_events", "start_us", "end_us")
-      .select(col("user_id"), col("session_id"), col("n_events"),
-        timestamp_micros(col("start_us")).as("session_start"),
-        timestamp_micros(col("end_us")).as("session_end"))
+    import org.apache.spark.sql.expressions.Window
+    val sessions = Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes 1 microsecond"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
+    sessions.select(col("user_id"),
+      row_number().over(w).cast("long").as("session_id"),
+      col("n_events"), col("session_start"), col("session_end"))
   }
 
   /** Stateful streaming sessionization via `flatMapGroupsWithState` —
@@ -92,23 +81,44 @@ object EventStreams {
     * the OLDEST open session's deadline so closed sessions are never
     * held hostage by a user's newer activity.
     */
+  /** Stage the events table ONCE per input dir as 4 TIME-ORDERED
+    * parquet chunks for micro-batch replay. `repartitionByRange` on
+    * (ts, event_id) produces 4 sorted, non-overlapping time ranges with
+    * a sampled range exchange — every partition does bounded work, vs
+    * the previous `ntile` over a global un-partitioned window, which
+    * moved EVERY event through one task (the single-partition wall
+    * Spark itself warns about). Range order must equal replay order so
+    * the watermark advances without dropping events as late: part file
+    * names follow partition order, and the file stream source replays
+    * oldest-modification-first, so modification times are stamped in
+    * file-name order. The staged dir is keyed by input dir and reused
+    * across invocations AND JVMs (same idiom as q36's partitioned
+    * layout) — the layout cost is paid once, not per query.
+    */
+  private def stageEventChunks(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_events_chunks_${math.abs(d.hashCode)}")
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+      Tables.events(s, d)
+        .repartitionByRange(4, col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(dir.toString)
+      val files = new java.io.File(dir.toString).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val base = files.map(_.lastModified()).max
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(base + (i + 1) * 60000L) }
+    }
+    dir.toString
+  }
+
   def st04StatefulSessions(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._
-    // stage the events as 4 TIME-ORDERED chunks → 4 micro-batches in
-    // event-time order, so the watermark advances without dropping
-    // anything as late (chunking by id would interleave time ranges
-    // and the first batch's watermark would discard later chunks)
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream4_")
-    Tables.events(s, d).coalesce(1)
-      .withColumn("chunk", org.apache.spark.sql.functions.ntile(4).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
-      .write.partitionBy("chunk").mode("overwrite")
-      .parquet(dir.toString)
+    val dir = stageEventChunks(s, d)
     val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString + "/chunk=*")
+      .parquet(dir)
     val gapUs = 30L * 60 * 1000000
     type SessState = (Long, Long, Long) // start, last, n
     // state is opaque to Catalyst — kryo encoder is the right tool here
@@ -197,8 +207,8 @@ object EventStreams {
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
          sess AS (
            SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
            FROM marked)
          SELECT user_id, session_id, count(*) AS n_events,
            date_trunc('microsecond', min(ts)) AS session_start,
