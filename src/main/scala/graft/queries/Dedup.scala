@@ -145,12 +145,51 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
   }
 
+  /** d02 with a Bloom pre-join — the deferred scale fix for the exact
+    * Jaccard tier. A shingle that occurs in only ONE document can never
+    * contribute to a pair, so the self-join only needs shingles with
+    * document frequency ≥ 2. A compact Bloom filter (1% fpp) over those
+    * hashes, built distributedly and broadcast, prunes BOTH join inputs
+    * before the shuffle. Bloom false positives only admit singleton
+    * shingles that then match nothing in the join — extra probe work,
+    * never a wrong row — so the output (and oracle) is EXACTLY d02's.
+    * At 100 TB the win is the join shuffle shrinking to the repeated
+    * fraction of the shingle stream; the df counting pass is
+    * partial-aggable on 8-byte keys. (`sizes` still counts the full,
+    * unpruned sets — Jaccard denominators are exact.)
+    */
+  def d06BloomJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // shingle sets are per-doc distinct, so count(*) = doc frequency
+    val dup = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("s"))
+    val bf = dup.stat.bloomFilter("s", math.max(dup.count(), 1000L), 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val pruned = sh.filter(mightContain(col("s")))
+    val a = pruned.as("a"); val b = pruned.as("b")
+    val common = a.join(b, col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> d01ExactDedup,
     "d02_jaccard_pairs" -> d02JaccardPairs,
     "d03_minhash_lsh" -> d03MinhashLsh,
     "d04_simhash" -> d04Simhash,
-    "d05_embedding_pairs" -> d05EmbeddingPairs)
+    "d05_embedding_pairs" -> d05EmbeddingPairs,
+    "d06_bloom_jaccard" -> d06BloomJaccard)
 
   private val shingleSql =
     """SELECT doc_id, unnest(list_distinct(
@@ -179,8 +218,10 @@ object Dedup {
          count(*) AS n_copies
          FROM documents GROUP BY 1""",
     "d02_jaccard_pairs" -> jaccardSql,
-    // d03 is the LSH path to the same answer — same oracle by design.
+    // d03/d06 are the LSH and Bloom paths to the same answer — same
+    // oracle by design.
     "d03_minhash_lsh" -> jaccardSql,
+    "d06_bloom_jaccard" -> jaccardSql,
     "d04_simhash" ->
       """WITH tok AS (
            SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok

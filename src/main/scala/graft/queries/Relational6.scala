@@ -88,10 +88,23 @@ object Relational6 {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
   }
 
+  /** Pivot (long→wide reshaping): order totals per priority, one
+    * column per order status. Explicit value list so the plan is a
+    * single pass (no distinct-values pre-query); absent cells stay
+    * null in both engines. At scale pivot is just a grouped
+    * conditional aggregation — one partial-aggable shuffle.
+    */
+  def q38Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_text_roundtrip" -> q34TextRoundtrip,
     "q35_bucketed_join" -> q35BucketedJoin,
-    "q36_partition_pruning" -> q36PartitionPruning)
+    "q36_partition_pruning" -> q36PartitionPruning,
+    "q38_pivot" -> q38Pivot)
 
   val oracles: Map[String, String] = Map(
     "q34_text_roundtrip" ->
@@ -109,5 +122,11 @@ object Relational6 {
       """SELECT o_orderpriority, count(*) AS n,
          round(sum(o_totalprice), 2) AS sum_price
          FROM orders WHERE year(o_orderdate) = 1995
-         GROUP BY 1""")
+         GROUP BY 1""",
+    "q38_pivot" ->
+      """SELECT o_orderpriority,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+         FROM orders GROUP BY 1""")
 }

@@ -186,11 +186,41 @@ object EventStreams {
     s.table(name)
   }
 
+  /** Streaming deduplication: `dropDuplicates` state keyed on
+    * (user_id, event_type) with a watermark bounding the state store —
+    * the streaming twin of the batch dedup tier (d01), and the
+    * exactly-once ingestion guard a training-data feed runs in front
+    * of every sink. Which duplicate survives is arrival-order
+    * dependent, so the oracle-visible output is the per-type DISTINCT
+    * USER COUNT — identical regardless of replay order.
+    */
+  def st06StreamDedup(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream6_")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
+    dir.toFile.deleteOnExit()
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val name = "st06_sink"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_hourly" -> st01StreamHourly,
     "st02_sessionize" -> st02Sessionize,
     "st04_stateful_sessions" -> st04StatefulSessions,
-    "st05_stream_static_join" -> st05StreamStaticJoin)
+    "st05_stream_static_join" -> st05StreamStaticJoin,
+    "st06_stream_dedup" -> st06StreamDedup)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_hourly" ->
@@ -240,5 +270,8 @@ object EventStreams {
       """SELECT c_mktsegment, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY 1""")
+         GROUP BY 1""",
+    "st06_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1""")
 }
