@@ -183,13 +183,59 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Near-dup CLUSTER resolution: connected components over the d02
+    * pair graph via distributed min-label propagation — the step that
+    * turns pairwise near-dup hits into dedup decisions (keep the
+    * canonical member of each cluster). Pairs are transitive evidence:
+    * A~B and B~C must collapse into ONE cluster even though A,C were
+    * never compared (at scale LSH candidate generation guarantees such
+    * comparisons are skipped).
+    *
+    * The loop is standard BSP connected components: each round is one
+    * distributed join+agg (label(n) ← min over {n} ∪ neighbors);
+    * rounds ≈ cluster diameter (near-dup clusters are shallow — 2-4
+    * rounds here). The driver only orchestrates (a changed-row count
+    * per round, never a data collect), and the edge set this runs on
+    * is the PAIR output — orders of magnitude smaller than the corpus
+    * at 100 TB. Singleton documents (no pair) are implicitly their own
+    * cluster and omitted, mirrored by the oracle.
+    */
+  def d07DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d02JaccardPairs(s, d).select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
+        .cache()
+      changed = updated.filter(col("chg")).count()
+      val old = labels
+      labels = updated.select(col("node"), col("new_label").as("label")).cache()
+      labels.count() // materialize before releasing the parent
+      old.unpersist(); updated.unpersist()
+      iter += 1
+    }
+    edges.unpersist(); pairs.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
+      (col("node") === col("label")).as("is_canonical"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> d01ExactDedup,
     "d02_jaccard_pairs" -> d02JaccardPairs,
     "d03_minhash_lsh" -> d03MinhashLsh,
     "d04_simhash" -> d04Simhash,
     "d05_embedding_pairs" -> d05EmbeddingPairs,
-    "d06_bloom_jaccard" -> d06BloomJaccard)
+    "d06_bloom_jaccard" -> d06BloomJaccard,
+    "d07_dup_clusters" -> d07DupClusters)
 
   private val shingleSql =
     """SELECT doc_id, unnest(list_distinct(
@@ -212,7 +258,33 @@ object Dedup {
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE common / (sa.n + sb.n - common) >= 0.5"""
 
+  // Transitive closure over the (tiny) pair graph; DuckDB's recursive
+  // CTE plays the oracle for the distributed label propagation.
+  private val clusterSql =
+    s"""WITH RECURSIVE
+        sh AS ($shingleSql),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        cp AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jp AS (
+          SELECT doc_a, doc_b
+          FROM cp JOIN sizes sa ON doc_a = sa.doc_id
+                  JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE common / (sa.n + sb.n - common) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                  UNION SELECT doc_b, doc_a FROM jp),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
+          src = least(src, min(dst)) AS is_canonical
+        FROM reach GROUP BY src"""
+
   val oracles: Map[String, String] = Map(
+    "d07_dup_clusters" -> clusterSql,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
          count(*) AS n_copies

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Seventh tranche: sketch-contract checking for quantiles (q17's
+  * pattern applied to approx_percentile) and event-funnel analytics —
+  * both pure conditional aggregations, one partial-aggable shuffle
+  * each.
+  */
+object Relational7 {
+
+  /** approx_percentile (Greenwald–Khanna sketch) with an
+    * oracle-checkable CONTRACT, like q17: the sketch guarantees rank
+    * error ≤ n/accuracy (here 1/10000 in quantile units), so the
+    * approx value must lie between the exact percentiles at q ∓ 5e-4
+    * (a 5× margin on the bound). The exact side exists to CHECK the
+    * sketch; at 100 TB only the approx side runs — its state is a
+    * fixed-size buffer per group, vs the exact percentile's
+    * all-values buffer.
+    */
+  def q39ApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("exact_p95"),
+        expr("percentile(l_extendedprice, 0.4995)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.5005)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.9495)").as("lo95"),
+        expr("percentile(l_extendedprice, 0.9505)").as("hi95"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("a95"))
+      .select(col("exact_p50"), col("exact_p95"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_within_rank_tol"),
+        (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("p95_within_rank_tol"))
+
+  /** Conversion funnel over the event stream: first-touch timestamp
+    * per user per stage (conditional min — one partial-aggable
+    * shuffle, no window), then strictly-ordered stage attainment
+    * view → click → purchase. The staple product/training-data
+    * analytics shape the reference could only express as per-key
+    * Python inside a reducer.
+    */
+  def q40Funnel(s: SparkSession, d: String): DataFrame = {
+    val firsts = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    firsts.select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+      (col("t_view").isNotNull && col("t_click").isNotNull &&
+        col("t_click") > col("t_view")).as("reached_click"),
+      (col("t_view").isNotNull && col("t_click").isNotNull &&
+        col("t_click") > col("t_view") && col("t_purchase").isNotNull &&
+        col("t_purchase") > col("t_click")).as("reached_purchase"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_approx_percentiles" -> q39ApproxPercentiles,
+    "q40_funnel" -> q40Funnel)
+
+  val oracles: Map[String, String] = Map(
+    "q39_approx_percentiles" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+         round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+         true AS p50_within_rank_tol, true AS p95_within_rank_tol
+         FROM lineitem""",
+    "q40_funnel" ->
+      """WITH f AS (
+           SELECT user_id,
+             date_trunc('microsecond', min(CASE WHEN event_type = 'view' THEN ts END)) AS t_view,
+             date_trunc('microsecond', min(CASE WHEN event_type = 'click' THEN ts END)) AS t_click,
+             date_trunc('microsecond', min(CASE WHEN event_type = 'purchase' THEN ts END)) AS t_purchase
+           FROM events GROUP BY 1)
+         SELECT user_id, t_view, t_click, t_purchase,
+           (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view) AS reached_click,
+           (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+            AND t_purchase IS NOT NULL AND t_purchase > t_click) AS reached_purchase
+         FROM f""")
+}
