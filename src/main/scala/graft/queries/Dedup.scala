@@ -200,8 +200,17 @@ object Dedup {
     * at 100 TB. Singleton documents (no pair) are implicitly their own
     * cluster and omitted, mirrored by the oracle.
     */
-  def d07DupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = d02JaccardPairs(s, d).select(col("doc_a"), col("doc_b")).cache()
+  def d07DupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(d02JaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        (col("node") === col("label")).as("is_canonical"))
+
+  /** Min-label propagation over an undirected pair list (doc_a, doc_b)
+    * → (node, label) with label = the component's minimum node id.
+    * Public so the loop is unit-testable on synthetic graphs.
+    */
+  def connectedComponents(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.toDF("doc_a", "doc_b").cache()
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("node")).distinct()
@@ -224,8 +233,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(); pairs.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
-      (col("node") === col("label")).as("is_canonical"))
+    labels
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

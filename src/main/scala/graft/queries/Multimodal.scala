@@ -66,8 +66,47 @@ object Multimodal {
     decoded.toDF()
   }
 
+  /** One sampled frame record. */
+  case class Frame(doc_id: Long, frame_idx: Long, frame_ts_ms: Long,
+      frame_sig: String)
+
+  /** Video frame-sampling: the 1→N decode fan-out. Assets are
+    * synthesized FAKEVID1 containers (`FAKEVID1:<n_frames>:<fps>:<md5>`
+    * — deterministic per doc); the per-partition codec parses the
+    * container and emits every 4th frame as a typed row via an
+    * ITERATOR flatMap, so a long video never materializes all frames
+    * in memory — the exact shape a real ffmpeg/`mapInPandas` frame
+    * sampler has (batch init per partition, streaming emission, typed
+    * columnar output). Frame signatures are md5-derived so the oracle
+    * can recompute every emitted row arithmetically.
+    */
+  def m02FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat_ws(":", lit("FAKEVID1"), (lit(8) + col("doc_id") % 23),
+          lit(24), md5(col("text").cast("binary"))).cast("binary").as("asset"))
+    assets.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // codec init, once per partition
+        it.flatMap { case (id, bytes) =>
+          val parts = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).split(":")
+          val nFrames = parts(1).toLong; val fps = parts(2).toLong
+          val payload = parts(3)
+          (0L until nFrames by 4).iterator.map { idx =>
+            md.reset()
+            val sig = md.digest(s"$payload:$idx".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            Frame(id, idx, idx * 1000 / fps, sig)
+          }
+        }
+      }
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_decode_meta" -> m01DecodeMeta)
+    "m01_decode_meta" -> m01DecodeMeta,
+    "m02_frame_sample" -> m02FrameSample)
 
   val oracles: Map[String, String] = Map(
     "m01_decode_meta" ->
@@ -76,5 +115,11 @@ object Multimodal {
          length('FAKEIMG1::' || (32 + doc_id % 97) || (32 + (doc_id * 7) % 89))
            + 1 + 32 AS n_bytes,
          md5(text) AS payload_md5
-         FROM documents""")
+         FROM documents""",
+    "m02_frame_sample" ->
+      """SELECT doc_id, idx AS frame_idx,
+         (idx * 1000) // 24 AS frame_ts_ms,
+         md5(md5(text) || ':' || idx) AS frame_sig
+         FROM documents,
+              unnest(range(0, 8 + doc_id % 23, 4)) AS u(idx)""")
 }

@@ -58,9 +58,39 @@ object Relational7 {
         col("t_purchase") > col("t_click")).as("reached_purchase"))
   }
 
+  /** Interval join WITHOUT an equi-key, made scalable: count platform-
+    * wide `error` events within ±60 s of each `purchase`. A naive plan
+    * is a BroadcastNestedLoopJoin (quadratic row comparisons — the
+    * plan Spark actually picks for a raw range predicate); instead the
+    * range condition becomes an EQUI-join on a 120 s time bucket: an
+    * interval of length exactly one bucket spans exactly two
+    * consecutive buckets, so each purchase probes its two candidate
+    * buckets (explode ×2) and the exact range filter runs only on
+    * bucket-colliding rows. One hash shuffle on the bucket key — the
+    * standard interval-join decomposition at 100 TB. Each qualifying
+    * (purchase, error) lands in exactly one bucket, so no dedup is
+    * needed.
+    */
+  def q41IntervalBucketJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("tus").as("pt"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("tus").as("et"), expr("tus div 120000000").as("bucket"))
+    val probes = purchases.select(col("purchase_id"), col("pt"),
+      explode(array(expr("(pt - 60000000) div 120000000"),
+        expr("(pt + 60000000) div 120000000"))).as("bucket"))
+    probes.join(errors, "bucket")
+      .filter(col("et") >= col("pt") - 60000000L && col("et") <= col("pt") + 60000000L)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_errors"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_approx_percentiles" -> q39ApproxPercentiles,
-    "q40_funnel" -> q40Funnel)
+    "q40_funnel" -> q40Funnel,
+    "q41_interval_bucket_join" -> q41IntervalBucketJoin)
 
   val oracles: Map[String, String] = Map(
     "q39_approx_percentiles" ->
@@ -79,5 +109,14 @@ object Relational7 {
            (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view) AS reached_click,
            (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
             AND t_purchase IS NOT NULL AND t_purchase > t_click) AS reached_purchase
-         FROM f""")
+         FROM f""",
+    // DuckDB evaluates the raw range predicate directly (IEJoin); the
+    // engine's bucket decomposition must produce identical counts.
+    "q41_interval_bucket_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_errors
+         FROM events p JOIN events e
+           ON p.event_type = 'purchase' AND e.event_type = 'error'
+          AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) - 60000000
+                                 AND epoch_us(p.ts) + 60000000
+         GROUP BY 1""")
 }

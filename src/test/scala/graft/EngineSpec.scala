@@ -30,11 +30,9 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("every query key has either an oracle or a documented rows-only check") {
+  test("EVERY query key is oracle-backed (sketches via contract oracles)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // s02/q17 are approximate/engine-specific by design; everything else
-    // must be oracle-backed.
-    assert(noOracle.subsetOf(Set("q17_approx_distinct")), s"missing oracles: $noOracle")
+    assert(noOracle.isEmpty, s"missing oracles: $noOracle")
   }
 
   test("entry() returns rows (driver smoke contract)") {
@@ -141,5 +139,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = planOf("q35_bucketed_join")
     assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p.take(600))
     assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p.take(600))
+  }
+
+  test("st02 sessionizes via the native session_window operator, not object groups") {
+    val p = planOf("st02_sessionize")
+    assert(p.contains("session_window"), p.take(800))
+    assert(!p.contains("FlatMapGroups") && !p.contains("MapGroups"),
+      "sessionization must not materialize per-user arrays in object space")
+  }
+
+  test("t08 classification path carries no interpreted lambda functions") {
+    val p = planOf("t08_textcat").toLowerCase
+    assert(!p.contains("lambdafunction"), "HOF lambda crept back into the hot path")
+  }
+
+  test("connected components resolve transitive dup clusters") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
+    val got = graft.queries.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 }
