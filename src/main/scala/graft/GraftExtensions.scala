@@ -40,7 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("graft_trigrams", "character trigrams",
         es => CharGrams(es.head, 3, distinct = false)),
       ("graft_trigrams_distinct", "distinct character trigrams",
-        es => CharGrams(es.head, 3, distinct = true)))
+        es => CharGrams(es.head, 3, distinct = true)),
+      ("graft_simhash32", "32-bit SimHash of a token array",
+        es => SimHash32(es.head)),
+      ("graft_trigram_counts", "per-document trigram -> count map",
+        es => CharGramCounts(es.head, 3)),
+      ("graft_trigram_hashes", "xxhash64 of each distinct trigram",
+        es => CharGramHashes(es.head, 3)))
     fns.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

@@ -23,17 +23,19 @@ object Relational7 {
   def q39ApproxPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("exact_p95"),
-        expr("percentile(l_extendedprice, 0.4995)").as("lo50"),
-        expr("percentile(l_extendedprice, 0.5005)").as("hi50"),
-        expr("percentile(l_extendedprice, 0.9495)").as("lo95"),
-        expr("percentile(l_extendedprice, 0.9505)").as("hi95"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
-        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("a95"))
-      .select(col("exact_p50"), col("exact_p95"),
-        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_within_rank_tol"),
-        (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("p95_within_rank_tol"))
+        // ONE percentile aggregate for all six quantiles: each separate
+        // `percentile(...)` call carries its own all-values buffer
+        // through the aggregation (6 copies of the column — measured
+        // 11.7 s at sf0.1 vs ~2 s for the single array form)
+        expr("percentile(l_extendedprice, array(0.4995D, 0.5D, 0.5005D, 0.9495D, 0.95D, 0.9505D))").as("ex"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("ap"))
+      .select(
+        round(element_at(col("ex"), 2), 4).as("exact_p50"),
+        round(element_at(col("ex"), 5), 4).as("exact_p95"),
+        (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
+          element_at(col("ap"), 1) <= element_at(col("ex"), 3)).as("p50_within_rank_tol"),
+        (element_at(col("ap"), 2) >= element_at(col("ex"), 4) &&
+          element_at(col("ap"), 2) <= element_at(col("ex"), 6)).as("p95_within_rank_tol"))
 
   /** Conversion funnel over the event stream: first-touch timestamp
     * per user per stage (conditional min — one partial-aggable

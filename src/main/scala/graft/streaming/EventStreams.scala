@@ -215,12 +215,45 @@ object EventStreams {
     s.table(name)
   }
 
+  /** Incremental ETL via `foreachBatch`: the watermarked hourly
+    * aggregation in APPEND mode emits each window exactly once (when
+    * the watermark passes its end), and each micro-batch's finalized
+    * windows are appended to a parquet sink — the
+    * stream-to-lakehouse pattern every production pipeline runs.
+    * Windows still open when the replay ends stay in state (exactly as
+    * on a live stream), so the sink holds precisely the windows whose
+    * end precedes the final watermark — SQL-expressible, hence
+    * oracle-checked (st04's cutoff idiom).
+    */
+  def st07ForeachBatchSink(s: SparkSession, d: String): DataFrame = {
+    val dir = stageEventChunks(s, d)
+    val out = java.nio.file.Files.createTempDirectory("graft_stream7_").toString
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val q = agg.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("window.start").as("hour"), col("event_type"),
+            col("n"), col("sum_value"))
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_hourly" -> st01StreamHourly,
     "st02_sessionize" -> st02Sessionize,
     "st04_stateful_sessions" -> st04StatefulSessions,
     "st05_stream_static_join" -> st05StreamStaticJoin,
-    "st06_stream_dedup" -> st06StreamDedup)
+    "st06_stream_dedup" -> st06StreamDedup,
+    "st07_foreach_batch_sink" -> st07ForeachBatchSink)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_hourly" ->
@@ -273,5 +306,12 @@ object EventStreams {
          GROUP BY 1""",
     "st06_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
-         FROM events GROUP BY 1""")
+         FROM events GROUP BY 1""",
+    "st07_foreach_batch_sink" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+         SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events, wm
+         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+         GROUP BY 1, 2""")
 }
