@@ -211,8 +211,16 @@ object Dedup {
     */
   def connectedComponents(pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.toDF("doc_a", "doc_b").cache()
+    // Size the iteration's parallelism to the EDGE count, not the
+    // session default: dup-pair graphs are tiny relative to the corpus
+    // (256 edges at sf0.1), and per-round fixed cost is partitions ×
+    // rounds. ~50k edges/partition keeps one task busy; at 100 TB the
+    // same formula scales the rounds out.
+    val nParts = math.max(1, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (pairs.count() / 50000L + 1).toInt))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").repartition(nParts, col("dst")).cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).cache()
     var changed = 1L

@@ -154,13 +154,38 @@ object TextOps {
         col("score").as("best_score"))
   }
 
+  /** Sequence packing for training batches: documents are assigned to
+    * fixed-size 2048-token packs by cumulative token count in doc_id
+    * order WITHIN each language — the concat-and-chunk step every LLM
+    * pre-training pipeline runs before batching. pack_idx/pack_offset
+    * say exactly where each document's tokens start in the packed
+    * stream (documents may straddle pack boundaries, as in real
+    * packing). The window partitions by lang so packing parallelizes
+    * across languages; at 100 TB the pack domain is the shard, and
+    * this is one range-partitioned window per shard — never a global
+    * single-task sort.
+    */
+  def t09SequencePack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("(cum - n_tokens) div 2048").as("pack_idx"),
+        ((col("cum") - col("n_tokens")) % 2048).as("pack_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> t01TokenStats,
     "t02_quality_score" -> t02QualityScore,
     "t03_lang_id" -> t03LangId,
     "t04_fingerprint" -> t04Fingerprint,
     "t05_trigram_profile" -> t05TrigramProfile,
-    "t08_textcat" -> t08Textcat)
+    "t08_textcat" -> t08Textcat,
+    "t09_sequence_pack" -> t09SequencePack)
 
   val oracles: Map[String, String] = Map(
     "t01_token_stats" ->
@@ -226,6 +251,18 @@ object TextOps {
            SELECT *, row_number() OVER (PARTITION BY doc_id
              ORDER BY score DESC, cand) AS brn FROM scored) r
          WHERE brn = 1""",
+    "t09_sequence_pack" ->
+      """SELECT doc_id, lang, n_tokens,
+         ((cum - n_tokens) // 2048)::BIGINT AS pack_idx,
+         ((cum - n_tokens) % 2048)::BIGINT AS pack_offset
+         FROM (
+           SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM (
+             SELECT doc_id, lang,
+               len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS n_tokens
+             FROM documents))""",
     "t05_trigram_profile" ->
       """SELECT lang, trigram, n, rank FROM (
            SELECT lang, trigram, n,
