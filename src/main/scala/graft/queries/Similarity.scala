@@ -185,45 +185,79 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** ANN quality evaluation: recall@5 of the LSH path (s02) against
+    * the exact baseline (s01) — the metric an ANN deployment monitors
+    * before trusting the approximate tier. Both tiers are
+    * deterministic in both engines, so the recall VALUE itself is
+    * oracle-checked, not just its existence. One broadcast-sized join
+    * of two top-k lists; at 100 TB this runs over a probe sample.
+    */
+  def s05AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = s01CosineTopK(s, d).select(col("probe_id"), col("neighbor_id"))
+    val ann = s02AnnLsh(s, d)
+      .select(col("probe_id").as("p2"), col("neighbor_id").as("n2"))
+    val hits = exact.join(ann,
+        col("probe_id") === col("p2") && col("neighbor_id") === col("n2"))
+      .agg(count(lit(1)).as("n_hits"))
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(total)
+      .select(col("n_hits"), col("n_exact"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall_at_5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> s01CosineTopK,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ivf_topk" -> s03IvfTopK,
-    "s04_ivf_nprobe2" -> s04IvfNprobe2)
+    "s04_ivf_nprobe2" -> s04IvfNprobe2,
+    "s05_ann_recall" -> s05AnnRecall)
 
   private val foldCosine =
     """list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * e.v[i])), (acc, x) -> acc + x)
        / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.v, x -> x * x)), (acc, x) -> acc + x))
         * sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (acc, x) -> acc + x)))"""
 
+  private val s01Sql =
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
+          FROM ev p JOIN ev e ON p.vec_id < 10 AND e.vec_id <> p.vec_id)
+        SELECT probe_id, rank, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
+        WHERE rank <= 5"""
+
+  private val s02Sql =
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (
+          SELECT vec_id, v,
+            list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
+              CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), k ->
+                v[k + 1] * (((1103515245::BIGINT * (j * 64 + k) + 12345) % 2147483648)::DOUBLE
+                            / 2147483648.0 - 0.5))), (acc, x) -> acc + x) > 0.0
+              THEN (1::BIGINT << j) ELSE 0 END)), (acc, x) -> acc + x) AS bucket
+          FROM ev),
+        scored AS (
+          SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
+          FROM b p JOIN b e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
+                           AND p.bucket = e.bucket)
+        SELECT probe_id, rank, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
+        WHERE rank <= 5"""
+
   val oracles: Map[String, String] = Map(
-    "s01_cosine_topk" ->
-      s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          scored AS (
-            SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
-            FROM ev p JOIN ev e ON p.vec_id < 10 AND e.vec_id <> p.vec_id)
-          SELECT probe_id, rank, neighbor_id, cosine FROM (
-            SELECT *, row_number() OVER (PARTITION BY probe_id
-              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
-          WHERE rank <= 5""",
-    "s02_ann_lsh" ->
-      s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          b AS (
-            SELECT vec_id, v,
-              list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
-                CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), k ->
-                  v[k + 1] * (((1103515245::BIGINT * (j * 64 + k) + 12345) % 2147483648)::DOUBLE
-                              / 2147483648.0 - 0.5))), (acc, x) -> acc + x) > 0.0
-                THEN (1::BIGINT << j) ELSE 0 END)), (acc, x) -> acc + x) AS bucket
-            FROM ev),
-          scored AS (
-            SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
-            FROM b p JOIN b e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
-                             AND p.bucket = e.bucket)
-          SELECT probe_id, rank, neighbor_id, cosine FROM (
-            SELECT *, row_number() OVER (PARTITION BY probe_id
-              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
-          WHERE rank <= 5""",
+    "s01_cosine_topk" -> s01Sql,
+    "s02_ann_lsh" -> s02Sql,
+    "s05_ann_recall" ->
+      s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s01Sql) x),
+          ann AS (SELECT probe_id, neighbor_id FROM ($s02Sql) y),
+          hits AS (SELECT count(*) AS n_hits FROM exact JOIN ann
+                   USING (probe_id, neighbor_id)),
+          tot AS (SELECT count(*) AS n_exact FROM exact)
+          SELECT n_hits, n_exact,
+            n_hits::DOUBLE / n_exact::DOUBLE AS recall_at_5
+          FROM hits, tot""",
     "s03_ivf_topk" ->
       """WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
           cent AS (

@@ -247,16 +247,58 @@ object EventStreams {
     s.read.parquet(out)
   }
 
+  /** Checkpointed kill-and-resume: the hourly aggregation runs with a
+    * checkpoint, is STOPPED after its first micro-batch (wherever that
+    * lands), then a second query with the same checkpoint resumes from
+    * the recorded offsets and state and drains the rest. The final
+    * answer equals the batch aggregation REGARDLESS of where the kill
+    * landed — the exactly-once recovery contract a production stream
+    * depends on, asserted through the same oracle as st01.
+    */
+  def st08CheckpointRecovery(s: SparkSession, d: String): DataFrame = {
+    val dir = stageEventChunks(s, d)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt8_").toString
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    def agg() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val name = "st08_sink"
+    // run 1: stop after the first completed micro-batch
+    val q1 = agg().writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try {
+      while (q1.recentProgress.isEmpty) Thread.sleep(50)
+    } finally q1.stop()
+    // run 2: same checkpoint — resumes offsets + state, drains the rest
+    val q2 = agg().writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(name).start()
+    try q2.processAllAvailable() finally q2.stop()
+    s.table(name)
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_hourly" -> st01StreamHourly,
     "st02_sessionize" -> st02Sessionize,
     "st04_stateful_sessions" -> st04StatefulSessions,
     "st05_stream_static_join" -> st05StreamStaticJoin,
     "st06_stream_dedup" -> st06StreamDedup,
-    "st07_foreach_batch_sink" -> st07ForeachBatchSink)
+    "st07_foreach_batch_sink" -> st07ForeachBatchSink,
+    "st08_checkpoint_recovery" -> st08CheckpointRecovery)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    // identical to st01 by design: recovery must not change the answer
+    "st08_checkpoint_recovery" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",

@@ -153,6 +153,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("lambdafunction"), "HOF lambda crept back into the hot path")
   }
 
+  test("q41 range join runs as a bucket equi-join, not a nested-loop join") {
+    val p = planOf("q41_interval_bucket_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the interval decomposition must produce an equi-join")
+  }
+
+  test("t09 packing window partitions by lang (no single-task global window)") {
+    val p = planOf("t09_sequence_pack")
+    assert(p.contains("hashpartitioning(lang"), p.take(800))
+  }
+
   test("connected components resolve transitive dup clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
