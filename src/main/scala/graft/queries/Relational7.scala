@@ -89,10 +89,27 @@ object Relational7 {
       .agg(count(lit(1)).as("n_errors"))
   }
 
+  /** The pure-SQL surface: temp views + `spark.sql(...)` text, calling
+    * a graft native expression (`graft_shingles`) from SQL — the
+    * notebook/thrift-server usage mode, inside the correctness gate.
+    * Same Catalyst plan as the DataFrame form; the native function
+    * resolves through the same registry `GraftExtensions` injects.
+    */
+  def q42SqlSurface(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("documents_v")
+    s.sql("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(size(graft_shingles(text))) AS BIGINT) AS total_shingles
+      FROM documents_v
+      GROUP BY lang""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_approx_percentiles" -> q39ApproxPercentiles,
     "q40_funnel" -> q40Funnel,
-    "q41_interval_bucket_join" -> q41IntervalBucketJoin)
+    "q41_interval_bucket_join" -> q41IntervalBucketJoin,
+    "q42_sql_surface" -> q42SqlSurface)
 
   val oracles: Map[String, String] = Map(
     "q39_approx_percentiles" ->
@@ -120,5 +137,14 @@ object Relational7 {
            ON p.event_type = 'purchase' AND e.event_type = 'error'
           AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) - 60000000
                                  AND epoch_us(p.ts) + 60000000
+         GROUP BY 1""",
+    "q42_sql_surface" ->
+      """SELECT lang, count(*) AS n_docs,
+         sum(len(list_distinct(
+           list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))))::BIGINT AS total_shingles
+         FROM (SELECT lang,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+               FROM documents)
          GROUP BY 1""")
 }
