@@ -283,6 +283,34 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** TRUE streaming sessionization via the native `session_window`
+    * operator (st02's plan, unbounded): watermarked micro-batch replay,
+    * append mode — a session is emitted exactly once, when the
+    * watermark passes its end (last event + gap). Sessions still open
+    * at replay end stay in state, so the output is the closed-session
+    * set — the same cutoff contract as st04, here enforced by Spark's
+    * own session-window state machine rather than custom state code.
+    */
+  def st09StreamSessionWindow(s: SparkSession, d: String): DataFrame = {
+    val dir = stageEventChunks(s, d)
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes 1 microsecond"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+    val name = "st09_sink"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_hourly" -> st01StreamHourly,
     "st02_sessionize" -> st02Sessionize,
@@ -290,7 +318,8 @@ object EventStreams {
     "st05_stream_static_join" -> st05StreamStaticJoin,
     "st06_stream_dedup" -> st06StreamDedup,
     "st07_foreach_batch_sink" -> st07ForeachBatchSink,
-    "st08_checkpoint_recovery" -> st08CheckpointRecovery)
+    "st08_checkpoint_recovery" -> st08CheckpointRecovery,
+    "st09_stream_session_window" -> st09StreamSessionWindow)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_hourly" ->
@@ -341,6 +370,31 @@ object EventStreams {
          wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS w FROM events)
          SELECT user_id, session_start, session_end, n_events
          FROM agg, wm WHERE end_us + 1800000000 < w""",
+    // closed = session-window end (last event + 30min 1µs gap) has been
+    // passed by the final watermark (max ts − 30min), inclusive —
+    // mirroring Spark's append-mode eviction predicate
+    "st09_stream_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         sess AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked),
+         agg AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+             max(epoch_us(ts)) AS end_us,
+             date_trunc('microsecond', min(ts)) AS session_start,
+             date_trunc('microsecond', max(ts)) AS session_end
+           FROM sess GROUP BY 1, 2),
+         wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS w FROM events)
+         SELECT user_id, session_start, session_end, n_events
+         FROM agg, wm WHERE end_us + 1800000001 <= w""",
     "st05_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
