@@ -187,12 +187,16 @@ object EventStreams {
   }
 
   /** Streaming deduplication: `dropDuplicates` state keyed on
-    * (user_id, event_type) with a watermark bounding the state store —
-    * the streaming twin of the batch dedup tier (d01), and the
-    * exactly-once ingestion guard a training-data feed runs in front
-    * of every sink. Which duplicate survives is arrival-order
-    * dependent, so the oracle-visible output is the per-type DISTINCT
-    * USER COUNT — identical regardless of replay order.
+    * (user_id, event_type) — the streaming twin of the batch dedup
+    * tier (d01), and the ingestion guard a training-data feed runs in
+    * front of every sink. Exact distinct-ness requires one state entry
+    * per distinct key, so state grows with KEY CARDINALITY (not time;
+    * the watermark here only gates late data) — when time-scoped
+    * dedup is acceptable, `dropDuplicatesWithinWatermark` bounds state
+    * by the watermark window instead. Which duplicate survives is
+    * arrival-order dependent, so the oracle-visible output is the
+    * per-type DISTINCT USER COUNT — identical regardless of replay
+    * order.
     */
   def st06StreamDedup(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -271,7 +275,7 @@ object EventStreams {
       .option("checkpointLocation", ckpt)
       .format("memory").queryName(name).start()
     try {
-      while (q1.recentProgress.isEmpty) Thread.sleep(50)
+      while (q1.recentProgress.isEmpty && q1.isActive) Thread.sleep(50)
     } finally q1.stop()
     // run 2: same checkpoint — resumes offsets + state, drains the rest
     val q2 = agg().writeStream.outputMode("complete")
