@@ -18,12 +18,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // persistent (derby-backed) catalog at pinned paths: bucketed /
-      // partitioned layouts (q35/q36) are written once and survive
-      // JVMs, so steady-state runs pay only the join, not the layout
-      .config("spark.sql.warehouse.dir", "/root/repo/spark-warehouse")
+      // persistent (derby-backed) catalog anchored at the working dir:
+      // bucketed/partitioned layouts (q35/q36) are written once and
+      // survive JVMs, so steady-state runs pay only the join, not the
+      // layout. (Embedded derby is single-process — Bench and Verify
+      // must not run concurrently in one checkout.)
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("user.dir")}/spark-warehouse")
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
-        "jdbc:derby:;databaseName=/root/repo/metastore_db;create=true")
+        s"jdbc:derby:;databaseName=${System.getProperty("user.dir")}/metastore_db;create=true")
       .enableHiveSupport()
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,9 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // same persistent catalog as Bench — see Bench.scala
-      .config("spark.sql.warehouse.dir", "/root/repo/spark-warehouse")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("user.dir")}/spark-warehouse")
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
-        "jdbc:derby:;databaseName=/root/repo/metastore_db;create=true")
+        s"jdbc:derby:;databaseName=${System.getProperty("user.dir")}/metastore_db;create=true")
       .enableHiveSupport()
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

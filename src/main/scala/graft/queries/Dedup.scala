@@ -159,14 +159,19 @@ object Dedup {
     * unpruned sets — Jaccard denominators are exact.)
     */
   def d06BloomJaccard(s: SparkSession, d: String): DataFrame = {
+    // cached: the shingle pipeline feeds FIVE consumers (sizes, the df
+    // count, the Bloom build, and both join inputs) — uncached it
+    // re-tokenizes the corpus per action (at 100 TB: a checkpoint)
     val sh = shingled(s, d)
       .select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // shingle sets are per-doc distinct, so count(*) = doc frequency
     val dup = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("s"))
+      .filter(col("df") >= 2).select(col("s")).cache()
     val bf = dup.stat.bloomFilter("s", math.max(dup.count(), 1000L), 0.01)
+    dup.unpersist()
     val bfB = s.sparkContext.broadcast(bf)
     val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
     val pruned = sh.filter(mightContain(col("s")))
@@ -240,6 +245,10 @@ object Dedup {
       old.unpersist(); updated.unpersist()
       iter += 1
     }
+    // an unconverged result would silently mis-cluster — fail loudly
+    // (20 rounds covers any realistic near-dup cluster diameter)
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $iter rounds")
     edges.unpersist(); pairs.unpersist()
     labels
   }

@@ -46,9 +46,13 @@ object MrQueries {
     * while the shuffle's ExternalSorter spills.
     */
   class KeyOverload extends MapReduce[(Long, String), Long, String, String] {
+    // sort BY VALUE (KV + sortMapWithValue), not KSV(k, w, w): the
+    // sort-mode matrix gives the same sorted-adjacent guarantee without
+    // shipping every word twice through the job's dominant shuffle
+    override def sortMapWithValue = true
     def mapper(doc: (Long, String)): IterableOnce[Emit[Long, String, String]] =
       doc._2.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
-        .map(w => KSV(doc._1 % 4, w, w))
+        .map(w => KV(doc._1 % 4, w))
     def reducer(k: Long, words: Iterator[String]): IterableOnce[Emit[Long, String, String]] = {
       var n = 0L; var prev: String = null
       words.foreach { w => if (prev == null || w != prev) { n += 1; prev = w } }

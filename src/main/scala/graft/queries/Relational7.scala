@@ -45,8 +45,9 @@ object Relational7 {
     * Python inside a reducer.
     */
   def q40Funnel(s: SparkSession, d: String): DataFrame = {
+    // no event_type pre-filter: the oracle groups ALL users, and a user
+    // with only signup/error events must still appear (all-NULL stages)
     val firsts = Tables.events(s, d)
-      .filter(col("event_type").isin("view", "click", "purchase"))
       .groupBy(col("user_id"))
       .agg(
         min(when(col("event_type") === "view", col("ts"))).as("t_view"),

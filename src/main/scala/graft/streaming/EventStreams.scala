@@ -96,9 +96,18 @@ object EventStreams {
     * layout) — the layout cost is paid once, not per query.
     */
   private def stageEventChunks(s: SparkSession, d: String): String = {
+    // md5 key, not hashCode: no cross-dataset collisions (and
+    // math.abs(Int.MinValue) is negative)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_events_chunks_${math.abs(d.hashCode)}")
-    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+      s"graft_events_chunks_$key")
+    // _SUCCESS only proves the WRITE finished; the replay-order modtime
+    // stamping must also have finished, so completion is a separate
+    // marker written last — a JVM dying mid-staging leaves no marker
+    // and the next caller re-stages.
+    val marker = dir.resolve("_GRAFT_STAGED")
+    if (!java.nio.file.Files.exists(marker)) {
       Tables.events(s, d)
         .repartitionByRange(4, col("ts"), col("event_id"))
         .write.mode("overwrite").parquet(dir.toString)
@@ -107,6 +116,7 @@ object EventStreams {
       val base = files.map(_.lastModified()).max
       files.zipWithIndex.foreach { case (f, i) =>
         f.setLastModified(base + (i + 1) * 60000L) }
+      java.nio.file.Files.write(marker, Array.empty[Byte])
     }
     dir.toString
   }

@@ -27,9 +27,10 @@ class GoldenWordCount extends MapReduce[String, String, Int, Long] {
   * the secondary sort (count value boundaries) like mr02.
   */
 class GoldenKeyCount extends MapReduce[String, Int, String, String] {
+  override def sortMapWithValue = true // sort by value — see mr02
   def mapper(line: String): IterableOnce[Emit[Int, String, String]] =
     line.split("\\s+").iterator.filter(_.nonEmpty).zipWithIndex
-      .map { case (w, i) => KSV(i % 4, w, w) }
+      .map { case (w, i) => KV(i % 4, w) }
   def reducer(k: Int, vs: Iterator[String]): IterableOnce[Emit[Int, String, String]] = {
     var n = 0; var prev: String = null
     vs.foreach { w => if (prev == null || w != prev) { n += 1; prev = w } }
