@@ -56,9 +56,11 @@ object Dedup {
     // shuffle carries 8 bytes/key instead of ~17-char strings.
     // Collision risk ~|shingles|²/2⁶⁴ (≈4e-11 here, still <1e-6 at
     // 100 TB) — accepted and documented.
+    // cached: feeds sizes and both self-join inputs (see d06)
     val sh = shingled(s, d)
       .select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.s") === col("b.s") &&
