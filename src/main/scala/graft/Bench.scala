@@ -33,13 +33,19 @@ object Bench {
 
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // query-internal caches must not leak into later queries
+      // (cleanup is outside the timed region)
+      spark.catalog.clearCache()
+      elapsed
     }
 
     exec("q01_pricing_summary") // warmup: JIT + codegen + FS init

@@ -51,18 +51,29 @@ object Dedup {
     * operator is its exactness oracle. Jaccard stays a raw long/long
     * division — bit-exact across engines.
     */
-  def d02JaccardPairs(s: SparkSession, d: String): DataFrame = {
-    // Join on a 64-bit hash of the shingle, not the string: the
-    // shuffle carries 8 bytes/key instead of ~17-char strings.
-    // Collision risk ~|shingles|²/2⁶⁴ (≈4e-11 here, still <1e-6 at
-    // 100 TB) — accepted and documented.
-    // cached: feeds sizes and both self-join inputs (see d06)
-    val sh = shingled(s, d)
+  /** (doc_id, shingle-hash) stream shared by the exact-Jaccard tier.
+    * Joining on a 64-bit hash of the shingle, not the string: the
+    * shuffle carries 8 bytes/key instead of ~17-char strings.
+    * Collision risk ~|shingles|²/2⁶⁴ (≈4e-11 here, still <1e-6 at
+    * 100 TB) — accepted and documented. Cached: feeds sizes plus both
+    * self-join inputs (d02), and additionally the df count + Bloom
+    * build (d06).
+    */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
       .select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
       .cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
+
+  /** Shared pair-scoring tail of d02/d06: self-join the (possibly
+    * pruned) shingle stream, count shared shingles per pair, derive
+    * exact Jaccard from the FULL per-doc set sizes. Keeping this in
+    * one place is what makes "d06's output is exactly d02's" a
+    * structural fact rather than a convention.
+    */
+  private def jaccardFrom(joinSh: DataFrame, fullSh: DataFrame): DataFrame = {
+    val sizes = fullSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = joinSh.as("a"); val b = joinSh.as("b")
     val common = a.join(b, col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -76,6 +87,11 @@ object Dedup {
       .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  def d02JaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = hashedShingles(s, d)
+    jaccardFrom(sh, sh)
   }
 
   /** MinHash + LSH near-dup detection — d02's answer at 100 TB cost:
@@ -161,14 +177,7 @@ object Dedup {
     * unpruned sets — Jaccard denominators are exact.)
     */
   def d06BloomJaccard(s: SparkSession, d: String): DataFrame = {
-    // cached: the shingle pipeline feeds FIVE consumers (sizes, the df
-    // count, the Bloom build, and both join inputs) — uncached it
-    // re-tokenizes the corpus per action (at 100 TB: a checkpoint)
-    val sh = shingled(s, d)
-      .select(col("doc_id"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
-      .cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sh = hashedShingles(s, d)
     // shingle sets are per-doc distinct, so count(*) = doc frequency
     val dup = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("s")).cache()
@@ -176,18 +185,7 @@ object Dedup {
     dup.unpersist()
     val bfB = s.sparkContext.broadcast(bf)
     val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
-    val pruned = sh.filter(mightContain(col("s")))
-    val a = pruned.as("a"); val b = pruned.as("b")
-    val common = a.join(b, col("a.s") === col("b.s") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
-      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardFrom(sh.filter(mightContain(col("s"))), sh)
   }
 
   /** Near-dup CLUSTER resolution: connected components over the d02

@@ -48,6 +48,12 @@ object Relational6 {
     for ((t, src, key) <- Seq(
         (ordersT, Tables.orders(s, d), "o_orderkey"),
         (lineitemT, Tables.lineitem(s, d), "l_orderkey"))) {
+      // a persistent metastore can hold an entry whose warehouse files
+      // were deleted (e.g. spark-warehouse/ cleaned but metastore_db/
+      // kept) — drop the stale entry so the rewrite below recovers
+      val loc = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (s.catalog.tableExists(t) && !loc.exists()) s.sql(s"DROP TABLE `$t`")
       if (!s.catalog.tableExists(t)) {
         // clear any orphaned warehouse dir left by a previous session
         val loc = new java.io.File(

@@ -87,13 +87,26 @@ object Similarity {
     * per-group code is warranted — a deterministic fold Catalyst can't
     * express).
     */
-  def s03IvfTopK(s: SparkSession, d: String): DataFrame = {
+  def s03IvfTopK(s: SparkSession, d: String): DataFrame =
+    ivfTopK(s, d, sampledCentroids = false, nprobe = 1)
+
+  /** Shared IVF implementation behind s03/s04 — ONE code path so the
+    * centroid fold, routing tie-breaks and top-k semantics cannot
+    * silently diverge between the two variants.
+    */
+  private def ivfTopK(s: SparkSession, d: String,
+      sampledCentroids: Boolean, nprobe: Int): DataFrame = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
     val e = normed(s, d)
-    val centroids = Tables.embeddings(s, d)
-      .select(col("label"), col("vec_id"),
-        toDouble(col("embedding")).as("v"))
+    val memberRows = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), toDouble(col("embedding")).as("v"))
+    val training = if (sampledCentroids)
+      memberRows.filter(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 3 === 0)
+    else memberRows
+    val centroids = training
       .as[(Int, Long, Seq[Double])]
       .groupByKey(_._1)
       .mapGroups { (label, it) =>
@@ -106,16 +119,15 @@ object Similarity {
       .withColumn("cnrm", sqrt(expr("graft_sumsq(cv)")))
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
-    // route each probe to its nearest centroid (nprobe = 1)
+    // route each probe to its nprobe nearest centroids
     val routed = probes.join(broadcast(centroids), lit(true))
       .withColumn("ccos", expr("graft_dot(pv, cv)") / (col("pnrm") * col("cnrm")))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("label"))))
-      .filter(col("crk") === 1)
+      .filter(col("crk") <= nprobe)
       .select(col("probe_id"), col("pv"), col("pnrm"), col("label").as("cell"))
-    val members = Tables.embeddings(s, d)
-      .select(col("label").as("cell"), col("vec_id"),
-        toDouble(col("embedding")).as("v"))
+    val members = memberRows
+      .withColumnRenamed("label", "cell")
       .withColumn("nrm", sqrt(expr("graft_sumsq(v)")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -143,47 +155,8 @@ object Similarity {
     * Sampling, routing, and scoring are all mirrored exactly in the
     * oracle, so the approximation itself stays hash-checked.
     */
-  def s04IvfNprobe2(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    graft.functions.VectorExpressions.register(s)
-    val e = normed(s, d)
-    val sampled = Tables.embeddings(s, d)
-      .select(col("label"), col("vec_id"), toDouble(col("embedding")).as("v"))
-      .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 3 === 0)
-      .as[(Int, Long, Seq[Double])]
-    val centroids = sampled
-      .groupByKey(_._1)
-      .mapGroups { (label, it) =>
-        val arr = it.toArray.sortBy(_._2) // vec_id order → deterministic fold
-        val sums = new Array[Double](64)
-        arr.foreach { r => var k = 0; while (k < 64) { sums(k) += r._3(k); k += 1 } }
-        (label, sums.map(_ / arr.length).toSeq)
-      }
-      .toDF("label", "cv")
-      .withColumn("cnrm", sqrt(expr("graft_sumsq(cv)")))
-    val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
-    val routed = probes.join(broadcast(centroids), lit(true))
-      .withColumn("ccos", expr("graft_dot(pv, cv)") / (col("pnrm") * col("cnrm")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("label"))))
-      .filter(col("crk") <= 2)
-      .select(col("probe_id"), col("pv"), col("pnrm"), col("label").as("cell"))
-    val members = Tables.embeddings(s, d)
-      .select(col("label").as("cell"), col("vec_id"),
-        toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(expr("graft_sumsq(v)")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    members.join(broadcast(routed),
-      members("cell") === routed("cell") && col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine"))
-  }
+  def s04IvfNprobe2(s: SparkSession, d: String): DataFrame =
+    ivfTopK(s, d, sampledCentroids = true, nprobe = 2)
 
   /** ANN quality evaluation: recall@5 of the LSH path (s02) against
     * the exact baseline (s01) — the metric an ANN deployment monitors
@@ -258,74 +231,49 @@ object Similarity {
           SELECT n_hits, n_exact,
             n_hits::DOUBLE / n_exact::DOUBLE AS recall_at_5
           FROM hits, tot""",
-    "s03_ivf_topk" ->
-      """WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-          cent AS (
-            SELECT label, list(dim_sum / n ORDER BY k) AS cv FROM (
-              SELECT label, k,
-                list_reduce(list_prepend(0.0,
-                  list_transform(vs, vv -> vv[k])), (a, x) -> a + x) AS dim_sum,
-                n
-              FROM (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS n
-                    FROM ev GROUP BY label),
-                   unnest(range(1, 65)) AS u(k)) dims
-            GROUP BY label),
-          routed AS (
-            SELECT probe_id, label AS cell FROM (
-              SELECT p.vec_id AS probe_id, c.label,
-                row_number() OVER (PARTITION BY p.vec_id ORDER BY
-                  (list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * c.cv[i])), (acc, x) -> acc + x)
-                   / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.v, x -> x * x)), (acc, x) -> acc + x))
-                    * sqrt(list_reduce(list_prepend(0.0, list_transform(c.cv, x -> x * x)), (acc, x) -> acc + x)))) DESC,
-                  c.label) AS crk
-              FROM ev p CROSS JOIN cent c WHERE p.vec_id < 10) t
-            WHERE crk = 1),
-          scored AS (
-            SELECT r.probe_id, e.vec_id AS neighbor_id,
-              (list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * e.v[i])), (acc, x) -> acc + x)
-               / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.v, x -> x * x)), (acc, x) -> acc + x))
-                * sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (acc, x) -> acc + x)))) AS cosine
-            FROM routed r
-            JOIN ev p ON p.vec_id = r.probe_id
-            JOIN ev e ON e.label = r.cell AND e.vec_id <> r.probe_id)
-          SELECT probe_id, rank, neighbor_id, cosine FROM (
-            SELECT *, row_number() OVER (PARTITION BY probe_id
-              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
-          WHERE rank <= 5""",
-    "s04_ivf_nprobe2" ->
-      """WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-          cent AS (
-            SELECT label, list(dim_sum / n ORDER BY k) AS cv FROM (
-              SELECT label, k,
-                list_reduce(list_prepend(0.0,
-                  list_transform(vs, vv -> vv[k])), (a, x) -> a + x) AS dim_sum,
-                n
-              FROM (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS n
-                    FROM ev
-                    WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 3 = 0
-                    GROUP BY label),
-                   unnest(range(1, 65)) AS u(k)) dims
-            GROUP BY label),
-          routed AS (
-            SELECT probe_id, label AS cell FROM (
-              SELECT p.vec_id AS probe_id, c.label,
-                row_number() OVER (PARTITION BY p.vec_id ORDER BY
-                  (list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * c.cv[i])), (acc, x) -> acc + x)
-                   / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.v, x -> x * x)), (acc, x) -> acc + x))
-                    * sqrt(list_reduce(list_prepend(0.0, list_transform(c.cv, x -> x * x)), (acc, x) -> acc + x)))) DESC,
-                  c.label) AS crk
-              FROM ev p CROSS JOIN cent c WHERE p.vec_id < 10) t
-            WHERE crk <= 2),
-          scored AS (
-            SELECT r.probe_id, e.vec_id AS neighbor_id,
-              (list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * e.v[i])), (acc, x) -> acc + x)
-               / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.v, x -> x * x)), (acc, x) -> acc + x))
-                * sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (acc, x) -> acc + x)))) AS cosine
-            FROM routed r
-            JOIN ev p ON p.vec_id = r.probe_id
-            JOIN ev e ON e.label = r.cell AND e.vec_id <> r.probe_id)
-          SELECT probe_id, rank, neighbor_id, cosine FROM (
-            SELECT *, row_number() OVER (PARTITION BY probe_id
-              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
-          WHERE rank <= 5""")
+    "s03_ivf_topk" -> ivfSql(sampleWhere = "", nprobe = 1),
+    "s04_ivf_nprobe2" -> ivfSql(
+      sampleWhere = "WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 3 = 0",
+      nprobe = 2))
+
+  /** One oracle template for both IVF variants — mirrors the single
+    * Scala implementation (`ivfTopK`), so a change to the centroid
+    * fold or tie-breaks edits one string.
+    */
+  private def ivfSql(sampleWhere: String, nprobe: Int): String =
+    s"""WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (
+          SELECT label, list(dim_sum / n ORDER BY k) AS cv FROM (
+            SELECT label, k,
+              list_reduce(list_prepend(0.0,
+                list_transform(vs, vv -> vv[k])), (a, x) -> a + x) AS dim_sum,
+              n
+            FROM (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS n
+                  FROM ev
+                  $sampleWhere
+                  GROUP BY label),
+                 unnest(range(1, 65)) AS u(k)) dims
+          GROUP BY label),
+        routed AS (
+          SELECT probe_id, label AS cell FROM (
+            SELECT p.vec_id AS probe_id, c.label,
+              row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                (list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * c.cv[i])), (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.v, x -> x * x)), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_prepend(0.0, list_transform(c.cv, x -> x * x)), (acc, x) -> acc + x)))) DESC,
+                c.label) AS crk
+            FROM ev p CROSS JOIN cent c WHERE p.vec_id < 10) t
+          WHERE crk <= $nprobe),
+        scored AS (
+          SELECT r.probe_id, e.vec_id AS neighbor_id,
+            (list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * e.v[i])), (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.v, x -> x * x)), (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (acc, x) -> acc + x)))) AS cosine
+          FROM routed r
+          JOIN ev p ON p.vec_id = r.probe_id
+          JOIN ev e ON e.label = r.cell AND e.vec_id <> r.probe_id)
+        SELECT probe_id, rank, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
+        WHERE rank <= 5"""
 }

@@ -18,20 +18,38 @@ import graft.core.Tables
   */
 object EventStreams {
 
+  private val EventsSchema =
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+  /** Whole-file replay source (st01/st05/st06): the file stream source
+    * requires a directory, so stage a symlink to the single
+    * events.parquet in a temp dir (testdata is read-only). `ts` stays
+    * raw nanos-as-long; callers needing event time rebuild micros.
+    */
+  private def eventsFileStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
+    dir.toFile.deleteOnExit()
+    s.readStream.schema(schema).parquet(dir.toString)
+  }
+
+  /** Chunked replay source (st04/st07/st08/st09): 4 time-ordered
+    * chunks, one micro-batch each, so the watermark actually advances.
+    */
+  private def eventsChunkStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(EventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageEventChunks(s, d))
+
   /** Tumbling 1-hour event-time windows with a 2-hour watermark.
     * Complete output mode: on a finite replay the final state equals
     * the batch q18 aggregation — and shares its DuckDB oracle.
     */
   def st01StreamHourly(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    // The file stream source requires a directory; stage a symlink to
-    // the single events.parquet in a temp dir (read-only testdata).
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
-    dir.toFile.deleteOnExit()
-    val stream = s.readStream.schema(schema).parquet(dir.toString)
+    val stream = eventsFileStream(s, d)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val agg = stream
       .withWatermark("ts", "2 hours")
@@ -69,18 +87,6 @@ object EventStreams {
       col("n_events"), col("session_start"), col("session_end"))
   }
 
-  /** Stateful streaming sessionization via `flatMapGroupsWithState` —
-    * the custom-state operator (SURVEY P5). The events file is staged
-    * as 4 chunks replayed one file per micro-batch so the event-time
-    * watermark actually advances and closes sessions with a 30-minute
-    * gap + timeout. Sessions still open when the replay ends stay in
-    * state (exactly as they would on a live stream), so the output is
-    * exactly the sessions whose close deadline precedes the final
-    * watermark (global max ts − 30 min) — SQL-expressible, hence
-    * oracle-checked like everything else. Timeouts are scheduled on
-    * the OLDEST open session's deadline so closed sessions are never
-    * held hostage by a user's newer activity.
-    */
   /** Stage the events table ONCE per input dir as 4 TIME-ORDERED
     * parquet chunks for micro-batch replay. `repartitionByRange` on
     * (ts, event_id) produces 4 sorted, non-overlapping time ranges with
@@ -96,10 +102,15 @@ object EventStreams {
     * layout) — the layout cost is paid once, not per query.
     */
   private def stageEventChunks(s: SparkSession, d: String): String = {
-    // md5 key, not hashCode: no cross-dataset collisions (and
-    // math.abs(Int.MinValue) is negative)
+    // md5 key over path + source size + source mtime: no cross-dataset
+    // collisions (hashCode had them, and math.abs(Int.MinValue) is
+    // negative), and REGENERATED testdata at the same path invalidates
+    // the cache instead of silently replaying stale events
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val ident = s"$d:${java.nio.file.Files.size(src)}:" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_events_chunks_$key")
     // _SUCCESS only proves the WRITE finished; the replay-order modtime
@@ -115,20 +126,32 @@ object EventStreams {
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       val base = files.map(_.lastModified()).max
       files.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(base + (i + 1) * 60000L) }
+        // fail loudly: a silently-ignored stamping failure would lock
+        // in an arbitrary replay order behind the completion marker
+        if (!f.setLastModified(base + (i + 1) * 60000L))
+          throw new IllegalStateException(
+            s"setLastModified failed for $f — replay order not guaranteed")
+      }
       java.nio.file.Files.write(marker, Array.empty[Byte])
     }
     dir.toString
   }
 
+  /** Stateful streaming sessionization via `flatMapGroupsWithState` —
+    * the custom-state operator (SURVEY P5). Chunked replay advances the
+    * event-time watermark, closing sessions with a 30-minute gap +
+    * timeout. Sessions still open when the replay ends stay in state
+    * (exactly as they would on a live stream), so the output is
+    * exactly the sessions whose close deadline precedes the final
+    * watermark (global max ts − 30 min) — SQL-expressible, hence
+    * oracle-checked like everything else. Timeouts are scheduled on
+    * the OLDEST open session's deadline so closed sessions are never
+    * held hostage by a user's newer activity.
+    */
   def st04StatefulSessions(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._
-    val dir = stageEventChunks(s, d)
-    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    val stream = eventsChunkStream(s, d)
     val gapUs = 30L * 60 * 1000000
     type SessState = (Long, Long, Long) // start, last, n
     // state is opaque to Catalyst — kryo encoder is the right tool here
@@ -176,13 +199,7 @@ object EventStreams {
     * hence the shared oracle.
     */
   def st05StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream5_")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
-    dir.toFile.deleteOnExit()
-    val stream = s.readStream.schema(schema).parquet(dir.toString)
+    val stream = eventsFileStream(s, d)
     val cust = broadcast(Tables.customer(s, d)
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")))
     val agg = stream
@@ -209,13 +226,7 @@ object EventStreams {
     * order.
     */
   def st06StreamDedup(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream6_")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
-    dir.toFile.deleteOnExit()
-    val stream = s.readStream.schema(schema).parquet(dir.toString)
+    val stream = eventsFileStream(s, d)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val agg = stream
       .withWatermark("ts", "2 hours")
@@ -240,12 +251,8 @@ object EventStreams {
     * oracle-checked (st04's cutoff idiom).
     */
   def st07ForeachBatchSink(s: SparkSession, d: String): DataFrame = {
-    val dir = stageEventChunks(s, d)
     val out = java.nio.file.Files.createTempDirectory("graft_stream7_").toString
-    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    val stream = eventsChunkStream(s, d)
     val agg = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -258,7 +265,10 @@ object EventStreams {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(out)
+    // explicit schema: a replay that finalizes ZERO windows leaves an
+    // empty sink dir, which schema inference cannot read
+    s.read.schema("hour TIMESTAMP, event_type STRING, n BIGINT, sum_value DOUBLE")
+      .parquet(out)
   }
 
   /** Checkpointed kill-and-resume: the hourly aggregation runs with a
@@ -270,12 +280,8 @@ object EventStreams {
     * depends on, asserted through the same oracle as st01.
     */
   def st08CheckpointRecovery(s: SparkSession, d: String): DataFrame = {
-    val dir = stageEventChunks(s, d)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt8_").toString
-    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    def agg() = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    def agg() = eventsChunkStream(s, d)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -306,11 +312,7 @@ object EventStreams {
     * own session-window state machine rather than custom state code.
     */
   def st09StreamSessionWindow(s: SparkSession, d: String): DataFrame = {
-    val dir = stageEventChunks(s, d)
-    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    val agg = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    val agg = eventsChunkStream(s, d)
       .withWatermark("ts", "30 minutes")
       .groupBy(col("user_id"),
         session_window(col("ts"), "30 minutes 1 microsecond"))
