@@ -253,7 +253,49 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL near-dup detection — dedupe an arriving batch against
+    * the existing corpus (and, identically, decontaminate a test split
+    * against train): the production shape at 100 TB, where re-running
+    * all-pairs over corpus+batch is unaffordable. The "new batch" is a
+    * deterministic ~20 % hash slice (the q37 idiom standing in for
+    * today's arrivals); both sides get MinHash band keys (the d03
+    * signature — at steady state the corpus side is PRECOMPUTED and
+    * stored, so the nightly cost is bands over the batch plus one
+    * band-key join, never a corpus rescan); candidates verify with
+    * exact Jaccard. Output: each new doc with the corpus docs it
+    * near-duplicates (j ≥ 0.5) — the rows a pipeline would quarantine.
+    * Banding miss probability at the planted j≥0.8 dups is ~1e-14
+    * (d03's analysis), so the exact-join oracle is the same answer.
+    */
+  def d08IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val docs = shingled(s, d).filter(size(col("sh")) > 0)
+      .withColumn("is_new",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 5 === 0)
+    val bands = docs
+      .select(col("doc_id"), col("is_new"),
+        posexplode(expr("graft_minhash_bands(sh)")))
+      .toDF("doc_id", "is_new", "band", "bv")
+    val cands = bands.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("band"), col("bv"))
+      .join(bands.filter(!col("is_new"))
+        .select(col("doc_id").as("corpus_id"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .select(col("new_id"), col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    cands
+      .join(docs.select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
+      .join(docs.select(col("doc_id").as("corpus_id"), col("sh").as("shb")), "corpus_id")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard", col("common") /
+        (size(col("sha")) + size(col("shb")) - col("common")).cast("long"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d08_incremental_dedup" -> d08IncrementalDedup,
     "d01_exact_dedup" -> d01ExactDedup,
     "d02_jaccard_pairs" -> d02JaccardPairs,
     "d03_minhash_lsh" -> d03MinhashLsh,
@@ -308,7 +350,30 @@ object Dedup {
           src = least(src, min(dst)) AS is_canonical
         FROM reach GROUP BY src"""
 
+  // d08's exact-join oracle: same shingle/Jaccard math as d02, but the
+  // pair domain is (new-batch doc) × (corpus doc) — no a<b constraint,
+  // the batch membership flag is the same md5 slice as the engine's.
+  private val incrementalSql =
+    s"""WITH sh AS ($shingleSql),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        flags AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 5 = 0 AS is_new
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS common
+          FROM sh a JOIN flags fa ON a.doc_id = fa.doc_id AND fa.is_new
+               JOIN sh b ON a.s = b.s
+               JOIN flags fb ON b.doc_id = fb.doc_id AND NOT fb.is_new
+          GROUP BY 1, 2)
+        SELECT new_id, corpus_id, common / (sa.n + sb.n - common) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON new_id = sa.doc_id
+        JOIN sizes sb ON corpus_id = sb.doc_id
+        WHERE common / (sa.n + sb.n - common) >= 0.5"""
+
   val oracles: Map[String, String] = Map(
+    "d08_incremental_dedup" -> incrementalSql,
     "d07_dup_clusters" -> clusterSql,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,

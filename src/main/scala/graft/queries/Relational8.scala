@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Eighth tranche — the round-2 deferred list plus pipeline staples:
+  * an incremental MERGE/upsert sink via dynamic partition overwrite
+  * (q43), a conversion funnel with per-stage timeout semantics (q44),
+  * an ORC connector round-trip (q45), and a deterministic stratified
+  * train/val/test split (q46).
+  */
+object Relational8 {
+
+  /** Incremental MERGE (upsert) sink — the copy-on-write pattern every
+    * lakehouse table format implements, expressed with Spark's own
+    * dynamic partition overwrite (no external table format needed):
+    *
+    *   1. stage a base snapshot partitioned by nation;
+    *   2. compute a delta (1997+ order revenue) that touches ONLY
+    *      nations 0-4;
+    *   3. rewrite JUST the affected partitions — merged rows are
+    *      base ⟕ delta with updated balances — while the other 20
+    *      nation partitions' files are left physically untouched
+    *      (`partitionOverwriteMode=dynamic` deletes only partitions
+    *      the write produces);
+    *   4. read the whole table back and aggregate, proving merged and
+    *      untouched partitions coexist.
+    *
+    * At 100 TB this is the nightly-upsert shape: write amplification
+    * is proportional to the TOUCHED partitions, not the table, and the
+    * merge join itself is one shuffle on the upsert key within those
+    * partitions.
+    */
+  def q43MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge_").toString
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+    base.write.mode("overwrite").partitionBy("c_nationkey").parquet(tmp)
+    val delta = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01"))
+      .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("dlt"))
+    // merged rows are rebuilt from the source of truth (not the staged
+    // copy) — Spark refuses to overwrite a path that feeds the write
+    val merged = base.filter(col("c_nationkey") < 5)
+      .join(delta, base("c_custkey") === delta("o_custkey"), "left")
+      .select(col("c_custkey"),
+        (col("c_acctbal") + coalesce(col("dlt"), lit(0.0))).as("c_acctbal"),
+        col("c_nationkey"))
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("c_nationkey").parquet(tmp)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.read.parquet(tmp)
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+  }
+
+  /** Conversion funnel with PER-STAGE TIMEOUTS (q40's deferred
+    * semantics): a click only counts within 1 hour of the user's first
+    * view, a purchase only within 24 hours of that qualifying click.
+    *
+    * One exchange total: all three stage timestamps are window minima
+    * over the SAME user partitioning (each stage's predicate references
+    * the previous stage's window column — Catalyst stacks the Window
+    * nodes over one hash exchange), and the final per-user collapse
+    * groups on the partitioning key, so it reuses the exchange too.
+    * The reference could only express this as per-user Python inside a
+    * sorted reducer; here it is declarative and spillable.
+    */
+  def q44FunnelTimeout(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 1 HOUR"),
+          col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 24 HOURS"),
+          col("ts"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("t_view")).as("t_view"),
+        max(col("t_click")).as("t_click"),
+        max(col("t_purchase")).as("t_purchase"))
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        col("t_click").isNotNull.as("converted_click"),
+        col("t_purchase").isNotNull.as("converted_purchase"))
+  }
+
+  /** ORC sink + source round-trip — the third columnar connector
+    * (q29 CSV, q30 JSON, here ORC). Same contract: the engine owns
+    * serialization, one file per partition, schema carried by the
+    * format's own footer (no re-inference on read).
+    */
+  def q45OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("p_retailprice")), 2).as("total_price"))
+  }
+
+  /** Deterministic stratified train/val/test split (80/10/10 by
+    * doc_id hash) — the q37 reproducible-sampling idiom promoted to
+    * the dataset-split op every training pipeline runs. Hash-based
+    * assignment means the split is stable under reruns, appends and
+    * repartitioning (no rand(), no global sort); outputs per-language
+    * per-split counts, i.e. the stratification audit itself.
+    */
+  def q46StratifiedSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("b",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10)
+      .withColumn("split",
+        when(col("b") < 8, "train").when(col("b") === 8, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_merge_upsert" -> q43MergeUpsert,
+    "q44_funnel_timeout" -> q44FunnelTimeout,
+    "q45_orc_roundtrip" -> q45OrcRoundtrip,
+    "q46_stratified_split" -> q46StratifiedSplit)
+
+  val oracles: Map[String, String] = Map(
+    "q43_merge_upsert" ->
+      """WITH delta AS (
+           SELECT o_custkey, sum(o_totalprice) AS dlt FROM orders
+           WHERE o_orderdate >= '1997-01-01' GROUP BY 1)
+         SELECT c_nationkey::BIGINT AS nation, count(*) AS n_customers,
+           round(sum(c_acctbal +
+             CASE WHEN c_nationkey < 5 THEN coalesce(dlt, 0) ELSE 0 END), 2)
+             AS total_bal
+         FROM customer LEFT JOIN delta ON c_custkey = o_custkey
+         GROUP BY 1""",
+    "q44_funnel_timeout" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, date_trunc('microsecond', ts) AS ts
+           FROM events),
+         staged AS (
+           SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+           FROM ev),
+         staged2 AS (
+           SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view
+               AND ts <= t_view + INTERVAL 1 HOUR THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+           FROM staged),
+         staged3 AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+               AND ts <= t_click + INTERVAL 24 HOURS THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+           FROM staged2)
+         SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+           max(t_purchase) AS t_purchase,
+           max(t_click) IS NOT NULL AS converted_click,
+           max(t_purchase) IS NOT NULL AS converted_purchase
+         FROM staged3 GROUP BY user_id""",
+    "q45_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS n_parts,
+         round(sum(p_retailprice), 2) AS total_price
+         FROM part GROUP BY 1""",
+    "q46_stratified_split" ->
+      """SELECT lang,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM (SELECT lang, n_chars,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 AS b
+               FROM documents) t
+         GROUP BY 1, 2""")
+}

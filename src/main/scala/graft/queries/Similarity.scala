@@ -106,17 +106,7 @@ object Similarity {
         conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 3 === 0)
     else memberRows
-    val centroids = training
-      .as[(Int, Long, Seq[Double])]
-      .groupByKey(_._1)
-      .mapGroups { (label, it) =>
-        val arr = it.toArray.sortBy(_._2) // vec_id order → deterministic fold
-        val sums = new Array[Double](64)
-        arr.foreach { r => var k = 0; while (k < 64) { sums(k) += r._3(k); k += 1 } }
-        (label, sums.map(_ / arr.length).toSeq)
-      }
-      .toDF("label", "cv")
-      .withColumn("cnrm", sqrt(expr("graft_sumsq(cv)")))
+    val centroids = cellCentroids(s, training)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
     // route each probe to its nprobe nearest centroids
@@ -138,6 +128,26 @@ object Similarity {
       .filter(col("rank") <= 5)
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Per-cell mean vectors with a vec_id-ordered sequential fold, so
+    * the centroids are bit-reproducible against the oracle's identical
+    * `list_reduce` fold. Shared by the IVF index builds (s03/s04) and
+    * the k-means refinement step (s06).
+    */
+  private def cellCentroids(s: SparkSession, training: DataFrame): DataFrame = {
+    import s.implicits._
+    training
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (label, it) =>
+        val arr = it.toArray.sortBy(_._2) // vec_id order → deterministic fold
+        val sums = new Array[Double](64)
+        arr.foreach { r => var k = 0; while (k < 64) { sums(k) += r._3(k); k += 1 } }
+        (label, sums.map(_ / arr.length).toSeq)
+      }
+      .toDF("label", "cv")
+      .withColumn("cnrm", sqrt(expr("graft_sumsq(cv)")))
   }
 
   /** IVF with SAMPLED centroid training and nprobe = 2 — the two
@@ -178,12 +188,46 @@ object Similarity {
         (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall_at_5"))
   }
 
+  /** One Lloyd (k-means) refinement round over the IVF coarse
+    * quantizer — the deferred "centroid iteration" step: score EVERY
+    * vector against every current centroid (broadcast — k rows), keep
+    * its argmax-cosine cell, and report the new cell occupancy plus
+    * how many vectors migrated. Counts only — the refinement's effect
+    * is fully hash-checkable with no float-rounding hazard (the
+    * reassignment itself is deterministic: cosines are identical
+    * sequential folds in both engines, ties broken by cell id).
+    *
+    * Scale shape: centroids broadcast (k×64 doubles); scoring is a
+    * narrow flatMap (k skinny rows per vector); the argmax is one
+    * partial-window pass over vec_id — at 100 TB the same loop is the
+    * standard distributed Lloyd iteration, converging centroids via
+    * the cellCentroids fold over the NEW assignment each round.
+    */
+  def s06KmeansRefine(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val memberRows = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_sumsq(v)")))
+    val cent = cellCentroids(s, memberRows.select(col("label"), col("vec_id"), col("v")))
+      .withColumnRenamed("label", "cell")
+    val scored = memberRows.join(broadcast(cent), lit(true))
+      .withColumn("ccos", expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm")))
+    val assigned = scored
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crk") === 1)
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("label") =!= col("cell"), 1L).otherwise(0L)).as("n_moved_in"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> s01CosineTopK,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ivf_topk" -> s03IvfTopK,
     "s04_ivf_nprobe2" -> s04IvfNprobe2,
-    "s05_ann_recall" -> s05AnnRecall)
+    "s05_ann_recall" -> s05AnnRecall,
+    "s06_kmeans_refine" -> s06KmeansRefine)
 
   private val foldCosine =
     """list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * e.v[i])), (acc, x) -> acc + x)
@@ -234,15 +278,31 @@ object Similarity {
     "s03_ivf_topk" -> ivfSql(sampleWhere = "", nprobe = 1),
     "s04_ivf_nprobe2" -> ivfSql(
       sampleWhere = "WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 3 = 0",
-      nprobe = 2))
+      nprobe = 2),
+    "s06_kmeans_refine" ->
+      s"""WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          ${centCte(sampleWhere = "")},
+          scored AS (
+            SELECT e.vec_id, e.label, c.label AS cell,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                (list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> e.v[i] * c.cv[i])), (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_prepend(0.0, list_transform(c.cv, x -> x * x)), (acc, x) -> acc + x)))) DESC,
+                c.label) AS crk
+            FROM ev e CROSS JOIN cent c)
+          SELECT cell, count(*) AS n_members,
+            sum(CASE WHEN label <> cell THEN 1 ELSE 0 END)::BIGINT AS n_moved_in
+          FROM scored WHERE crk = 1 GROUP BY 1""")
 
   /** One oracle template for both IVF variants — mirrors the single
     * Scala implementation (`ivfTopK`), so a change to the centroid
     * fold or tie-breaks edits one string.
     */
-  private def ivfSql(sampleWhere: String, nprobe: Int): String =
-    s"""WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        cent AS (
+  /** The per-cell ordered-fold mean as a DuckDB CTE — mirrors
+    * `cellCentroids` exactly; shared by the IVF oracles and s06's.
+    */
+  private def centCte(sampleWhere: String): String =
+    s"""cent AS (
           SELECT label, list(dim_sum / n ORDER BY k) AS cv FROM (
             SELECT label, k,
               list_reduce(list_prepend(0.0,
@@ -253,7 +313,11 @@ object Similarity {
                   $sampleWhere
                   GROUP BY label),
                  unnest(range(1, 65)) AS u(k)) dims
-          GROUP BY label),
+          GROUP BY label)"""
+
+  private def ivfSql(sampleWhere: String, nprobe: Int): String =
+    s"""WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        ${centCte(sampleWhere)},
         routed AS (
           SELECT probe_id, label AS cell FROM (
             SELECT p.vec_id AS probe_id, c.label,

@@ -178,7 +178,31 @@ object TextOps {
         ((col("cum") - col("n_tokens")) % 2048).as("pack_offset"))
   }
 
+  /** Unigram-LM quality scoring — the perplexity-proxy filter (KenLM
+    * stage in C4/CCNet-style pipelines, here with the corpus itself as
+    * the LM): train a unigram model (one partial-aggable token count),
+    * score every document by its tokens' corpus frequencies. Kept in
+    * exact integer space (sum of BIGINT counts; the mean is a single
+    * long/long IEEE division) so the score is bit-reproducible — no
+    * float-fold ordering hazard. Low mean frequency = rare-token-heavy
+    * (OCR noise, boilerplate hashes); pipelines drop the tail. Two
+    * hash shuffles: vocab build, then per-doc re-aggregation; at
+    * 100 TB the heavy-tailed vocab head broadcasts and only the tail
+    * shuffles.
+    */
+  def t10LmQuality(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    tok.join(vocab, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_freq"))
+      .withColumn("mean_freq",
+        col("sum_freq").cast("double") / col("n_tokens").cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_lm_quality" -> t10LmQuality,
     "t01_token_stats" -> t01TokenStats,
     "t02_quality_score" -> t02QualityScore,
     "t03_lang_id" -> t03LangId,
@@ -188,6 +212,15 @@ object TextOps {
     "t09_sequence_pack" -> t09SequencePack)
 
   val oracles: Map[String, String] = Map(
+    "t10_lm_quality" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
+           FROM documents),
+         vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1)
+         SELECT doc_id, count(*) AS n_tokens, sum(cnt)::BIGINT AS sum_freq,
+           sum(cnt)::DOUBLE / count(*)::DOUBLE AS mean_freq
+         FROM tok JOIN vocab USING (tok)
+         GROUP BY doc_id""",
     "t01_token_stats" ->
       """SELECT doc_id,
          len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS n_tokens,

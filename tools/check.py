@@ -10,6 +10,7 @@ compares values exactly. Reports PASS/FAIL per query.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -44,6 +45,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     npass = nfail = 0
     for name, sql in sorted(oracle.items()):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue  # subset Verify run — only check what was dumped
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
