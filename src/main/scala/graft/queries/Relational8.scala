@@ -132,13 +132,80 @@ object Relational8 {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
 
+  /** MERGE with DELETE semantics — q43's copy-on-write pattern where
+    * the delta removes rows: "churned" customers (nations 0-4, no
+    * order ever) are dropped when their partitions are rewritten. The
+    * delete is a LeftSemi join against the surviving-key set (never a
+    * tombstone scan of the full table), and dynamic partition
+    * overwrite again bounds write amplification to the touched
+    * partitions. With q43 this completes the lakehouse merge triad:
+    * insert (plain append), update, delete.
+    */
+  def q47MergeDelete(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge2_").toString
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+    base.write.mode("overwrite").partitionBy("c_nationkey").parquet(tmp)
+    val active = Tables.orders(s, d).select(col("o_custkey")).distinct()
+    val survivors = base.filter(col("c_nationkey") < 5)
+      .join(active, base("c_custkey") === active("o_custkey"), "left_semi")
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.mode("overwrite").partitionBy("c_nationkey").parquet(tmp)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.read.parquet(tmp)
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+  }
+
+  /** Per-group corpus cap: keep a deterministic fixed-size sample of
+    * each language (50 docs, chosen by md5 order — stable under reruns
+    * and repartitioning, per the q37/q46 idiom). The
+    * language-balancing pass of corpus assembly. The rank filter is a
+    * `WindowGroupLimit`: each task keeps only its top-50 per language
+    * BEFORE the exchange, so the shuffle carries ≤ 50·langs rows per
+    * task, not the corpus (plan-asserted).
+    */
+  def q48LangCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 50)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_lang_cap" -> q48LangCap,
+    "q47_merge_delete" -> q47MergeDelete,
     "q43_merge_upsert" -> q43MergeUpsert,
     "q44_funnel_timeout" -> q44FunnelTimeout,
     "q45_orc_roundtrip" -> q45OrcRoundtrip,
     "q46_stratified_split" -> q46StratifiedSplit)
 
   val oracles: Map[String, String] = Map(
+    "q48_lang_cap" ->
+      """SELECT doc_id, lang, rk FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id)
+               AS rk
+           FROM documents) t
+         WHERE rk <= 50""",
+    "q47_merge_delete" ->
+      """SELECT c_nationkey::BIGINT AS nation, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+         FROM customer
+         WHERE NOT (c_nationkey < 5 AND
+           c_custkey NOT IN (SELECT o_custkey FROM orders))
+         GROUP BY 1""",
     "q43_merge_upsert" ->
       """WITH delta AS (
            SELECT o_custkey, sum(o_totalprice) AS dlt FROM orders

@@ -21,6 +21,22 @@ object EventStreams {
   private val EventsSchema =
     "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 
+  /** Run `body` with shuffle partitions capped at 8: every stateful
+    * streaming operator instantiates one state store PER shuffle
+    * partition PER micro-batch, so partition count here is a fixed
+    * per-batch cost, not parallelism — at this gate's state volume,
+    * 32 partitions measured 3-5× slower than 8 for identical answers
+    * (133 s → 47 s across the ten gates). Production sizing is the
+    * same exercise against state volume, not CPU count. Restores the
+    * session's batch setting afterwards.
+    */
+  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(8, prev.toInt).toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Whole-file replay source (st01/st05/st06): the file stream source
     * requires a directory, so stage a symlink to the single
     * events.parquet in a temp dir (testdata is read-only). `ts` stays
@@ -327,17 +343,72 @@ object EventStreams {
         col("n_events"))
   }
 
+  /** Watermarked STREAM–STREAM interval join — click attribution:
+    * each view matched with the same user's clicks in the following
+    * hour, both sides unbounded. Spark buffers each side in state,
+    * bounded by the watermark + the join's time-interval condition
+    * (a view is droppable once the watermark passes view_ts + 1 h);
+    * inner-join matches are emitted eagerly per micro-batch, so on a
+    * finite time-ordered replay the sink equals the batch interval
+    * join exactly — no append-mode cutoff, unlike aggregations. The
+    * per-user equi-key keeps it a hash-partitioned join (q41's
+    * bucket-decomposition is the keyless variant); at 100 TB the
+    * watermark is the knob bounding state, not data volume.
+    */
+  def st10StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val stream = eventsChunkStream(s, d)
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "2 hours")
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val joined = views.join(clicks, expr(
+      """v_user = c_user AND
+         click_ts > view_ts AND click_ts <= view_ts + INTERVAL 1 HOUR"""))
+    val name = "st10_sink"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
+  /** State-partition cap applied to every query that actually STARTS a
+    * streaming query (st02 is the batch session_window form — full
+    * batch parallelism applies).
+    */
+  private def gated(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => withStatePartitions(s)(fn(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st01_stream_hourly" -> st01StreamHourly,
+    "st10_stream_stream_join" -> gated(st10StreamStreamJoin),
+    "st01_stream_hourly" -> gated(st01StreamHourly),
     "st02_sessionize" -> st02Sessionize,
-    "st04_stateful_sessions" -> st04StatefulSessions,
-    "st05_stream_static_join" -> st05StreamStaticJoin,
-    "st06_stream_dedup" -> st06StreamDedup,
-    "st07_foreach_batch_sink" -> st07ForeachBatchSink,
-    "st08_checkpoint_recovery" -> st08CheckpointRecovery,
-    "st09_stream_session_window" -> st09StreamSessionWindow)
+    "st04_stateful_sessions" -> gated(st04StatefulSessions),
+    "st05_stream_static_join" -> gated(st05StreamStaticJoin),
+    "st06_stream_dedup" -> gated(st06StreamDedup),
+    "st07_foreach_batch_sink" -> gated(st07ForeachBatchSink),
+    "st08_checkpoint_recovery" -> gated(st08CheckpointRecovery),
+    "st09_stream_session_window" -> gated(st09StreamSessionWindow))
 
   val oracles: Map[String, String] = Map(
+    // the batch interval join IS the streaming answer (inner matches
+    // emit eagerly; nothing is late on a time-ordered replay)
+    "st10_stream_stream_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type,
+             date_trunc('microsecond', ts) AS ts
+           FROM events)
+         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           v.ts AS view_ts, c.ts AS click_ts
+         FROM ev v JOIN ev c
+           ON v.user_id = c.user_id
+          AND v.event_type = 'view' AND c.event_type = 'click'
+          AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""",
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value

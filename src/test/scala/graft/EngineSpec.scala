@@ -164,6 +164,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(lang"), p.take(800))
   }
 
+  test("q44 funnel computes all three stages over ONE user exchange") {
+    val p = planOf("q44_funnel_timeout")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user_id exchange, plan:\n${p.take(1200)}")
+  }
+
+  test("s06 broadcasts centroids; only the argmax window shuffles") {
+    val p = planOf("s06_kmeans_refine")
+    assert(p.contains("Broadcast"), p.take(800))
+    // 3 legitimate exchanges: centroid build (label), argmax window
+    // (vec_id), occupancy agg (cell) — the k×N scoring join itself
+    // must add none
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"scoring side must not shuffle, plan:\n${p.take(1200)}")
+  }
+
+  test("d08 band join is an equi-join, not a cartesian candidate scan") {
+    val p = planOf("d08_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("connected components resolve transitive dup clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
