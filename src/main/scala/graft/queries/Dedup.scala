@@ -226,8 +226,9 @@ object Dedup {
       (pairs.count() / 50000L + 1).toInt))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").repartition(nParts, col("dst")).cache()
-    var labels = edges.select(col("src").as("node")).distinct()
+    var backing = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).cache()
+    var labels = backing
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -238,11 +239,15 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
           (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
         .cache()
+      // ONE action per round: the count both decides convergence and
+      // materializes every partition of `updated`, so the new `labels`
+      // can ride `updated`'s cache and the previous round's backing
+      // can be released — per-round fixed cost is what dominates this
+      // loop (the data is tiny relative to the corpus)
       changed = updated.filter(col("chg")).count()
-      val old = labels
-      labels = updated.select(col("node"), col("new_label").as("label")).cache()
-      labels.count() // materialize before releasing the parent
-      old.unpersist(); updated.unpersist()
+      labels = updated.select(col("node"), col("new_label").as("label"))
+      backing.unpersist()
+      backing = updated
       iter += 1
     }
     // an unconverged result would silently mis-cluster — fail loudly

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Ninth tranche — lakehouse/table-maintenance staples: schema
+  * evolution across file generations (q49), time-series gap-fill via
+  * generator expressions (q50), and small-file compaction (q51).
+  */
+object Relational9 {
+
+  /** Schema evolution: a table whose parquet files were written under
+    * TWO schema generations — v1 (doc_id, lang) then v2 adding
+    * `quality` — read back as ONE table via `mergeSchema`, old rows
+    * surfacing NULL for the added column. The append-only evolution
+    * every long-lived lakehouse table goes through; the footer-merge
+    * costs one extra driver-side pass over file footers, the scan
+    * itself stays columnar and pruned.
+    */
+  def q49SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+    val docs = Tables.documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$tmp/gen1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") > 200).as("quality"))
+      .write.mode("overwrite").parquet(s"$tmp/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/gen1", s"$tmp/gen2")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("quality")).as("n_with_quality"),
+        sum(when(col("quality"), 1L).otherwise(0L)).as("n_quality_true"))
+  }
+
+  /** Time-series gap-fill: zero rows for hours with no events, per
+    * event type — `sequence()` generates each type's full hourly
+    * domain from its own min/max (a generator expression, no driver
+    * loop, no cross join against a calendar table), explode lands one
+    * row per (type, hour), and a left join pulls in the observed
+    * counts. At 100 TB the domain side is trivially small (types ×
+    * hours) and broadcasts; the observed side is the one real
+    * aggregation.
+    */
+  def q50GapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+    val observed = ev.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val domain = ev.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("hour"))
+    domain.join(observed, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Small-file compaction — the table-maintenance pass that keeps
+    * scan task counts sane: a fragmented landing zone (64 files for
+    * ~6 MB here, the classic streaming-ingest pathology) is rewritten
+    * into size-targeted files via `repartition(ceil(bytes/target))`.
+    * The DATA is byte-identical (hash-checked); the file-count
+    * contract is asserted in EngineSpec (an oracle can't see files).
+    * At 100 TB this runs per partition-directory with the same
+    * arithmetic, and the bin-packing read (`maxPartitionBytes`) on
+    * the compacted layout does one task per ~128 MB instead of one
+    * per source file.
+    */
+  def q51Compaction(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val frag = s"$tmp/fragmented"; val comp = s"$tmp/compacted"
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    // 4 MB target files at gate scale (128 MB in prod)
+    compact(s, frag, comp, targetBytes = 4L << 20)
+    s.read.parquet(comp)
+      .groupBy((col("l_orderkey") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  /** Rewrite a fragmented parquet dir into ⌈bytes/target⌉ files;
+    * returns the file count written (EngineSpec asserts the layout
+    * matches it). Driver-side work is metadata only (one listing).
+    */
+  def compact(s: SparkSession, srcDir: String, outDir: String,
+      targetBytes: Long): Int = {
+    val bytes = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(srcDir).repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_schema_evolution" -> q49SchemaEvolution,
+    "q50_gap_fill" -> q50GapFill,
+    "q51_compaction" -> q51Compaction)
+
+  val oracles: Map[String, String] = Map(
+    "q49_schema_evolution" ->
+      """WITH unioned AS (
+           SELECT doc_id, lang, NULL::BOOLEAN AS quality
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, lang, n_chars > 200 AS quality
+           FROM documents WHERE doc_id % 2 = 1)
+         SELECT lang, count(*) AS n_docs,
+           count(quality) AS n_with_quality,
+           coalesce(sum(CASE WHEN quality THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_quality_true
+         FROM unioned GROUP BY 1""",
+    "q50_gap_fill" ->
+      """WITH ev AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour FROM events),
+         observed AS (
+           SELECT event_type, hour, count(*) AS n FROM ev GROUP BY 1, 2),
+         bounds AS (
+           SELECT event_type, min(hour) AS h0, max(hour) AS h1
+           FROM ev GROUP BY 1),
+         domain AS (
+           SELECT event_type, unnest(generate_series(h0, h1,
+             INTERVAL 1 HOUR))::TIMESTAMP AS hour
+           FROM bounds)
+         SELECT d.event_type, d.hour, coalesce(o.n, 0) AS n
+         FROM domain d LEFT JOIN observed o
+           ON d.event_type = o.event_type AND d.hour = o.hour""",
+    "q51_compaction" ->
+      """SELECT l_orderkey % 7 AS bucket, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY 1""")
+}

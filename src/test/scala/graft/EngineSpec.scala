@@ -186,6 +186,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(1200))
   }
 
+  test("compaction writes exactly the size-targeted file count") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ctest_").toString
+    graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity")
+      .repartition(16).write.mode("overwrite").parquet(s"$tmp/frag")
+    val n = graft.queries.Relational9.compact(
+      spark, s"$tmp/frag", s"$tmp/comp", targetBytes = 16L << 10)
+    val written = new java.io.File(s"$tmp/comp").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(n > 1 && written == n, s"expected $n part files, found $written")
+  }
+
   test("connected components resolve transitive dup clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
