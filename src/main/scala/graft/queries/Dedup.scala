@@ -331,10 +331,10 @@ object Dedup {
         WHERE common / (sa.n + sb.n - common) >= 0.5"""
 
   // Transitive closure over the (tiny) pair graph; DuckDB's recursive
-  // CTE plays the oracle for the distributed label propagation.
-  private val clusterSql =
-    s"""WITH RECURSIVE
-        sh AS ($shingleSql),
+  // CTE plays the oracle for the distributed label propagation. The
+  // CTE chain is shared with PipelineOps' end-to-end corpus build.
+  private[queries] val clusterCtes =
+    s"""sh AS ($shingleSql),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         cp AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
@@ -350,7 +350,11 @@ object Dedup {
         reach(src, dst) AS (
           SELECT src, dst FROM edges
           UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)"""
+
+  private val clusterSql =
+    s"""WITH RECURSIVE
+        $clusterCtes
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
           src = least(src, min(dst)) AS is_canonical
         FROM reach GROUP BY src"""

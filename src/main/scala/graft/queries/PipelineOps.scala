@@ -80,13 +80,73 @@ object PipelineOps {
       .filter(col("h") % 10 === 0)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** The END-TO-END corpus build — quality gate → near-dup cluster
+    * resolution → per-language cap, composed from the engine's own
+    * operators exactly as a user would chain them:
+    *
+    *   1. t06's quality gate keeps documents passing all thresholds
+    *      (narrow map);
+    *   2. d07's distributed connected components resolve near-dup
+    *      clusters; non-canonical members drop via a LeftAnti join
+    *      (the dedup DECISION, not just detection);
+    *   3. q48's deterministic md5-order cap balances languages at 50
+    *      docs each.
+    *
+    * Output: the final kept set with its per-language rank — the
+    * training corpus manifest. Every stage is the 100 TB design of
+    * its standalone operator; the composition adds one LeftAnti and
+    * one broadcast-sized join.
+    */
+  def p01CorpusBuild(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = t06QualityFilter(s, d).filter(col("keep")).select(col("doc_id"))
+    val losers = graft.queries.Dedup.d07DupClusters(s, d)
+      .filter(!col("is_canonical")).select(col("doc_id"))
+    val kept = quality.join(losers, Seq("doc_id"), "left_anti")
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    kept.join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 50)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_corpus_build" -> p01CorpusBuild,
     "t06_quality_filter" -> t06QualityFilter,
     "t07_freq_spectrum" -> t07FreqSpectrum,
     "e01_cluster_stats" -> e01ClusterStats,
     "q37_hash_sample" -> q37HashSample)
 
   val oracles: Map[String, String] = Map(
+    "p01_corpus_build" ->
+      s"""WITH RECURSIVE
+          ${graft.queries.Dedup.clusterCtes},
+          clusters AS (
+            SELECT src AS doc_id,
+              src = least(src, min(dst)) AS is_canonical
+            FROM reach GROUP BY src),
+          losers AS (SELECT doc_id FROM clusters WHERE NOT is_canonical),
+          quality AS (
+            SELECT doc_id FROM (
+              SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS uniq_ratio
+              FROM (SELECT doc_id, n_chars,
+                      list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+                    FROM documents) t0) t1
+            WHERE n_chars >= 100 AND n_tokens >= 20 AND uniq_ratio >= 0.3),
+          kept AS (
+            SELECT doc_id FROM quality
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+          SELECT doc_id, lang, rk FROM (
+            SELECT k.doc_id, d.lang,
+              row_number() OVER (PARTITION BY d.lang ORDER BY
+                ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 8))::BIGINT,
+                k.doc_id) AS rk
+            FROM kept k JOIN documents d ON k.doc_id = d.doc_id) ranked
+          WHERE rk <= 50""",
     "t06_quality_filter" ->
       """WITH scored AS (
            SELECT doc_id, n_chars,
