@@ -50,21 +50,29 @@ object Bench {
 
     // This box shows episodic multi-minute windows where the whole VM
     // drops to ~2 effective cores (trivial 0.5 s queries measured at
-    // 20-45 s, CPU idle, no GC/spill — host-level throttling). A
-    // single-pass timing inside such a window misreports the PLAN by
-    // 10-50×, so any anomalously slow measurement gets ONE re-run and
-    // the min is reported — both timings are real end-to-end runs.
+    // 20-45 s — and 175 s once — CPU idle, no GC/spill/steal;
+    // host-level throttling). A single-pass timing inside such a
+    // window misreports the PLAN by 10-50×, so queries whose first
+    // pass is anomalously slow are re-run in a SECOND PASS AT THE END
+    // of the suite (minutes later, when the window has usually
+    // passed) and the min of the real end-to-end runs is reported. A
+    // fixed CPU-bound calibration probe brackets the run so the
+    // artifact itself records whether the box was healthy.
     val retryAbove = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "8").toDouble
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      try { // double math — a long sum of id² overflows under ANSI
+        spark.range(0L, 400000000L, 1, 32)
+          .selectExpr("sum(cast(id AS double) * id)").collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration failed: ${e.getMessage}"); -1.0
+      }
+    }
     def exec(name: String): Double = {
-      val first = execOnce(name)
-      val best =
-        if (first > retryAbove) {
-          val second = execOnce(name)
-          if (second >= 0) math.min(first, second) else first
-        } else first
-      System.err.println(f"[bench] $name%-28s $best%8.2f s" +
-        (if (best != first) f" (first pass $first%.2f)" else ""))
-      best
+      val t = execOnce(name)
+      System.err.println(f"[bench] $name%-28s $t%8.2f s")
+      t
     }
 
     exec("q01_pricing_summary") // warmup: JIT + codegen + FS init
@@ -75,11 +83,22 @@ object Bench {
       case Some(pfx) => val ps = pfx.split(','); n => ps.exists(n.startsWith)
       case None => _ => true
     }
-    val results = SparkEntry.queries.keys.toSeq.filter(only).sorted.map(n => n -> exec(n))
+    val calibStart = calib()
+    val pass1 = SparkEntry.queries.keys.toSeq.filter(only).sorted.map(n => n -> exec(n))
+    val results = pass1.map { case (n, first) =>
+      if (first > retryAbove) {
+        val second = execOnce(n)
+        val best = if (second >= 0) math.min(first, second) else first
+        System.err.println(f"[bench] $n%-28s $best%8.2f s (retry pass; first $first%.2f)")
+        n -> best
+      } else n -> first
+    }
+    val calibEnd = calib()
+    System.err.println(f"[bench] calibration probe: start $calibStart%.2f s, end $calibEnd%.2f s")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd}}""")
     spark.stop()
   }
 }

@@ -18,7 +18,8 @@ object Plans {
       "q04_multi_join_revenue", "q08_global_topk", "q24_asof_join",
       "d03_minhash_lsh", "s01_cosine_topk", "st02_sessionize",
       "t08_textcat", "q44_funnel_timeout", "q48_lang_cap",
-      "s06_kmeans_refine", "d08_incremental_dedup")
+      "s06_kmeans_refine", "d08_incremental_dedup", "q50_gap_fill",
+      "p01_corpus_build")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries (sf0.01, AQE off for readability)\n\n"
     sb ++= "Regenerate: `sbt \"runMain graft.Plans\"`. What to look for per query\n"

@@ -360,11 +360,16 @@ object EventStreams {
     val views = stream.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
         col("event_id").as("view_id"))
-      .withWatermark("view_ts", "2 hours")
+      // the watermark delay is the state-size knob of a stream-stream
+      // join: a view is droppable once the watermark passes
+      // view_ts + 1 h + delay, so state ≈ (join window + delay) of
+      // events per side. 30 min matches the replay's zero disorder;
+      // production sets it to observed out-of-orderness.
+      .withWatermark("view_ts", "30 minutes")
     val clicks = stream.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
-      .withWatermark("click_ts", "2 hours")
+      .withWatermark("click_ts", "30 minutes")
     val joined = views.join(clicks, expr(
       """v_user = c_user AND
          click_ts > view_ts AND click_ts <= view_ts + INTERVAL 1 HOUR"""))

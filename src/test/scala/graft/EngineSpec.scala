@@ -186,6 +186,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(1200))
   }
 
+  test("q48 cap runs as WindowGroupLimit (per-task top-k before the exchange)") {
+    val p = planOf("q48_lang_cap")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("q50 generates the hourly domain in-plan (no driver loop, no calendar table)") {
+    val p = planOf("q50_gap_fill")
+    assert(p.contains("Generate"), p.take(800))
+  }
+
   test("compaction writes exactly the size-targeted file count") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ctest_").toString
     graft.core.Tables.lineitem(spark, sf)
