@@ -312,6 +312,101 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Code points of a string (what `UTF8String.numChars`/`substringSQL`
+    * index by, so gram boundaries match the oracle's `substr`).
+    */
+  private def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0; var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i); out(k) = cp; k += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** An n-gram of code points packed into one long: cp0·2⁴²+cp1·2²¹+cp2
+    * for n=3 (each code point ≤ 0x10FFFF < 2²¹, so packing is lossless
+    * and fits 63 bits). Injective AND order-preserving: numeric order of
+    * packed longs == code-point-lexicographic order of the gram strings
+    * == UTF-8 binary order (both Spark's UTF8String comparison and
+    * DuckDB's default collation) — so a rank tiebreak `ORDER BY packed`
+    * selects exactly the rows `ORDER BY gram_string` selects, and the
+    * profile/document intersection over longs has the same cardinality
+    * as over strings. This is what lets t08's training shuffle, sorts
+    * and 25k intersections run entirely on primitive longs.
+    */
+  private def packGram(cps: Array[Int], start: Int, n: Int): Long = {
+    var acc = 0L; var j = 0
+    while (j < n) { acc = (acc << 21) | cps(start + j).toLong; j += 1 }
+    acc
+  }
+
+  /** Packed-gram COUNTS of a string in one native pass: map of packed
+    * gram → occurrence count. The long-keyed twin of CharGramCounts —
+    * the downstream (lang, gram) aggregation probes and shuffles 8-byte
+    * keys instead of strings.
+    */
+  case class CharGramPackedCounts(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.LongType, valueContainsNull = false)
+    override protected def nullSafeEval(a: Any): Any = {
+      val cps = codePoints(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      val count = math.max(0, cps.length - n + 1)
+      val m = new java.util.LinkedHashMap[java.lang.Long, java.lang.Long]()
+      var i = 0
+      while (i < count) {
+        val g = java.lang.Long.valueOf(packGram(cps, i, n))
+        val prev = m.get(g)
+        m.put(g, if (prev == null) 1L else prev + 1L)
+        i += 1
+      }
+      val keys = new Array[Any](m.size)
+      val vals = new Array[Any](m.size)
+      val it = m.entrySet().iterator(); var k = 0
+      while (it.hasNext) {
+        val e = it.next(); keys(k) = e.getKey.longValue(); vals(k) = e.getValue.longValue()
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Distinct packed grams of a string in one native pass — the
+    * document side of t08's intersection (long-keyed twin of
+    * CharGramHashes, but collision-FREE: packing is injective, so the
+    * long intersection count equals the string intersection count
+    * exactly, no 2⁻⁶⁴ caveat).
+    */
+  case class CharGramPackedDistinct(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    override protected def nullSafeEval(a: Any): Any = {
+      val cps = codePoints(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      val count = math.max(0, cps.length - n + 1)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i < count) { seen.add(packGram(cps, i, n)); i += 1 }
+      val arr = new Array[Long](seen.size)
+      val it = seen.iterator(); var k = 0
+      while (it.hasNext) { arr(k) = it.next().longValue(); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** xxhash64 of each distinct character n-gram of a string, in one
     * native pass. Hashing goes through Spark's own `XxHash64Function`
     * (seed 42) so the longs are bit-identical to SQL `xxhash64(gram)` —
@@ -408,5 +503,9 @@ object VectorExpressions {
       "graft_trigram_counts", es => CharGramCounts(es.head, 3), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_trigram_hashes", es => CharGramHashes(es.head, 3), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_trigram_packed_counts", es => CharGramPackedCounts(es.head, 3), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_trigram_packed", es => CharGramPackedDistinct(es.head, 3), "built-in")
   }
 }

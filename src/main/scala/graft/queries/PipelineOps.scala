@@ -44,24 +44,18 @@ object PipelineOps {
 
   /** Embedding cluster quality: per label, member count and inertia
     * (sum of squared distances to the label centroid), centroid
-    * computed with the same vec_id-ordered deterministic fold as s03 —
-    * the quantities a clustering/IVF training loop monitors.
+    * computed by the SAME streamed vec_id-ordered fold as the IVF /
+    * k-means paths (Similarity.cellCentroids — bounded task memory
+    * however large a cell grows) — the quantities a clustering/IVF
+    * training loop monitors.
     */
   def e01ClusterStats(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     graft.functions.VectorExpressions.register(s)
     val members = Tables.embeddings(s, d)
       .select(col("label"), col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val centroids = members.as[(Int, Long, Seq[Double])]
-      .groupByKey(_._1)
-      .mapGroups { (label, it) =>
-        val arr = it.toArray.sortBy(_._2)
-        val sums = new Array[Double](64)
-        arr.foreach { r => var k = 0; while (k < 64) { sums(k) += r._3(k); k += 1 } }
-        (label, sums.map(_ / arr.length).toSeq)
-      }
-      .toDF("label", "cv")
+    val centroids = graft.queries.Similarity.cellCentroids(s, members)
+      .select(col("label"), col("cv"))
     members.join(broadcast(centroids), "label")
       .withColumn("dist2",
         expr("graft_sumsq(zip_with(v, cv, (x, y) -> x - y))"))

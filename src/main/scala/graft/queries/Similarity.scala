@@ -132,19 +132,31 @@ object Similarity {
 
   /** Per-cell mean vectors with a vec_id-ordered sequential fold, so
     * the centroids are bit-reproducible against the oracle's identical
-    * `list_reduce` fold. Shared by the IVF index builds (s03/s04) and
-    * the k-means refinement step (s06).
+    * `list_reduce` fold. Shared by the IVF index builds (s03/s04), the
+    * k-means rounds (s06/s07/s08) and e01's cluster stats.
+    *
+    * Bounded task memory on EVERY path: `flatMapSortedGroups` hands the
+    * group iterator already vec_id-ordered (Spark sorts within the
+    * exchange partitions — spillable sort, not a per-group buffer), and
+    * the fold keeps only the 64 running sums + a count. A cell of any
+    * size streams through in O(1) task memory — the mr02 secondary-sort
+    * idiom applied to centroids; the fold order is identical to the
+    * previous sort-then-sum, so results are bit-unchanged.
     */
-  private def cellCentroids(s: SparkSession, training: DataFrame): DataFrame = {
+  private[queries] def cellCentroids(s: SparkSession, training: DataFrame): DataFrame = {
     import s.implicits._
+    graft.functions.VectorExpressions.register(s)
     training
       .as[(Int, Long, Seq[Double])]
       .groupByKey(_._1)
-      .mapGroups { (label, it) =>
-        val arr = it.toArray.sortBy(_._2) // vec_id order → deterministic fold
-        val sums = new Array[Double](64)
-        arr.foreach { r => var k = 0; while (k < 64) { sums(k) += r._3(k); k += 1 } }
-        (label, sums.map(_ / arr.length).toSeq)
+      .flatMapSortedGroups(col("vec_id").asc) { (label, it) =>
+        val sums = new Array[Double](64); var n = 0L
+        it.foreach { r =>
+          val v = r._3; var k = 0
+          while (k < 64) { sums(k) += v(k); k += 1 }
+          n += 1
+        }
+        Iterator.single((label, sums.map(_ / n).toSeq))
       }
       .toDF("label", "cv")
       .withColumn("cnrm", sqrt(expr("graft_sumsq(cv)")))

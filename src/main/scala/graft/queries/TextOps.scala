@@ -125,25 +125,26 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorExpressions.register(s)
     val doc = Tables.documents(s, d)
-    // per-doc pre-combined gram counts (see t05) — profile training's
-    // shuffle shrinks by the in-document gram repeat factor
-    val grams = doc.selectExpr("lang", "explode(graft_trigram_counts(text)) AS (g, c)")
+    // per-doc pre-combined PACKED-gram counts: grams travel as 8-byte
+    // longs from the explode on — the training shuffle, the (lang, g)
+    // hash-agg probes and the rank sorts never touch a string. Packing
+    // is order-preserving (see CharGramPackedCounts), so `ORDER BY n
+    // DESC, g` over packed longs picks exactly the oracle's `ORDER BY
+    // count DESC, gram_string` top-100.
+    val grams = doc.selectExpr("lang",
+      "explode(graft_trigram_packed_counts(text)) AS (g, c)")
     val rn = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("g"))
     val profiles = grams.groupBy(col("lang"), col("g"))
       .agg(sum(col("c")).as("n"))
       .withColumn("rn", row_number().over(rn))
       .filter(col("rn") <= 100)
       .groupBy(col("lang").as("cand"))
-      // 64-bit-hashed grams: the 25k array_intersect calls compare
-      // longs instead of strings (order irrelevant — set intersection;
-      // collisions ~|grams|²/2⁶⁴, negligible and score-only)
-      .agg(collect_list(xxhash64(col("g"))).as("pg"))
-    // native distinct-gram hashing (CharGramHashes): one pass, hashes
-    // via Spark's XXH64 so they bit-match the profile side's SQL
-    // xxhash64 — the transform(...)+xxhash64 lambda form re-enters the
-    // interpreted-HOF trap (~10 M lambda evals at sf0.1)
+      .agg(collect_list(col("g")).as("pg"))
+    // document side: distinct packed grams in one native pass; packing
+    // is injective, so |dgs ∩ pg| over longs == the string
+    // intersection count exactly (no hash-collision caveat)
     val docGrams = doc.selectExpr("doc_id", "lang",
-      "graft_trigram_hashes(text) AS dgs")
+      "graft_trigram_packed(text) AS dgs")
     val scored = docGrams.join(broadcast(profiles), lit(true))
       .withColumn("score", size(array_intersect(col("dgs"), col("pg"))).cast("long"))
     val best = Window.partitionBy(col("doc_id"))
