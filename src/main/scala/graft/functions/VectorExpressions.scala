@@ -475,6 +475,33 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Bloom-filter membership probe over a long key, as a NATIVE
+    * expression with full whole-stage codegen (Spark exposes
+    * `BloomFilterMightContain` only to its own runtime-filter rule, not
+    * the SQL registry — probed). The built filter rides along as a
+    * broadcast reference (`ctx.addReferenceObj`), so executors probe
+    * the already-broadcast bitset directly: no UDF wrapper, no
+    * serialize-per-task, and the surrounding filter stays inside the
+    * codegen'd scan stage. Registered per-call by d06 with its
+    * just-built filter (the function closure captures the broadcast).
+    */
+  case class BloomMightContainLong(
+      child: Expression,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override protected def nullSafeEval(v: Any): Any =
+      bloom.value.mightContainLong(v.asInstanceOf[Long])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomBc", bloom,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = ((org.apache.spark.util.sketch.BloomFilter)$ref.value()).mightContainLong($v);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Register as SQL temp functions (`graft_dot`, `graft_sumsq`,
     * `graft_minhash`) so the query surface reaches them through
     * `expr(...)` without touching the Column constructor

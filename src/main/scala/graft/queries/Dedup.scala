@@ -184,8 +184,14 @@ object Dedup {
     val bf = dup.stat.bloomFilter("s", math.max(dup.count(), 1000L), 0.01)
     dup.unpersist()
     val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
-    jaccardFrom(sh.filter(mightContain(col("s"))), sh)
+    // native codegen'd probe (see BloomMightContainLong) — the filter
+    // stage stays inside whole-stage codegen; registered per-call
+    // because the expression closes over THIS run's broadcast filter
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      es => graft.functions.VectorExpressions.BloomMightContainLong(es.head, bfB),
+      "built-in")
+    jaccardFrom(sh.filter(expr("graft_bloom_contains(s)")), sh)
   }
 
   /** Near-dup CLUSTER resolution: connected components over the d02

@@ -266,7 +266,88 @@ object Similarity {
     occupancy(reassign(s, r1))
   }
 
+  /** k-means run TO CONVERGENCE — s07's chained-rounds handoff wrapped
+    * in the full Lloyd loop with d07's loop discipline: ONE action per
+    * round (the migration count both decides the stopping criterion
+    * and materializes the round's cached assignment), the next round's
+    * input rides the previous round's cache (flat lineage — no
+    * unbounded plan growth), the superseded cache is released each
+    * round, and non-convergence inside the round cap fails LOUDLY
+    * rather than returning a silently-unconverged model.
+    *
+    * Stopping criterion: zero migrations — the assignment is a fixed
+    * point (stronger than a centroid-movement epsilon, and exactly
+    * checkable). The oracle-visible output is the CONTRACT (q17's
+    * pattern): convergence reached, final migration count (0 by
+    * definition of the fixed point), cell count within k, and the
+    * exact total membership — the loop's data-dependent round count
+    * can't be replayed in one SQL statement, so the spec additionally
+    * pins rounds ∈ [1, cap] via the internal entry point.
+    *
+    * Scale shape per round = s06's audited plan (broadcast centroids,
+    * narrow scoring, ≤3 exchanges); rounds are sequential by nature.
+    * At 100 TB each round persists its assignment — exactly what this
+    * loop does with its per-round cache.
+    */
+  def s08KmeansFull(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val memberRows = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_sumsq(v)")))
+    kmeansToConvergence(s, memberRows, maxRounds = 30)._1
+  }
+
+  /** The Lloyd loop behind s08; returns (contract row, rounds run).
+    * Package-visible so the spec can assert the round count is bounded
+    * and ≥ 1 without re-running the loop logic.
+    */
+  private[graft] def kmeansToConvergence(s: SparkSession, init: DataFrame,
+      maxRounds: Int): (DataFrame, Int) = {
+    var cur = init.select(col("label"), col("vec_id"), col("v"), col("nrm"))
+    var moved = -1L
+    var rounds = 0
+    while (moved != 0 && rounds < maxRounds) {
+      // TWO kinds of per-round truncation, both load-bearing:
+      //
+      //  1. LINEAGE (localCheckpoint): reassign references its input
+      //     twice (centroid build + scoring join), so without a
+      //     materialized rebase the plan DOUBLES per round — analysis
+      //     cost goes exponential in round count long before any data
+      //     moves (a cache only shortcuts execution; the analyzer
+      //     still walks the whole tree). The eager localCheckpoint is
+      //     the round's materializing action. (On a real cluster use
+      //     a reliable checkpoint dir — same structure.)
+      //
+      //  2. STATS (createDataFrame rebase): a checkpoint's LogicalRDD
+      //     carries the child plan's ESTIMATED statistics forward, and
+      //     the broadcast cross-join multiplies sizeInBytes — so the
+      //     estimate roughly SQUARES each round and its BigInt bit
+      //     length doubles; by round ~20 the driver burns seconds per
+      //     round in million-bit BigInteger multiplies inside cost
+      //     estimation (observed 9 s/round, executors idle).
+      //     Recreating the frame from the materialized RDD resets the
+      //     leaf to default stats. Row↔InternalRow conversion is the
+      //     price — per-round state is the assignment table, which a
+      //     production loop persists anyway.
+      val next = reassign(s, cur).localCheckpoint()
+      moved = next.filter(col("cell") =!= col("prev")).count()
+      val proj = next.select(col("cell").as("label"), col("vec_id"), col("v"), col("nrm"))
+      cur = s.createDataFrame(proj.rdd, proj.schema)
+      rounds += 1
+    }
+    if (moved != 0) throw new IllegalStateException(
+      s"k-means did not converge in $rounds rounds")
+    val contract = cur
+      .agg(countDistinct(col("label")).as("ncells"), count(lit(1)).as("total_members"))
+      .select(lit(true).as("converged"),
+        lit(0L).as("final_moves"),
+        (col("ncells") <= 10).as("cells_le_k"),
+        col("total_members"))
+    (contract, rounds)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s08_kmeans_full" -> s08KmeansFull,
     "s01_cosine_topk" -> s01CosineTopK,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ivf_topk" -> s03IvfTopK,
@@ -310,6 +391,14 @@ object Similarity {
         WHERE rank <= 5"""
 
   val oracles: Map[String, String] = Map(
+    // s08 contract oracle (q17 pattern): convergence and the fixed
+    // point are engine-loop facts; the SQL side pins the invariants
+    // (final_moves = 0 at a fixed point, ≤ k cells) plus the exact
+    // total membership.
+    "s08_kmeans_full" ->
+      """SELECT true AS converged, 0::BIGINT AS final_moves,
+           true AS cells_le_k, count(*) AS total_members
+         FROM embeddings""",
     "s01_cosine_topk" -> s01Sql,
     "s02_ann_lsh" -> s02Sql,
     "s05_ann_recall" ->

@@ -153,6 +153,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("lambdafunction"), "HOF lambda crept back into the hot path")
   }
 
+  test("s08 k-means reaches a fixed point within the round cap") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val members = graft.core.Tables.embeddings(spark, sf)
+      .select(col("label"), col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_sumsq(v)")))
+    val (df, rounds) = graft.queries.Similarity
+      .kmeansToConvergence(spark, members, maxRounds = 30)
+    assert(rounds >= 1 && rounds <= 30, s"rounds=$rounds")
+    val row = df.collect().head
+    assert(row.getBoolean(0), "converged flag")
+    assert(row.getLong(1) == 0L, "fixed point must have zero migrations")
+    assert(row.getBoolean(2), "cell count must stay within k")
+  }
+
+  test("d06 bloom probe is a native expression, not a UDF") {
+    val p = planOf("d06_bloom_jaccard")
+    assert(p.contains("bloommightcontainlong"), p.take(800))
+    assert(!p.toLowerCase.contains("udf"),
+      "bloom probe fell back to a UDF wrapper")
+  }
+
   test("q41 range join runs as a bucket equi-join, not a nested-loop join") {
     val p = planOf("q41_interval_bucket_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
