@@ -83,8 +83,27 @@ object Bench {
       case Some(pfx) => val ps = pfx.split(','); n => ps.exists(n.startsWith)
       case None => _ => true
     }
-    val calibStart = calib()
-    val pass1 = SparkEntry.queries.keys.toSeq.filter(only).sorted.map(n => n -> exec(n))
+    // INTERLEAVED calibration: one CPU-bound probe every `calibEvery`
+    // queries (plus one before each retry block and at both ends), so
+    // every timing in the artifact sits inside a bracketing pair of
+    // box-health readings — a throttle window (see the comment above)
+    // is then visible IN the artifact next to the queries it poisoned,
+    // instead of being inferred from two endpoint probes an hour apart.
+    val calibEvery = sys.env.getOrElse("SPARK_GRAFT_CALIB_EVERY", "10").toInt
+    val calibs = scala.collection.mutable.ListBuffer[(String, Double)]()
+    def probe(at: String): Unit = {
+      val c = calib()
+      calibs += ((at, c))
+      System.err.println(f"[bench] calib @$at%-24s $c%8.2f s")
+    }
+    probe("start")
+    val names = SparkEntry.queries.keys.toSeq.filter(only).sorted
+    val pass1 = names.zipWithIndex.map { case (n, i) =>
+      if (i > 0 && i % calibEvery == 0) probe(s"before:$n")
+      n -> exec(n)
+    }
+    val needRetry = pass1.filter(_._2 > retryAbove)
+    if (needRetry.nonEmpty) probe("before-retry")
     val results = pass1.map { case (n, first) =>
       if (first > retryAbove) {
         val second = execOnce(n)
@@ -93,12 +112,14 @@ object Bench {
         n -> best
       } else n -> first
     }
-    val calibEnd = calib()
-    System.err.println(f"[bench] calibration probe: start $calibStart%.2f s, end $calibEnd%.2f s")
+    probe("end")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd}}""")
+    val calibArr = calibs.map { case (at, c) => s"""{"at":"$at","sec":$c}""" }
+      .mkString("[", ",", "]")
+    val calibStart = calibs.head._2; val calibEnd = calibs.last._2
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd},"calibs":$calibArr}""")
     spark.stop()
   }
 }

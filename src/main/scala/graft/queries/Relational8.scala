@@ -34,10 +34,13 @@ object Relational8 {
     * partitions.
     */
   def q43MergeUpsert(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_merge_").toString
     val base = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
-    base.write.mode("overwrite").partitionBy("c_nationkey").parquet(tmp)
+    // staged once per input dir (Staging doc): the merge below mutates
+    // only partitions it rebuilds FROM SOURCE, so reuse is idempotent
+    val tmp = graft.core.Staging.ensure(d, "customer", "merge_upsert") { dir =>
+      base.write.mode("overwrite").partitionBy("c_nationkey").parquet(dir)
+    }
     val delta = Tables.orders(s, d)
       .filter(col("o_orderdate") >= lit("1997-01-01"))
       .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("dlt"))
@@ -73,7 +76,17 @@ object Relational8 {
     * The reference could only express this as per-user Python inside a
     * sorted reducer; here it is declarative and spillable.
     */
-  def q44FunnelTimeout(s: SparkSession, d: String): DataFrame = {
+  def q44FunnelTimeout(s: SparkSession, d: String): DataFrame =
+    funnelWithTimeouts(s, d,
+      clickTimeout = "INTERVAL 1 HOUR", purchaseTimeout = "INTERVAL 24 HOURS")
+
+  /** q44's implementation with the per-stage timeouts surfaced as
+    * arguments — a funnel definition is a (stages, timeouts) config in
+    * any real analytics deployment, not literals in the operator.
+    * The timeout strings are standard SQL interval literals.
+    */
+  private[graft] def funnelWithTimeouts(s: SparkSession, d: String,
+      clickTimeout: String, purchaseTimeout: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     val staged = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"))
@@ -82,12 +95,12 @@ object Relational8 {
       .withColumn("t_click",
         min(when(col("event_type") === "click" &&
           col("ts") > col("t_view") &&
-          col("ts") <= col("t_view") + expr("INTERVAL 1 HOUR"),
+          col("ts") <= col("t_view") + expr(clickTimeout),
           col("ts"))).over(w))
       .withColumn("t_purchase",
         min(when(col("event_type") === "purchase" &&
           col("ts") > col("t_click") &&
-          col("ts") <= col("t_click") + expr("INTERVAL 24 HOURS"),
+          col("ts") <= col("t_click") + expr(purchaseTimeout),
           col("ts"))).over(w))
     staged.groupBy(col("user_id"))
       .agg(max(col("t_view")).as("t_view"),
@@ -142,10 +155,11 @@ object Relational8 {
     * insert (plain append), update, delete.
     */
   def q47MergeDelete(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_merge2_").toString
     val base = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
-    base.write.mode("overwrite").partitionBy("c_nationkey").parquet(tmp)
+    val tmp = graft.core.Staging.ensure(d, "customer", "merge_delete") { dir =>
+      base.write.mode("overwrite").partitionBy("c_nationkey").parquet(dir)
+    }
     val active = Tables.orders(s, d).select(col("o_custkey")).distinct()
     val survivors = base.filter(col("c_nationkey") < 5)
       .join(active, base("c_custkey") === active("o_custkey"), "left_semi")

@@ -19,15 +19,18 @@ object Relational9 {
     * itself stays columnar and pruned.
     */
   def q49SchemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_evo_").toString
     val docs = Tables.documents(s, d)
-    docs.filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id"), col("lang"))
-      .write.mode("overwrite").parquet(s"$tmp/gen1")
-    docs.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") > 200).as("quality"))
-      .write.mode("overwrite").parquet(s"$tmp/gen2")
+    // the two schema generations are a fixture of the input dataset —
+    // staged once per input dir (Staging doc), read-only afterwards
+    val tmp = graft.core.Staging.ensure(d, "documents", "schema_evo") { dir =>
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$dir/gen1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") > 200).as("quality"))
+        .write.mode("overwrite").parquet(s"$dir/gen2")
+    }
     s.read.option("mergeSchema", "true").parquet(s"$tmp/gen1", s"$tmp/gen2")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -70,10 +73,13 @@ object Relational9 {
     * per source file.
     */
   def q51Compaction(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
-    val frag = s"$tmp/fragmented"; val comp = s"$tmp/compacted"
-    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
-      .repartition(64).write.mode("overwrite").parquet(frag)
+    // the fragmented landing zone is the fixture; compaction (below)
+    // is the operator and runs fresh every time
+    val frag = graft.core.Staging.ensure(d, "lineitem", "fragmented") { dir =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .repartition(64).write.mode("overwrite").parquet(dir)
+    }
+    val comp = java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/compacted"
     // 4 MB target files at gate scale (128 MB in prod)
     compact(s, frag, comp, targetBytes = 4L << 20)
     s.read.parquet(comp)
@@ -95,12 +101,78 @@ object Relational9 {
     nFiles
   }
 
+  /** Skew-handled JOIN via key salting — the most common 100 TB
+    * incident (one hot key → one straggler task) and the distributed
+    * twin of the reference's key-overloading parallelism idiom
+    * (`/root/reference/docs.rst:373-407`: overload a hot key into
+    * sub-keys to restore parallelism, then merge). A deliberately
+    * skewed fact key routes ~70 % of lineitem onto k = 0; the fix:
+    *
+    *   - FACT side: each row gets a deterministic salt in [0, S) from
+    *     its primary key, so the join key becomes (k, salt) and the
+    *     hot key's rows spread across S shuffle partitions;
+    *   - DIM side: each dim row is replicated S× (one per salt) — the
+    *     small side pays S× growth to unsplit the big side's skew;
+    *   - the join hint forces a SHUFFLE join: in production the dim
+    *     side is too big to broadcast (broadcast is the skew fix you
+    *     use FIRST when it fits — q03), and with a broadcast the
+    *     salting would be pointless; the plan is asserted to exchange
+    *     on (k, salt), never on k alone.
+    *
+    * The post-join aggregation is skew-immune without help: partial
+    * aggregation collapses each partition to ≤ |k| groups before its
+    * exchange. AQE's skew-join handles sort-merge skew adaptively at
+    * runtime; salting is the deterministic, plan-assertable form that
+    * also works for hash joins and pre-AQE engines.
+    */
+  def q52SaltedJoin(s: SparkSession, d: String): DataFrame =
+    saltedSkewJoin(s, d, salts = 16)
+
+  /** q52's implementation with the salt count surfaced (spec-tested
+    * at several S; S tunes hot-key spread vs dim replication).
+    */
+  private[graft] def saltedSkewJoin(s: SparkSession, d: String,
+      salts: Int): DataFrame = {
+    val fact = Tables.lineitem(s, d)
+      .select(
+        when(col("l_orderkey") % 10 < 7, 0L)
+          .otherwise(col("l_orderkey") % 100).as("k"),
+        col("l_extendedprice"),
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts.toLong))
+          .as("salt"))
+    val dim = Tables.part(s, d)
+      .groupBy((col("p_partkey") % 100).as("k"))
+      .agg(min(col("p_brand")).as("brand"))
+    val dimExp = dim.withColumn("salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    fact.join(dimExp.hint("shuffle_hash"), Seq("k", "salt"))
+      .groupBy(col("k"), col("brand"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_salted_join" -> q52SaltedJoin,
     "q49_schema_evolution" -> q49SchemaEvolution,
     "q50_gap_fill" -> q50GapFill,
     "q51_compaction" -> q51Compaction)
 
   val oracles: Map[String, String] = Map(
+    // The salt is join-internal plumbing: the oracle is the PLAIN
+    // skewed join — salting must be answer-invariant by construction.
+    "q52_salted_join" ->
+      """WITH fact AS (
+           SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                       ELSE l_orderkey % 100 END AS k,
+                  l_extendedprice
+           FROM lineitem),
+         dim AS (
+           SELECT p_partkey % 100 AS k, min(p_brand) AS brand
+           FROM part GROUP BY 1)
+         SELECT k, brand, count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS revenue
+         FROM fact JOIN dim USING (k)
+         GROUP BY 1, 2""",
     "q49_schema_evolution" ->
       """WITH unioned AS (
            SELECT doc_id, lang, NULL::BOOLEAN AS quality

@@ -256,6 +256,40 @@ object EventStreams {
     s.table(name)
   }
 
+  /** STATE-BOUNDED streaming dedup via `dropDuplicatesWithinWatermark`
+    * — the alternative st06's docs promise: st06's exact dedup keeps
+    * one state entry per distinct key FOREVER (state grows with key
+    * cardinality — the thing that kills exact streaming dedup at
+    * 100 TB); here an entry is EVICTED once the watermark passes its
+    * event time + delay, so state is bounded by event rate × watermark
+    * window regardless of how long the stream runs.
+    *
+    * The trade is time-scoped semantics: only duplicates within the
+    * watermark delay of each other are guaranteed dropped. This gate
+    * makes that guarantee exhaustive — the dedup key includes the
+    * event HOUR and the delay (2 h) exceeds the hour span, so every
+    * duplicate of a key is provably within the live-state window of
+    * its first occurrence on the time-ordered replay: the survivor set
+    * is exactly one row per (user, type, hour) REGARDLESS of
+    * micro-batch boundaries. WHICH row survives is arrival-order
+    * dependent (as in st06), so the oracle-visible output is the
+    * per-type count of distinct (user, hour) keys.
+    */
+  def st11DedupWithinWatermark(s: SparkSession, d: String): DataFrame = {
+    val stream = eventsChunkStream(s, d)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"))
+    val name = "st11_sink"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   /** Incremental ETL via `foreachBatch`: the watermarked hourly
     * aggregation in APPEND mode emits each window exactly once (when
     * the watermark passes its end), and each micro-batch's finalized
@@ -396,6 +430,7 @@ object EventStreams {
     "st04_stateful_sessions" -> gated(st04StatefulSessions),
     "st05_stream_static_join" -> gated(st05StreamStaticJoin),
     "st06_stream_dedup" -> gated(st06StreamDedup),
+    "st11_dedup_within_watermark" -> gated(st11DedupWithinWatermark),
     "st07_foreach_batch_sink" -> gated(st07ForeachBatchSink),
     "st08_checkpoint_recovery" -> gated(st08CheckpointRecovery),
     "st09_stream_session_window" -> gated(st09StreamSessionWindow))
@@ -495,6 +530,13 @@ object EventStreams {
     "st06_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1""",
+    // survivors are exactly one per (user, type, hour) — see the
+    // within-watermark argument in the operator's doc
+    "st11_dedup_within_watermark" ->
+      """SELECT event_type, count(*) AS n_keys FROM (
+           SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour
+           FROM events) t
+         GROUP BY 1""",
     "st07_foreach_batch_sink" ->
       """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
          SELECT date_trunc('hour', ts) AS hour, event_type,

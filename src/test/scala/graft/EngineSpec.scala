@@ -169,6 +169,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getBoolean(2), "cell count must stay within k")
   }
 
+  test("q52 salted join exchanges on (k, salt) — hot key never lands unsplit") {
+    val p = planOf("q52_salted_join")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "the skew demo must exercise a SHUFFLE join (broadcast would mask the salting)")
+    // every pre-join exchange must carry the salt alongside k: that IS
+    // the skew fix (k alone would put 70% of rows in one partition)
+    val joinExchanges = "hashpartitioning\\(k#\\d+L?, salt#\\d+L?".r.findAllIn(p).size
+    assert(joinExchanges >= 2, s"expected both join inputs partitioned by (k, salt):\n${p.take(1500)}")
+    assert(!"hashpartitioning\\(k#\\d+L?, 3?2?\\)".r.findAllIn(p).hasNext,
+      "no exchange may partition by the skewed key alone before the join")
+  }
+
   test("d06 bloom probe is a native expression, not a UDF") {
     val p = planOf("d06_bloom_jaccard")
     assert(p.contains("bloommightcontainlong"), p.take(800))
