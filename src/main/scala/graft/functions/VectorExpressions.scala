@@ -475,6 +475,39 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Word n-grams of a text in one native pass, NON-distinct — every
+    * occurrence is kept, in order. The occurrence-weighted sibling of
+    * ShingleSet (same tokenization: lowercase, split on whitespace,
+    * drop empties), for signature algorithms where each occurrence
+    * votes (d10's bigram SimHash). Same plan-hygiene rationale as
+    * ShingleSet: one opaque expression instead of a
+    * tokenize+transform pipeline the optimizer re-inlines per element.
+    */
+  case class WordGramList(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override protected def nullSafeEval(a: Any): Any = {
+      val text = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.toLowerCase(java.util.Locale.ROOT)
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val count = math.max(0, toks.length - n + 1)
+      val arr = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        val sb = new StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Bloom-filter membership probe over a long key, as a NATIVE
     * expression with full whole-stage codegen (Spark exposes
     * `BloomFilterMightContain` only to its own runtime-filter rule, not
@@ -534,5 +567,9 @@ object VectorExpressions {
       "graft_trigram_packed_counts", es => CharGramPackedCounts(es.head, 3), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_trigram_packed", es => CharGramPackedDistinct(es.head, 3), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles5", es => ShingleSet(es.head, 5), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_bigrams", es => WordGramList(es.head, 2), "built-in")
   }
 }

@@ -305,7 +305,86 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** EXACT n-gram decontamination — the GPT-3/benchmark-leak check:
+    * flag every training document sharing any word-5-gram with the
+    * held-out (evaluation) slice. Complements d08's NEAR-dup
+    * decontamination: here the contract is exact containment of a long
+    * n-gram, the standard "did an eval question leak into train"
+    * filter.
+    *
+    * Scale shape — deliberately different from d08's band join: eval
+    * sets are tiny relative to a 100 TB corpus, so the flagged-gram
+    * side collapses to a DISTINCT set that BROADCASTS (here ~14 % of
+    * docs via the q37 md5-slice idiom standing in for the eval set; in
+    * production a Bloom filter over the eval grams — d06's machinery —
+    * replaces the exact broadcast when the eval side outgrows it). The
+    * train side is one narrow scan + broadcast semi-probe; only the
+    * rare matched grams reach the per-doc count shuffle, which is
+    * partial-aggable. Grams travel as xxhash64 longs (d02's 8-byte
+    * shuffle-key rationale and collision analysis apply).
+    *
+    * Output: flagged train docs with leaked-gram counts and the leak
+    * fraction — the rows a pipeline quarantines or re-scrubs.
+    */
+  def d09NgramDecontam(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val grams = Tables.documents(s, d)
+      .withColumn("held",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 7 === 0)
+      .select(col("doc_id"), col("held"),
+        explode(expr("graft_shingles5(text)")).as("g"))
+      .select(col("doc_id"), col("held"), xxhash64(col("g")).as("s"))
+    val heldGrams = grams.filter(col("held")).select(col("s")).distinct()
+    val train = grams.filter(!col("held"))
+    val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val leaked = train.join(broadcast(heldGrams), "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
+    leaked.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_leaked"), col("n_grams"),
+        (col("n_leaked").cast("double") / col("n_grams").cast("double"))
+          .as("leak_frac"))
+  }
+
+  /** SimHash near-dup PAIRS via Hamming-band bucketing — the scale
+    * path that turns d04's signatures into actual pair detection. A
+    * 32-bit SimHash over word BIGRAMS (occurrence-weighted votes;
+    * bigram features spread this corpus's signatures far better than
+    * unigrams, whose votes correlate across docs) is split into 4
+    * byte-bands; by pigeonhole, any pair within Hamming distance 3
+    * agrees exactly on at least one band, so bucketing on (band,
+    * byte) finds EVERY qualifying pair — the banding is lossless, not
+    * approximate, and the oracle is the plain all-pairs filter.
+    *
+    * Scale shape: the shuffle carries 4 tiny (band, byte) keys plus
+    * the 8-byte signature per doc — and because the signature itself
+    * rides the candidate row, verification is a codegen'd
+    * `bit_count(a^b)` in place: NO second join back to per-doc state
+    * (MinHash LSH must rejoin shingle sets; SimHash verification is
+    * free). Candidates here are ~9 % of all pairs (measured both sf);
+    * on a real corpus with dispersed signatures the fraction
+    * collapses further.
+    */
+  def d10SimhashBandPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("graft_simhash32(graft_word_bigrams(text))").as("sig"))
+    val bands = sig.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(sig, band * 8) & 255"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3) // before the dedup shuffle: ~9 % → ~0.03 %
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d09_ngram_decontam" -> d09NgramDecontam,
+    "d10_simhash_band_pairs" -> d10SimhashBandPairs,
     "d08_incremental_dedup" -> d08IncrementalDedup,
     "d01_exact_dedup" -> d01ExactDedup,
     "d02_jaccard_pairs" -> d02JaccardPairs,
@@ -387,7 +466,64 @@ object Dedup {
         JOIN sizes sb ON corpus_id = sb.doc_id
         WHERE common / (sa.n + sb.n - common) >= 0.5"""
 
+  // d09's oracle: the same 5-gram extraction and md5 held-out slice in
+  // plain SQL; the engine's xxhash64 gram keys are internal plumbing
+  // (d02's collision analysis), the flagged docs and counts must match.
+  private val decontamSql =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS s
+         FROM toks),
+       flags AS (
+         SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 7 = 0 AS held
+         FROM documents),
+       held AS (SELECT DISTINCT s FROM sh JOIN flags USING (doc_id) WHERE held),
+       tr AS (SELECT sh.doc_id, s FROM sh JOIN flags USING (doc_id) WHERE NOT held),
+       sizes AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1)
+       SELECT l.doc_id, l.n_leaked, sizes.n_grams,
+         l.n_leaked::DOUBLE / sizes.n_grams::DOUBLE AS leak_frac
+       FROM (SELECT tr.doc_id, count(*) AS n_leaked
+             FROM tr JOIN held USING (s) GROUP BY 1) l
+       JOIN sizes USING (doc_id)"""
+
+  // d10's oracle: ALL-PAIRS Hamming filter over the same bigram
+  // SimHash — the banding is lossless by pigeonhole (distance ≤ 3 over
+  // 4 bands forces an identical band), so the bucketed path must
+  // reproduce the quadratic reference answer exactly.
+  private val simhashBandSql =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+         FROM documents),
+       feat AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(t)),
+           i -> t[i] || ' ' || t[i+1])) AS f
+         FROM toks),
+       fh AS (
+         SELECT doc_id, list_reduce(list_prepend(7::BIGINT,
+           list_transform(regexp_split_to_array(f, ''), ch -> ascii(ch)::BIGINT)),
+           (acc, ch) -> (acc * 31 + ch) % 1000000007) AS h
+         FROM feat),
+       votes AS (
+         SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         FROM fh, unnest(range(0, 32)) AS u(bit) GROUP BY 1, 2),
+       sh AS (
+         SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+         FROM votes GROUP BY 1)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
   val oracles: Map[String, String] = Map(
+    "d09_ngram_decontam" -> decontamSql,
+    "d10_simhash_band_pairs" -> simhashBandSql,
     "d08_incremental_dedup" -> incrementalSql,
     "d07_dup_clusters" -> clusterSql,
     "d01_exact_dedup" ->

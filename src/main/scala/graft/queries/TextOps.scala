@@ -202,7 +202,48 @@ object TextOps {
         col("sum_freq").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Repetition / diversity signals — the Gopher-style "repetitious
+    * text" quality rules (most-common-token fraction, distinct-token
+    * ratio, duplicate-bigram fraction) every large-corpus filter
+    * applies before training. The bigram stats are IN-ROW array
+    * expressions (no shuffle at all — `graft_word_bigrams` is one
+    * native pass); the token mode needs a real aggregation, done as
+    * two partial-aggable hash shuffles on (doc, token) then (doc) —
+    * the exact word-count shape, so it scales like q20. The bigram
+    * columns ride through the explode and are collapsed with `first`,
+    * avoiding a separate join back to the per-doc side.
+    */
+  def t11Repetition(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val exploded = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        expr("graft_word_bigrams(text)").as("bg"))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_uniq_bigrams"),
+        explode(toks(col("text"))).as("tok"))
+    exploded
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"),
+        first(col("n_bigrams")).as("n_bigrams"),
+        first(col("n_uniq_bigrams")).as("n_uniq_bigrams"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_uniq_tokens"),
+        max(col("c")).as("top_cnt"),
+        first(col("n_bigrams")).as("n_bigrams"),
+        first(col("n_uniq_bigrams")).as("n_uniq_bigrams"))
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq_tokens"),
+        (col("n_uniq_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("distinct_ratio"),
+        (col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_frac"),
+        (lit(1.0) - col("n_uniq_bigrams").cast("double")
+          / col("n_bigrams").cast("double")).as("dup_bigram_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_repetition" -> t11Repetition,
     "t10_lm_quality" -> t10LmQuality,
     "t01_token_stats" -> t01TokenStats,
     "t02_quality_score" -> t02QualityScore,
@@ -213,6 +254,30 @@ object TextOps {
     "t09_sequence_pack" -> t09SequencePack)
 
   val oracles: Map[String, String] = Map(
+    "t11_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         bstats AS (
+           SELECT doc_id,
+             len(b)::BIGINT AS n_bigrams,
+             len(list_distinct(b))::BIGINT AS n_uniq_bigrams
+           FROM (SELECT doc_id,
+                   list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b
+                 FROM toks)),
+         pt AS (
+           SELECT doc_id, tok, count(*) AS c
+           FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_uniq_tokens,
+             max(c)::BIGINT AS top_cnt
+           FROM pt GROUP BY 1)
+         SELECT a.doc_id, n_tokens, n_uniq_tokens,
+           n_uniq_tokens::DOUBLE / n_tokens::DOUBLE AS distinct_ratio,
+           top_cnt::DOUBLE / n_tokens::DOUBLE AS top_token_frac,
+           1 - n_uniq_bigrams::DOUBLE / n_bigrams::DOUBLE AS dup_bigram_frac
+         FROM agg a JOIN bstats USING (doc_id)""",
     "t10_lm_quality" ->
       """WITH tok AS (
            SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
