@@ -475,6 +475,43 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Johnson-Lindenstrauss signed random projection 64 → 16 dims in
+    * one native pass: out[j] = Σₖ v[k]·s(j,k) with s(j,k) = ±1 drawn
+    * from bit 20 of the same LCG family as LshBucket (NOT the low bit:
+    * an LCG's low bit strictly alternates with its sequential input,
+    * which would make every output dimension the same checkerboard —
+    * a rank-1 "projection"). Accumulation is k-ascending, so the
+    * doubles are bit-identical to the oracle's `list_reduce` fold; the
+    * projected vectors — and everything ranked on them — stay
+    * hash-checkable across engines.
+    */
+  case class RandomProjection(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData].toDoubleArray()
+      val n = math.min(64, v.length)
+      val out = new Array[Any](16)
+      var j = 0
+      while (j < 16) {
+        var dacc = 0.0
+        var k = 0
+        while (k < n) {
+          val lcg = (1103515245L * (j * 64 + k) + 12345L) % 2147483648L
+          dacc += v(k) * (if (((lcg >> 20) & 1L) == 1L) 1.0 else -1.0)
+          k += 1
+        }
+        out(j) = dacc
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Word n-grams of a text in one native pass, NON-distinct — every
     * occurrence is kept, in order. The occurrence-weighted sibling of
     * ShingleSet (same tokenization: lowercase, split on whitespace,
@@ -571,5 +608,7 @@ object VectorExpressions {
       "graft_shingles5", es => ShingleSet(es.head, 5), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_bigrams", es => WordGramList(es.head, 2), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rproj", es => RandomProjection(es.head), "built-in")
   }
 }

@@ -151,28 +151,120 @@ object Relational9 {
         round(sum(col("l_extendedprice")), 2).as("revenue"))
   }
 
+  /** The same skewed join handled by AQE's runtime skew split — the
+    * adaptive counterpart to q52's deterministic salting (the two
+    * standard fixes, now both demonstrated). The fact side's hot key
+    * (70 % of lineitem on k = 0) lands in one sort-merge shuffle
+    * partition; AQE observes the map-output sizes at runtime and
+    * splits the oversized partition into advisory-sized chunks, each
+    * joined against a REPLICATED copy of the dim side's matching
+    * partition — the same spread-hot-key/replicate-small-side algebra
+    * as salting, but decided from measured sizes with no plan rewrite.
+    *
+    * `forceOptimizeSkewedJoin` is required here and is itself the
+    * lesson: the post-join aggregation could reuse the join's
+    * hash-partitioning on k, so honoring the split costs one extra
+    * exchange — AQE declines by default and must be told the straggler
+    * is worth it. Thresholds are surfaced as parameters (the spec
+    * pins a split at sf0.001; these defaults trigger from sf0.01 up).
+    *
+    * The result is materialized UNDER the modified confs (the session
+    * confs are restored before returning — a lazily-returned plan
+    * would otherwise execute after the restore), and the executed
+    * plan string is surfaced for the spec's `isSkew=true` assertion.
+    */
+  def q53AqeSkewJoin(s: SparkSession, d: String): DataFrame =
+    aqeSkewJoin(s, d, thresholdBytes = 64 << 10, advisoryBytes = 16 << 10)._1
+
+  private[graft] def aqeSkewJoin(s: SparkSession, d: String,
+      thresholdBytes: Long, advisoryBytes: Long): (DataFrame, String) = {
+    val fact = Tables.lineitem(s, d)
+      .select(
+        when(col("l_orderkey") % 10 < 7, 0L)
+          .otherwise(col("l_orderkey") % 100).as("k"),
+        col("l_extendedprice"))
+      // skew splits are map-output RANGES: the fixtures are one
+      // parquet row group = ONE mapper feeding the join exchange, so
+      // the hot partition would have nothing to split into. The
+      // round-robin repartition stands in for the many-task upstream
+      // stage any cluster-scale query has (where this exchange simply
+      // wouldn't exist).
+      .repartition(8)
+    // One row per key, via filter not groupBy: OptimizeSkewedJoin only
+    // matches an ENSURE_REQUIREMENTS shuffle DIRECTLY under each sort.
+    // An aggregated dim reuses its own agg partitioning (no fresh
+    // exchange → rule can't match), and a repartition(col) exchange is
+    // user-origin (rule refuses to rewrite it) — both observed to
+    // silently disqualify the join from skew handling.
+    val dim = Tables.part(s, d)
+      .filter(col("p_partkey") <= 100)
+      .select((col("p_partkey") % 100).as("k"), col("p_brand").as("brand"))
+    val joined = fact.join(dim.hint("merge"), Seq("k"))
+      .groupBy(col("k"), col("brand"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.5",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> thresholdBytes.toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisoryBytes.toString,
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val out = joined.localCheckpoint() // materializes under the confs
+      (out, joined.queryExecution.executedPlan.toString)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_aqe_skew_join" -> q53AqeSkewJoin,
     "q52_salted_join" -> q52SaltedJoin,
     "q49_schema_evolution" -> q49SchemaEvolution,
     "q50_gap_fill" -> q50GapFill,
     "q51_compaction" -> q51Compaction)
 
+  // q52/q53 share one oracle: both are mechanisms (salting / AQE
+  // split) for the SAME plain skewed join — the answer must be
+  // mechanism-invariant, exactly like d03/d06 sharing d02's oracle.
+  private val skewJoinSql =
+    """WITH fact AS (
+         SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                     ELSE l_orderkey % 100 END AS k,
+                l_extendedprice
+         FROM lineitem),
+       dim AS (
+         SELECT p_partkey % 100 AS k, min(p_brand) AS brand
+         FROM part GROUP BY 1)
+       SELECT k, brand, count(*) AS n_rows,
+         round(sum(l_extendedprice), 2) AS revenue
+       FROM fact JOIN dim USING (k)
+       GROUP BY 1, 2"""
+
   val oracles: Map[String, String] = Map(
-    // The salt is join-internal plumbing: the oracle is the PLAIN
-    // skewed join — salting must be answer-invariant by construction.
-    "q52_salted_join" ->
+    // q53's dim is one-row-per-key by FILTER (see aqeSkewJoin); the
+    // oracle is still the plain mechanism-free join.
+    "q53_aqe_skew_join" ->
       """WITH fact AS (
            SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
                        ELSE l_orderkey % 100 END AS k,
                   l_extendedprice
            FROM lineitem),
          dim AS (
-           SELECT p_partkey % 100 AS k, min(p_brand) AS brand
-           FROM part GROUP BY 1)
+           SELECT p_partkey % 100 AS k, p_brand AS brand
+           FROM part WHERE p_partkey <= 100)
          SELECT k, brand, count(*) AS n_rows,
            round(sum(l_extendedprice), 2) AS revenue
          FROM fact JOIN dim USING (k)
          GROUP BY 1, 2""",
+    // The salt is join-internal plumbing: the oracle is the PLAIN
+    // skewed join — salting must be answer-invariant by construction.
+    "q52_salted_join" -> skewJoinSql,
     "q49_schema_evolution" ->
       """WITH unioned AS (
            SELECT doc_id, lang, NULL::BOOLEAN AS quality

@@ -346,7 +346,40 @@ object Similarity {
     (contract, rounds)
   }
 
+  /** Dimensionality-reduced ANN via signed random projection
+    * (Johnson-Lindenstrauss): project 64 → 16 dims with a
+    * deterministic ±1 matrix (native `graft_rproj`, one pass per
+    * vector), then brute-force cosine top-5 in the REDUCED space —
+    * the third ANN family next to bucketing (s02) and coarse
+    * quantization (s03/s04). The projection is computed once per
+    * vector and is 4× smaller than the original: at 100 TB the
+    * reduced vectors are the columnar index you scan (a quarter of
+    * the I/O and FLOPs per probe), with JL guaranteeing bounded
+    * distance distortion. The reduced-space ranking itself is
+    * oracle-checked — both engines run the identical integer LCG and
+    * k-ascending double fold, so even the approximation error is
+    * reproduced bit-for-bit.
+    */
+  def s09RandomProjAnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), expr("graft_rproj(v)").as("r"))
+      .withColumn("rnrm", sqrt(expr("graft_sumsq(r)")))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("r").as("pr"), col("rnrm").as("pnrm"))
+    val joined = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("rcos", expr("graft_dot(pr, r)") / (col("pnrm") * col("rnrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rcos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("rcos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s09_rproj_ann" -> s09RandomProjAnn,
     "s08_kmeans_full" -> s08KmeansFull,
     "s01_cosine_topk" -> s01CosineTopK,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -390,7 +423,32 @@ object Similarity {
             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
         WHERE rank <= 5"""
 
+  // s09's oracle mirrors the signed projection exactly: same LCG, same
+  // bit-20 sign, same k-ascending fold — then the identical 16-dim
+  // cosine ranking. Fully parenthesized: DuckDB's %, >>, & precedence
+  // must not differ from the intended grouping.
+  private val s09Sql =
+    """WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       rp AS (
+         SELECT vec_id, list_transform(range(0, 16), j ->
+           list_reduce(list_prepend(0.0, list_transform(range(0, 64), k ->
+             v[k + 1] * (CASE WHEN ((((1103515245 * (j * 64 + k) + 12345) % 2147483648) >> 20) & 1) = 1
+                         THEN 1.0 ELSE -1.0 END))),
+             (acc, x) -> acc + x)) AS r
+         FROM ev),
+       scored AS (
+         SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(1, 17), i -> p.r[i] * e.r[i])), (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.r, x -> x * x)), (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(e.r, x -> x * x)), (acc, x) -> acc + x))) AS rcos
+         FROM rp p JOIN rp e ON p.vec_id < 10 AND e.vec_id <> p.vec_id)
+       SELECT probe_id, rank, neighbor_id, rcos FROM (
+         SELECT *, row_number() OVER (PARTITION BY probe_id
+           ORDER BY rcos DESC, neighbor_id) AS rank FROM scored) r
+       WHERE rank <= 5"""
+
   val oracles: Map[String, String] = Map(
+    "s09_rproj_ann" -> s09Sql,
     // s08 contract oracle (q17 pattern): convergence and the fixed
     // point are engine-loop facts; the SQL side pins the invariants
     // (final_moves = 0 at a fixed point, ≤ k cells) plus the exact

@@ -181,6 +181,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no exchange may partition by the skewed key alone before the join")
   }
 
+  test("q53 AQE splits the hot-key partition at runtime (skew=true)") {
+    // tiny thresholds pin the split at sf0.001 (one row group = tiny
+    // shuffles); the query's defaults trigger from sf0.01 up
+    val (df, plan) = graft.queries.Relational9.aqeSkewJoin(
+      spark, sf, thresholdBytes = 1024, advisoryBytes = 512)
+    assert(df.count() > 0)
+    assert(plan.contains("SortMergeJoin(skew=true)"),
+      s"expected a runtime skew split:\n${plan.take(1500)}")
+    assert(plan.contains("skewed"), "AQEShuffleRead must mark the split side")
+  }
+
   test("d06 bloom probe is a native expression, not a UDF") {
     val p = planOf("d06_bloom_jaccard")
     assert(p.contains("bloommightcontainlong"), p.take(800))
