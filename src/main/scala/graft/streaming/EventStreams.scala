@@ -290,6 +290,100 @@ object EventStreams {
     s.table(name)
   }
 
+  /** Stage events as THREE chunks for the late-data gate: chunk 0 the
+    * on-time bulk below the final on-time hour, chunk 1 that final
+    * hour, chunk 2 the stragglers (event_id % 10 = 7) — replayed
+    * last, after the watermark has advanced past most of their event
+    * times. Three chunks, not two, because Spark ≥ 3.4 filters late
+    * events against the PREVIOUS batch's watermark (SPARK-40925:
+    * eviction uses the current one, late-drop lags a batch so the two
+    * never disagree within a batch) — with a single on-time batch the
+    * stragglers would face a zero late-watermark and silently merge
+    * (observed: the 2-chunk form dropped nothing). The split
+    * predicates are deliberately SQL-expressible (unlike
+    * stageEventChunks' sampled ranges) because the DROPPED SET is the
+    * thing under test and the oracle must reproduce it exactly. Same
+    * keyed-dir/marker/modtime discipline as stageEventChunks; subsets
+    * are written to a scratch dir and only the bare part files land
+    * in the replay dir (a nested write dir would read as a partition
+    * column).
+    */
+  private def stageLateChunks(s: SparkSession, d: String): String = {
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val ident = s"late3:$d:${java.nio.file.Files.size(src)}:" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_events_late_$key")
+    val marker = dir.resolve("_GRAFT_STAGED")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(dir)
+      val ev = Tables.events(s, d)
+      val onTime = col("event_id") % 10 =!= 7
+      // the final on-time hour boundary — a one-row agg, driver-side
+      // by nature (it parameterizes the staging layout, not the data)
+      val cut = ev.filter(onTime)
+        .agg(date_trunc("hour", max(col("ts")))).head.getTimestamp(0)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_late_stage_")
+      Seq(
+        onTime && col("ts") < lit(cut),
+        onTime && col("ts") >= lit(cut),
+        col("event_id") % 10 === 7)
+        .zipWithIndex.foreach { case (pred, i) =>
+          val sub = scratch.resolve(s"c$i")
+          ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(sub.toString)
+          val part = new java.io.File(sub.toString).listFiles()
+            .find(_.getName.startsWith("part-")).get
+          val dst = dir.resolve(s"chunk-$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      val base = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val f = dir.resolve(s"chunk-$i.parquet").toFile
+        if (!f.setLastModified(base + (i + 1) * 60000L))
+          throw new IllegalStateException(
+            s"setLastModified failed for $f — replay order not guaranteed")
+      }
+      java.nio.file.Files.write(marker, Array.empty[Byte])
+    }
+    dir.toString
+  }
+
+  /** LATE-DATA semantics under a watermark — the drop path itself,
+    * which every other gate deliberately avoids (their replays are
+    * time-ordered so nothing is late). Chunks 0+1 advance the
+    * watermark in two steps; chunk 2's stragglers then arrive against
+    * the LATE watermark W1 = max(chunk 0 ts) − 2 h (the previous
+    * batch's watermark — SPARK-40925's lag, see stageLateChunks) and
+    * every straggler whose hour window closed before W1 is DROPPED by
+    * the aggregation's late filter — deterministically, because the
+    * watermark is fixed for the whole micro-batch and chunk
+    * membership is a fixed predicate. Append mode + the st07 emission
+    * cutoff keeps the sink = exactly the closed windows; the oracle
+    * replays the drop rule in SQL: a straggler survives iff its
+    * window end clears W1. A wrong engine (no drop, drop against the
+    * wrong batch's watermark, or drop on row-ts instead of
+    * window-end) hash-mismatches immediately.
+    */
+  def st12LateDataDrop(s: SparkSession, d: String): DataFrame = {
+    val stream = s.readStream.schema(EventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageLateChunks(s, d))
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val name = "st12_sink"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
   /** Incremental ETL via `foreachBatch`: the watermarked hourly
     * aggregation in APPEND mode emits each window exactly once (when
     * the watermark passes its end), and each micro-batch's finalized
@@ -424,6 +518,7 @@ object EventStreams {
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st12_late_data_drop" -> gated(st12LateDataDrop),
     "st10_stream_stream_join" -> gated(st10StreamStreamJoin),
     "st01_stream_hourly" -> gated(st01StreamHourly),
     "st02_sessionize" -> st02Sessionize,
@@ -537,6 +632,28 @@ object EventStreams {
            SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour
            FROM events) t
          GROUP BY 1""",
+    // w1 = the LATE watermark the stragglers face (chunk 0's max − 2 h
+    // — the previous batch's watermark, SPARK-40925); wf = the final
+    // watermark (all rows observed — even dropped rows advance
+    // EventTimeWatermarkExec's max). A straggler is retained iff its
+    // window end clears w1; emission is st07's cutoff vs wf.
+    "st12_late_data_drop" ->
+      """WITH ot AS (SELECT * FROM events WHERE event_id % 10 <> 7),
+         cut AS (SELECT date_trunc('hour', max(ts)) AS c FROM ot),
+         w1 AS (SELECT max(ts) - INTERVAL 2 HOUR AS w
+                FROM ot, cut WHERE ts < cut.c),
+         wf AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+         retained AS (
+           SELECT ts, event_type, value FROM ot
+           UNION ALL
+           SELECT e.ts, e.event_type, e.value FROM events e, w1
+           WHERE e.event_id % 10 = 7
+             AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > w1.w)
+         SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM retained, wf
+         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wf.w
+         GROUP BY 1, 2""",
     "st07_foreach_batch_sink" ->
       """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
          SELECT date_trunc('hour', ts) AS hour, event_type,
