@@ -104,11 +104,76 @@ object Multimodal {
       .toDF()
   }
 
+  /** One resized-asset record: input dims, output dims, re-encoded
+    * thumbnail identity. */
+  case class Thumb(doc_id: Long, in_w: Long, in_h: Long,
+      out_w: Long, out_h: Long, thumb_md5: String, thumb_bytes: Long)
+
+  /** Image RESIZE — the decode → transform → re-encode pass (the
+    * third multimodal stage next to m01's decode and m02's fan-out):
+    * aspect-ratio-preserving thumbnail to a 16-px max side, re-encoded
+    * as a new binary column. All three stages run in ONE
+    * `mapPartitions` batch (codec init once per partition, bounded
+    * memory per asset, typed Encoder output) — the exact pipeline
+    * shape a real libvips/Pillow `mapInPandas` stage has; the "pixel"
+    * work is the deterministic FAKEIMG1 stub (see the object doc), so
+    * the scale arithmetic and the re-encoded identity are
+    * oracle-recomputable: a resize that rounded dims differently or
+    * re-encoded stale bytes hash-mismatches.
+    */
+  def m03ResizeThumb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(32) + col("doc_id") % 97).cast("long").as("width"),
+        (lit(32) + (col("doc_id") * 7) % 89).cast("long").as("height"),
+        md5(col("text").cast("binary")).as("payload_md5"))
+      .select(col("doc_id"),
+        concat_ws(":", lit("FAKEIMG1"), col("width"), col("height"),
+          col("payload_md5")).cast("binary").as("asset"))
+    assets.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // codec init, once per partition
+        it.map { case (id, bytes) =>
+          val m = FakeCodec.decode(id, bytes)
+          val side = math.max(m.width, m.height) // always > 16 here
+          val ow = math.max(1L, m.width * 16L / side)
+          val oh = math.max(1L, m.height * 16L / side)
+          // "re-encode": the thumb identity binds payload AND new dims
+          md.reset()
+          val sig = md.digest(s"${m.payload_md5}:$ow:$oh".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          val thumb = s"FAKETHUMB1:$ow:$oh:$sig"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Thumb(id, m.width, m.height, ow, oh, sig, thumb.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m03_resize_thumb" -> m03ResizeThumb,
     "m01_decode_meta" -> m01DecodeMeta,
     "m02_frame_sample" -> m02FrameSample)
 
   val oracles: Map[String, String] = Map(
+    "m03_resize_thumb" ->
+      """WITH dims AS (
+           SELECT doc_id, (32 + doc_id % 97)::BIGINT AS in_w,
+             (32 + (doc_id * 7) % 89)::BIGINT AS in_h,
+             md5(text) AS pmd5
+           FROM documents),
+         rs AS (
+           SELECT doc_id, in_w, in_h,
+             greatest(1, in_w * 16 // greatest(in_w, in_h))::BIGINT AS out_w,
+             greatest(1, in_h * 16 // greatest(in_w, in_h))::BIGINT AS out_h,
+             pmd5
+           FROM dims)
+         SELECT doc_id, in_w, in_h, out_w, out_h,
+           md5(pmd5 || ':' || out_w || ':' || out_h) AS thumb_md5,
+           length('FAKETHUMB1:' || out_w || ':' || out_h || ':'
+             || md5(pmd5 || ':' || out_w || ':' || out_h))::BIGINT AS thumb_bytes
+         FROM rs""",
     "m01_decode_meta" ->
       """SELECT doc_id, 32 + doc_id % 97 AS width,
          32 + (doc_id * 7) % 89 AS height,
