@@ -205,34 +205,34 @@ object TextOps {
   /** Repetition / diversity signals — the Gopher-style "repetitious
     * text" quality rules (most-common-token fraction, distinct-token
     * ratio, duplicate-bigram fraction) every large-corpus filter
-    * applies before training. The bigram stats are IN-ROW array
-    * expressions (no shuffle at all — `graft_word_bigrams` is one
-    * native pass); the token mode needs a real aggregation, done as
-    * two partial-aggable hash shuffles on (doc, token) then (doc) —
-    * the exact word-count shape, so it scales like q20. The bigram
-    * columns ride through the explode and are collapsed with `first`,
-    * avoiding a separate join back to the per-doc side.
+    * applies before training. EVERYTHING is in-row — no shuffle at
+    * all: the metrics are per-document facts, so the scalable shape is
+    * a narrow projection over the scan, not an aggregation. The token
+    * MODE (normally a groupBy) comes from a sorted run-length fold
+    * (`aggregate` over `array_sort` — max run of equal neighbours =
+    * max multiplicity); the explode + (doc, token) + (doc) double
+    * shuffle formulation measured 3.7 s at sf0.1 for the same answer,
+    * this form ~0.7 s warm, and at 100 TB the difference is a full
+    * token-stream shuffle vs none.
     */
   def t11Repetition(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val exploded = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"),
         expr("graft_word_bigrams(text)").as("bg"))
       .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_uniq_tokens"),
+        expr("""aggregate(
+            array_sort(t),
+            named_struct('prev', '', 'run', 0L, 'best', 0L),
+            (acc, x) -> named_struct(
+              'prev', x,
+              'run', IF(x = acc.prev, acc.run + 1L, 1L),
+              'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+            acc -> acc.best)""").as("top_cnt"),
         size(col("bg")).cast("long").as("n_bigrams"),
-        size(array_distinct(col("bg"))).cast("long").as("n_uniq_bigrams"),
-        explode(toks(col("text"))).as("tok"))
-    exploded
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("c"),
-        first(col("n_bigrams")).as("n_bigrams"),
-        first(col("n_uniq_bigrams")).as("n_uniq_bigrams"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("n_uniq_tokens"),
-        max(col("c")).as("top_cnt"),
-        first(col("n_bigrams")).as("n_bigrams"),
-        first(col("n_uniq_bigrams")).as("n_uniq_bigrams"))
+        size(array_distinct(col("bg"))).cast("long").as("n_uniq_bigrams"))
       .select(col("doc_id"), col("n_tokens"), col("n_uniq_tokens"),
         (col("n_uniq_tokens").cast("double") / col("n_tokens").cast("double"))
           .as("distinct_ratio"),
