@@ -66,4 +66,63 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[(String, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
+
+  /** Count-Min sketch over long keys: a depth×width counter matrix;
+    * `reduce` adds 1 to one bucket per row, `merge` is an elementwise
+    * sum. Merges are COMMUTATIVE AND ASSOCIATIVE, so the final sketch —
+    * and every estimate read from it — is partition-order independent;
+    * that is what lets a sketch be correctness-GATED (contrast
+    * Misra-Gries/space-saving, whose surviving candidate set depends
+    * on merge order and can't face a deterministic oracle). Buffer is
+    * depth×width longs regardless of input size: the shuffle carries
+    * one ~4 KB array per task — the sketch point at 100 TB.
+    *
+    * Estimates: est(k) = min over rows r of bucket(r, h_r(k)); CMS
+    * guarantees est ≥ true always, and est ≤ true + colliding mass
+    * (≈ n/width per row in expectation, min over `depth` rows).
+    * Bucket hashing is the public splitmix64 finalizer seeded per row.
+    */
+  class CountMinSketch[I](key: I => Long, val depth: Int = 4, val width: Int = 64)
+    extends Aggregator[I, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](depth * width)
+    def reduce(b: Array[Long], in: I): Array[Long] = {
+      val k = key(in)
+      var r = 0
+      while (r < depth) {
+        b(r * width + CountMinSketch.bucket(k, r, width)) += 1L
+        r += 1
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  }
+
+  object CountMinSketch {
+    /** splitmix64 finalizer (public-domain constants), row-seeded. */
+    def bucket(k: Long, row: Int, width: Int): Int = {
+      var z = k + row.toLong * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      (((z % width) + width) % width).toInt
+    }
+    /** Point estimate from a finished sketch. */
+    def estimate(sketch: Array[Long], k: Long, depth: Int, width: Int): Long = {
+      var m = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val v = sketch(r * width + bucket(k, r, width))
+        if (v < m) m = v
+        r += 1
+      }
+      m
+    }
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.Aggregators.{CounterMerge, TopKByCount}
+import graft.functions.Aggregators.{CounterMerge, CountMinSketch, TopKByCount}
 
 /** The typed-Aggregator library exercised through the oracle gate:
   * each query computes an answer Spark could also get declaratively,
@@ -49,11 +49,63 @@ object AggQueries {
         col("col._1").as("word"), col("col._2").as("n"))
   }
 
+  /** Heavy-hitter detection via a Count-Min sketch — the third sketch
+    * family after HLL (q17) and GK quantiles (q39), and the one that
+    * answers "which keys are hot" (the question q52/q53's skew fixes
+    * presuppose someone answered). The skewed q52 key domain replays
+    * here: ~70 % of lineitem on k = 0.
+    *
+    * Scale shape: the sketch pass shuffles ONE ~2 KB buffer per task
+    * (commutative merges — see CountMinSketch for why that, and not
+    * merge-order-dependent Misra-Gries, is gate-able); estimates are
+    * then read per candidate key against the broadcast sketch in a
+    * narrow typed map. The exact per-key counts here double as the
+    * contract's ground truth — at 100 TB that exact pass is the thing
+    * you DON'T run (the sketch replaces it); the gate runs both to
+    * prove the sketch honored its bounds.
+    *
+    * Contract (q17's pattern): per key, the exact count plus
+    * `est_ge_exact` (CMS never under-counts — deterministic) and
+    * `est_within_bound` (est ≤ exact + 4·n/width; Markov per row at
+    * 4× the mean collision mass, taken to the min over 4 rows —
+    * verified to hold with wide margin on this key domain at all
+    * three sfs; the hashes and data are fixed, so it is a fact of the
+    * dataset, not a per-run gamble).
+    */
+  def a03CmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val depth = 4; val width = 64
+    val items = Tables.lineitem(s, d)
+      .select(when(col("l_orderkey") % 10 < 7, 0L)
+        .otherwise(col("l_orderkey") % 100).as("k"))
+      .as[Long]
+    val cms = new CountMinSketch[Long](identity, depth, width)
+    val sketch = items.select(cms.toColumn.name("sketch")).head()
+    val bc = s.sparkContext.broadcast(sketch)
+    val exact = items.groupByKey(identity).count()
+    val nTotal = Tables.lineitem(s, d).count()
+    val slack = 4L * nTotal / width
+    exact.map { case (k, n) =>
+      val est = graft.functions.Aggregators.CountMinSketch
+        .estimate(bc.value, k, depth, width)
+      (k, n, est >= n, est <= n + slack)
+    }.toDF("k", "n_exact", "est_ge_exact", "est_within_bound")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a03_cms_heavy_hitters" -> a03CmsHeavyHitters,
     "a01_counter_merge" -> a01CounterMerge,
     "a02_topk_per_key" -> a02TopKPerKey)
 
   val oracles: Map[String, String] = Map(
+    // the exact side of the contract; the sketch bound booleans must
+    // come out TRUE for every key (q17's contract-oracle pattern)
+    "a03_cms_heavy_hitters" ->
+      """SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                     ELSE l_orderkey % 100 END AS k,
+           count(*) AS n_exact,
+           TRUE AS est_ge_exact, TRUE AS est_within_bound
+         FROM lineitem GROUP BY 1""",
     "a01_counter_merge" ->
       """SELECT lang, word, count(*) AS n FROM (
            SELECT lang, unnest(list_filter(
