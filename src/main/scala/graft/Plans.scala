@@ -19,6 +19,8 @@ object Plans {
       "d03_minhash_lsh", "s01_cosine_topk", "st02_sessionize",
       "t08_textcat", "q44_funnel_timeout", "q48_lang_cap",
       "s06_kmeans_refine", "d08_incremental_dedup", "q50_gap_fill",
+      "d09_ngram_decontam", "d10_simhash_band_pairs", "t11_repetition",
+      "s09_rproj_ann", "q52_salted_join",
       "p01_corpus_build")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries (sf0.01, AQE off for readability)\n\n"
