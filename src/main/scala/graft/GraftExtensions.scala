@@ -46,10 +46,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("graft_trigram_counts", "per-document trigram -> count map",
         es => CharGramCounts(es.head, 3)),
       ("graft_trigram_hashes", "xxhash64 of each distinct trigram",
-        es => CharGramHashes(es.head, 3)))
+        es => CharGramHashes(es.head, 3)),
+      ("graft_trigram_packed_counts", "packed trigram -> count map",
+        es => CharGramPackedCounts(es.head, 3)),
+      ("graft_trigram_packed", "distinct order-preserving packed trigrams",
+        es => CharGramPackedDistinct(es.head, 3)),
+      ("graft_shingles5", "distinct word 5-gram shingles",
+        es => ShingleSet(es.head, 5)),
+      ("graft_word_bigrams", "word bigrams, every occurrence",
+        es => WordGramList(es.head, 2)),
+      ("graft_rproj", "16-dim signed random projection",
+        es => RandomProjection(es.head)))
     fns.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    e.injectOptimizerRule(_ => GraftRules.DotSelfToSumSq)
+  }
+}
+
+/** Optimizer rules shipped with the extension — the `Rule[LogicalPlan]`
+  * integration point (SURVEY §7: drop to custom Catalyst only where
+  * built-ins can't express the semantics; a rule is how ENGINE
+  * knowledge about its own functions reaches plans the USER wrote).
+  */
+object GraftRules {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.catalyst.rules.Rule
+
+  /** Algebraic rewrite: `graft_dot(x, x)` → `graft_sumsq(x)` — a user
+    * computing a norm through the general dot product gets the
+    * single-traversal form (and Catalyst can then CSE it with other
+    * `graft_sumsq(x)` occurrences, e.g. a hand-written norm column).
+    * Guarded on determinism: rewriting a nondeterministic x would
+    * collapse two independent evaluations into one.
+    */
+  object DotSelfToSumSq extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformAllExpressions {
+        case DotProduct(a, b) if a.deterministic && a.semanticEquals(b) =>
+          SumSquares(a)
+      }
   }
 }
 
@@ -67,6 +103,16 @@ object ExtensionsDemo {
         "graft_shingles('a b c d') AS sh").head()
     println(s"[ext] graft_dot=${row.getDouble(0)} shingles=${row.getSeq[String](1)}")
     assert(row.getDouble(0) == 11.0)
+    // the injected optimizer rule rewrites the self-dot into sumsq
+    // (non-constant input — a literal array would constant-fold away
+    // before the assertion could see either expression)
+    val q = spark.sql("SELECT graft_dot(v, v) AS n FROM " +
+      "(SELECT array(cast(id AS double) + 3.0D, 4.0D) AS v FROM range(1))")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("sumsquares") && !opt.contains("dotproduct"),
+      s"DotSelfToSumSq did not fire:\n$opt")
+    assert(q.head().getDouble(0) == 25.0)
+    println("[ext] DotSelfToSumSq rewrite verified")
     spark.stop()
   }
 }

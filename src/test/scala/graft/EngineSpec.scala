@@ -181,6 +181,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no exchange may partition by the skewed key alone before the join")
   }
 
+  test("DotSelfToSumSq rewrites graft_dot(x, x) into graft_sumsq(x)") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    // the shared session predates extension config — inject the same
+    // rule through the public experimental hook (the config path is
+    // asserted end-to-end in ExtensionsDemo)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ GraftRules.DotSelfToSumSq
+    try {
+      // non-constant input: a literal array constant-folds before the
+      // plan assertion could see either expression
+      val df = spark.range(1)
+        .selectExpr("array(cast(id AS double) + 3.0D, 4.0D) AS v")
+        .selectExpr("graft_dot(v, v) AS n")
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("sumsquares") && !opt.contains("dotproduct"),
+        s"rule did not fire:\n$opt")
+      assert(df.as[Double].head() == 25.0)
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == GraftRules.DotSelfToSumSq)
+  }
+
   test("q53 AQE splits the hot-key partition at runtime (skew=true)") {
     // tiny thresholds pin the split at sf0.001 (one row group = tiny
     // shuffles); the query's defaults trigger from sf0.01 up
