@@ -382,7 +382,42 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Cross-SOURCE overlap matrix — corpus analytics one level above
+    * d02's doc pairs: for every pair of ingest sources, the Jaccard
+    * similarity of their distinct 3-gram shingle sets. This is the
+    * report that decides dedup POLICY (which sources are near-mirrors
+    * and need cross-source dedup, which are disjoint and can skip the
+    * quadratic work) before any doc-level pass runs.
+    *
+    * Scale shape: the per-source DISTINCT collapses the gram stream to
+    * set entries BEFORE the self-join (partial-aggable, 8-byte keys),
+    * and the join's fan-out is bounded by source count per gram (≤ 20
+    * here) — not document count, so it stays benign where d02's
+    * doc-grain join would explode. Output is the full |S|²/2 matrix —
+    * tiny by construction.
+    */
+  def d11SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val sg = Tables.documents(s, d)
+      .select(col("source"), explode(expr("graft_shingles(text)")).as("g"))
+      .select(col("source"), xxhash64(col("g")).as("h"))
+      .distinct()
+      .cache() // feeds sizes plus both self-join inputs
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = sg.as("a"); val b = sg.as("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n", "na")), "src_a")
+      .join(broadcast(sizes.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n", "nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("common"),
+        (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_source_overlap" -> d11SourceOverlap,
     "d09_ngram_decontam" -> d09NgramDecontam,
     "d10_simhash_band_pairs" -> d10SimhashBandPairs,
     "d08_incremental_dedup" -> d08IncrementalDedup,
@@ -521,7 +556,28 @@ object Dedup {
        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
+  private val sourceOverlapSql =
+    """WITH sg AS (
+         SELECT DISTINCT source, s FROM (
+           SELECT source, unnest(list_distinct(
+             list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+           FROM (SELECT source,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+                 FROM documents))),
+       sizes AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+       pairs AS (
+         SELECT a.source AS src_a, b.source AS src_b, count(*) AS common
+         FROM sg a JOIN sg b ON a.s = b.s AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT src_a, src_b, common,
+         common / (sa.n + sb.n - common) AS jaccard
+       FROM pairs
+       JOIN sizes sa ON src_a = sa.source
+       JOIN sizes sb ON src_b = sb.source"""
+
   val oracles: Map[String, String] = Map(
+    "d11_source_overlap" -> sourceOverlapSql,
     "d09_ngram_decontam" -> decontamSql,
     "d10_simhash_band_pairs" -> simhashBandSql,
     "d08_incremental_dedup" -> incrementalSql,

@@ -118,7 +118,28 @@ object Relational2 {
       .select(col("nationkey"), col("n_customers"), col("n_suppliers"))
   }
 
+  /** Time-RANGE window frame — the frame family q23's ROWS frames
+    * don't cover: each order's trailing-30-day revenue and order count
+    * for its customer, via `RANGE BETWEEN INTERVAL 30 DAYS PRECEDING`.
+    * ROWS frames count neighbours; RANGE frames resolve against EVENT
+    * TIME, which is what rolling business metrics actually mean (a
+    * customer with 3 orders in one week vs 3 in a year gets different
+    * windows). Same scale shape as any window: one hash exchange on
+    * the partition key, spillable in-partition sort.
+    */
+  def q54RollingRange(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("trail_rev", round(expr(
+        """sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)"""), 2))
+      .withColumn("trail_orders", expr(
+        """count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)"""))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_rolling_range" -> q54RollingRange,
     "q22_grouping_sets" -> q22GroupingSets,
     "q23_window_analytics" -> q23WindowAnalytics,
     "q24_asof_join" -> q24AsofJoin,
@@ -127,6 +148,13 @@ object Relational2 {
     "q27_full_outer" -> q27FullOuter)
 
   val oracles: Map[String, String] = Map(
+    "q54_rolling_range" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         round(sum(o_totalprice) OVER w, 2) AS trail_rev,
+         count(*) OVER w AS trail_orders
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)""",
     "q22_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
