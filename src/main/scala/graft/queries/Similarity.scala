@@ -378,7 +378,55 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("rcos"))
   }
 
+  /** Scalar-quantized ANN — the index-COMPRESSION axis (s02 prunes
+    * candidates, s03/s04 prune cells, s09 prunes dimensions; SQ
+    * shrinks BYTES): per-dimension corpus min/max train an 8-bit
+    * uniform quantizer, vectors become 64 byte codes (4× smaller than
+    * float32, 8× smaller than the double working form), and search
+    * ranks DEQUANTIZED reconstructions. At 100 TB the code table is
+    * what lives in memory/SSD; the trade is reconstruction error, and
+    * — like every approximation tier here — the quantized ranking
+    * itself is oracle-checked bit-for-bit: both engines run the same
+    * shift/scale/floor and midpoint-decode arithmetic in the same
+    * order, so even the error is reproduced exactly.
+    *
+    * Scale shape: the stats pass is one partial-aggable (dim) agg; the
+    * 128-double stats row broadcasts; quantize/decode are narrow
+    * in-row transforms; the search is s01's broadcast-probe scan over
+    * reconstructions.
+    */
+  def s10SqAnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, mn))), p -> p.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(dim, mx))), p -> p.mx)").as("mxs"))
+    val coded = e.crossJoin(broadcast(stats))
+      .withColumn("q", expr(
+        """transform(sequence(0, 63), i -> least(254L,
+             cast(floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0D) AS long)))"""))
+      .withColumn("dq", expr(
+        """transform(sequence(0, 63), i ->
+             mns[i] + (cast(q[i] AS double) + 0.5D) * (mxs[i] - mns[i]) / 255.0D)"""))
+      .select(col("vec_id"), col("dq"))
+      .withColumn("qnrm", sqrt(expr("graft_sumsq(dq)")))
+    val probes = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("dq").as("pdq"), col("qnrm").as("pnrm"))
+    val joined = coded.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("qcos", expr("graft_dot(pdq, dq)") / (col("pnrm") * col("qnrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("qcos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_sq_ann" -> s10SqAnn,
     "s09_rproj_ann" -> s09RandomProjAnn,
     "s08_kmeans_full" -> s08KmeansFull,
     "s01_cosine_topk" -> s01CosineTopK,
@@ -447,7 +495,40 @@ object Similarity {
            ORDER BY rcos DESC, neighbor_id) AS rank FROM scored) r
        WHERE rank <= 5"""
 
+  // s10's oracle mirrors train/quantize/decode/search exactly (1-based
+  // list indexing vs Spark's 0-based subscripts is the only rewrite).
+  private val s10Sql =
+    """WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       st AS (
+         SELECT i AS dim, min(v[i]) AS mn, max(v[i]) AS mx
+         FROM ev, unnest(range(1, 65)) AS u(i) GROUP BY 1),
+       stats AS (
+         SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+         FROM st),
+       coded AS (
+         SELECT vec_id,
+           list_transform(range(0, 64), i -> least(254,
+             floor((v[i + 1] - mns[i + 1]) / (mxs[i + 1] - mns[i + 1]) * 255.0)::BIGINT)) AS q,
+           mns, mxs
+         FROM ev, stats),
+       dqv AS (
+         SELECT vec_id,
+           list_transform(range(0, 64), i ->
+             mns[i + 1] + (q[i + 1]::DOUBLE + 0.5) * (mxs[i + 1] - mns[i + 1]) / 255.0) AS dq
+         FROM coded),
+       scored AS (
+         SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.dq[i] * e.dq[i])), (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.dq, x -> x * x)), (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(e.dq, x -> x * x)), (acc, x) -> acc + x))) AS qcos
+         FROM dqv p JOIN dqv e ON p.vec_id < 10 AND e.vec_id <> p.vec_id)
+       SELECT probe_id, rank, neighbor_id, qcos FROM (
+         SELECT *, row_number() OVER (PARTITION BY probe_id
+           ORDER BY qcos DESC, neighbor_id) AS rank FROM scored) r
+       WHERE rank <= 5"""
+
   val oracles: Map[String, String] = Map(
+    "s10_sq_ann" -> s10Sql,
     "s09_rproj_ann" -> s09Sql,
     // s08 contract oracle (q17 pattern): convergence and the fixed
     // point are engine-loop facts; the SQL side pins the invariants
