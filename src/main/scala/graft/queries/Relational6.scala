@@ -79,7 +79,15 @@ object Relational6 {
     * first line of defense: most queries touch a time slice, and
     * pruning turns a full scan into a fractional one.
     */
-  def q36PartitionPruning(s: SparkSession, d: String): DataFrame = {
+  def q36PartitionPruning(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(partitionedOrders(s, d))
+      .filter(col("o_year") === 1995)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+
+  /** The year-partitioned orders layout, staged once per input dir —
+    * shared by static (q36) and dynamic (q55) pruning. */
+  private def partitionedOrders(s: SparkSession, d: String): String = {
     val suffix = math.abs(d.hashCode).toString
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_orders_part_$suffix")
@@ -88,8 +96,30 @@ object Relational6 {
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(base.toString)
     }
-    s.read.parquet(base.toString)
-      .filter(col("o_year") === 1995)
+    base.toString
+  }
+
+  /** DYNAMIC partition pruning — q36's static cousin and the bigger
+    * 100 TB win: the pruning predicate isn't in the query text at all.
+    * The dim side ("busy years": years holding ≥ 15 % of all orders)
+    * is DATA-DEPENDENT — no static filter on the partition column can
+    * express it — yet the fact scan still skips the pruned-out year
+    * partitions, because Catalyst plants a dynamicpruning subquery on
+    * the fact's partition column fed by the broadcast dim
+    * (plan-asserted in EngineSpec). This is the star-schema shape: at
+    * 100 TB the fact table is date-partitioned and every dim-filtered
+    * join prunes this way, reading only matching partitions.
+    */
+  def q55DynamicPruning(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fact = s.read.parquet(partitionedOrders(s, d))
+    val dim = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("total", sum(col("n_orders")).over(Window.partitionBy()))
+      .filter(col("n_orders") >= col("total") * 0.15)
+      .select(col("yr"))
+    fact.join(broadcast(dim), fact("o_year") === dim("yr"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
   }
@@ -110,6 +140,7 @@ object Relational6 {
     "q34_text_roundtrip" -> q34TextRoundtrip,
     "q35_bucketed_join" -> q35BucketedJoin,
     "q36_partition_pruning" -> q36PartitionPruning,
+    "q55_dynamic_pruning" -> q55DynamicPruning,
     "q38_pivot" -> q38Pivot)
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +159,16 @@ object Relational6 {
       """SELECT o_orderpriority, count(*) AS n,
          round(sum(o_totalprice), 2) AS sum_price
          FROM orders WHERE year(o_orderdate) = 1995
+         GROUP BY 1""",
+    "q55_dynamic_pruning" ->
+      """WITH yc AS (
+           SELECT year(o_orderdate) AS yr, count(*) AS n
+           FROM orders GROUP BY 1),
+         busy AS (
+           SELECT yr FROM yc WHERE n >= 0.15 * (SELECT sum(n) FROM yc))
+         SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+         FROM orders JOIN busy ON year(o_orderdate) = busy.yr
          GROUP BY 1""",
     "q38_pivot" ->
       """SELECT o_orderpriority,

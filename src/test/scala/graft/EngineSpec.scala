@@ -181,6 +181,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no exchange may partition by the skewed key alone before the join")
   }
 
+  test("q55 plants a dynamicpruning subquery on the fact partition column") {
+    val p = planOf("q55_dynamic_pruning")
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected DPP on the partitioned fact scan:\n${p.take(1200)}")
+  }
+
   test("DotSelfToSumSq rewrites graft_dot(x, x) into graft_sumsq(x)") {
     import spark.implicits._
     graft.functions.VectorExpressions.register(spark)
