@@ -415,6 +415,47 @@ object EventStreams {
       .parquet(out)
   }
 
+  /** UPDATE output mode + an UPSERT sink — the third output-mode
+    * contract next to complete (st01) and append (st07/st12): each
+    * micro-batch emits only the groups whose aggregate CHANGED, with
+    * their current cumulative value, and the sink must merge by key.
+    * Here the sink is a copy-on-write VERSIONED keyed table (the q43
+    * merge idiom per micro-batch: previous version anti-joined on the
+    * batch's keys, union, write version b) — exactly how update-mode
+    * streams land in a lakehouse, and the versions double as time
+    * travel. On a finite replay the latest version converges to the
+    * batch aggregation (st01's oracle) no matter how many times a key
+    * was re-emitted across batches — the convergence contract that
+    * makes update-mode upserts safe to consume.
+    */
+  def st13UpdateUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream13_").toString
+    val sch = "hour TIMESTAMP, event_type STRING, n BIGINT, sum_value DOUBLE"
+    val stream = eventsChunkStream(s, d)
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    var latest = -1L
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val b = batch.select(col("window.start").as("hour"), col("event_type"),
+          col("n"), col("sum_value"))
+        val merged =
+          if (latest < 0) b
+          else s.read.schema(sch).parquet(s"$base/v$latest")
+            .join(b.select(col("hour").as("bh"), col("event_type").as("bt")),
+              col("hour") === col("bh") && col("event_type") === col("bt"),
+              "left_anti")
+            .union(b)
+        merged.write.mode("overwrite").parquet(s"$base/v$bid")
+        latest = bid
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.schema(sch).parquet(s"$base/v$latest")
+  }
+
   /** Checkpointed kill-and-resume: the hourly aggregation runs with a
     * checkpoint, is STOPPED after its first micro-batch (wherever that
     * lands), then a second query with the same checkpoint resumes from
@@ -518,6 +559,7 @@ object EventStreams {
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st13_update_upsert" -> gated(st13UpdateUpsert),
     "st12_late_data_drop" -> gated(st12LateDataDrop),
     "st10_stream_stream_join" -> gated(st10StreamStreamJoin),
     "st01_stream_hourly" -> gated(st01StreamHourly),
@@ -545,6 +587,12 @@ object EventStreams {
           AND v.event_type = 'view' AND c.event_type = 'click'
           AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""",
     "st01_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    // update-mode upserts must CONVERGE to the batch answer — st01's
+    // oracle, by design (nothing is late on the time-ordered replay)
+    "st13_update_upsert" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
