@@ -181,6 +181,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no exchange may partition by the skewed key alone before the join")
   }
 
+  test("d09 probes the held-out gram set via broadcast, not a shuffle join") {
+    val p = planOf("d09_ngram_decontam")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("d10 verifies candidates in place (bit_count on the ride-along sigs)") {
+    val p = planOf("d10_simhash_band_pairs")
+    assert(p.contains("bit_count"), p.take(800))
+    // exactly ONE join: the band-bucket self-join. A second join would
+    // mean signatures were rejoined instead of riding the candidates
+    assert("Join".r.findAllIn(p).size >= 1 &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("t11 runs with no exchange at all (per-doc metrics stay narrow)") {
+    val p = planOf("t11_repetition")
+    assert(!p.contains("Exchange"), s"t11 must not shuffle:\n${p.take(800)}")
+  }
+
   test("q55 plants a dynamicpruning subquery on the fact partition column") {
     val p = planOf("q55_dynamic_pruning")
     assert(p.contains("dynamicpruningexpression"),
