@@ -416,7 +416,38 @@ object Dedup {
         (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
   }
 
+  /** ASYMMETRIC containment pairs — the near-dup Jaccard misses: a
+    * short document embedded verbatim in a longer one (quote farms,
+    * aggregator pages, boilerplate-wrapped reposts) has high
+    * |A∩B|/|A| but LOW Jaccard (the union is dominated by the long
+    * side), so a Jaccard-thresholded pass keeps both copies.
+    * Containment ≥ 0.8 in EITHER direction flags the pair, and which
+    * side is contained tells the pipeline which document is the
+    * subset. Same shingle machinery and join shape as d02 — the tail
+    * just divides by each side's OWN size instead of the union; at
+    * 100 TB the d03 banding generates the candidates and this scoring
+    * replaces the Jaccard verify.
+    */
+  def d12ContainmentPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = hashedShingles(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb")), "doc_b")
+      .withColumn("contain_a", col("common") / col("na"))
+      .withColumn("contain_b", col("common") / col("nb"))
+      .filter(col("contain_a") >= 0.8 || col("contain_b") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("contain_a"), col("contain_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_containment_pairs" -> d12ContainmentPairs,
     "d11_source_overlap" -> d11SourceOverlap,
     "d09_ngram_decontam" -> d09NgramDecontam,
     "d10_simhash_band_pairs" -> d10SimhashBandPairs,
@@ -576,7 +607,22 @@ object Dedup {
        JOIN sizes sa ON src_a = sa.source
        JOIN sizes sb ON src_b = sb.source"""
 
+  private val containmentSql =
+    s"""WITH sh AS ($shingleSql),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, common,
+          common / sa.n AS contain_a, common / sb.n AS contain_b
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE common / sa.n >= 0.8 OR common / sb.n >= 0.8"""
+
   val oracles: Map[String, String] = Map(
+    "d12_containment_pairs" -> containmentSql,
     "d11_source_overlap" -> sourceOverlapSql,
     "d09_ngram_decontam" -> decontamSql,
     "d10_simhash_band_pairs" -> simhashBandSql,

@@ -222,7 +222,32 @@ object Relational9 {
     }
   }
 
+  /** In-flight data-quality metrics via `Dataset.observe` — the
+    * monitoring primitive every production pipeline needs: row counts,
+    * threshold violations and control totals computed DURING the main
+    * pass (piggybacking on the scan as accumulator-style aggregates),
+    * not by a second job re-reading 100 TB. The observed values are
+    * the query's output here so the oracle can check them exactly; in
+    * production the same values feed alerting while the main result
+    * flows to its sink. A fresh Observation per call — they are
+    * one-shot by design.
+    */
+  def q56ObservedMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation(s"q56_${System.nanoTime()}")
+    val li = Tables.lineitem(s, d).observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("n_high_qty"),
+      round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    li.write.format("noop").mode("overwrite").save() // the "main" pass
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("n_high_qty").asInstanceOf[Long],
+      m("sum_price").asInstanceOf[Double]))
+      .toDF("n_rows", "n_high_qty", "sum_price")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_observed_metrics" -> q56ObservedMetrics,
     "q53_aqe_skew_join" -> q53AqeSkewJoin,
     "q52_salted_join" -> q52SaltedJoin,
     "q49_schema_evolution" -> q49SchemaEvolution,
@@ -247,6 +272,11 @@ object Relational9 {
        GROUP BY 1, 2"""
 
   val oracles: Map[String, String] = Map(
+    "q56_observed_metrics" ->
+      """SELECT count(*) AS n_rows,
+         coalesce(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END), 0)::BIGINT AS n_high_qty,
+         round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem""",
     // q53's dim is one-row-per-key by FILTER (see aqeSkewJoin); the
     // oracle is still the plain mechanism-free join.
     "q53_aqe_skew_join" ->

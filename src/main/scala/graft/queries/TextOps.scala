@@ -242,7 +242,18 @@ object TextOps {
           / col("n_bigrams").cast("double")).as("dup_bigram_frac"))
   }
 
+  /** Language-ID CONFUSION MATRIX — the evaluation step after t03:
+    * actual × predicted counts, the artifact you read before trusting
+    * a classifier at corpus scale. One partial-aggable shuffle over
+    * the classifier's narrow projection.
+    */
+  def t12LangConfusion(s: SparkSession, d: String): DataFrame =
+    t03LangId(s, d)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_lang_confusion" -> t12LangConfusion,
     "t11_repetition" -> t11Repetition,
     "t10_lm_quality" -> t10LmQuality,
     "t01_token_stats" -> t01TokenStats,
@@ -252,6 +263,26 @@ object TextOps {
     "t05_trigram_profile" -> t05TrigramProfile,
     "t08_textcat" -> t08Textcat,
     "t09_sequence_pack" -> t09SequencePack)
+
+  private val t03Sql =
+    """WITH scored AS (
+         SELECT doc_id, lang,
+           len(list_intersect(toks, ['the','a','and','of','is'])) AS en,
+           len(list_intersect(toks, ['der','die','und','das','ist'])) AS de,
+           len(list_intersect(toks, ['le','la','et','les','est'])) AS fr,
+           len(list_intersect(toks, ['el','los','y','es','una'])) AS es,
+           length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+         FROM (SELECT doc_id, lang, text,
+                 list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS toks
+               FROM documents))
+       SELECT doc_id, lang,
+         CASE WHEN cjk > 0 THEN 'zh'
+              WHEN de >= en AND de >= fr AND de >= es AND de > 0 THEN 'de'
+              WHEN fr >= en AND fr >= es AND fr > 0 THEN 'fr'
+              WHEN es >= en AND es > 0 THEN 'es'
+              WHEN en > 0 THEN 'en'
+              ELSE 'unknown' END AS pred_lang
+       FROM scored"""
 
   val oracles: Map[String, String] = Map(
     "t11_repetition" ->
@@ -302,25 +333,10 @@ object TextOps {
              ['the','a','and','of','to'])) AS n_stopwords,
          len / len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS chars_per_token
          FROM (SELECT *, length(text)::DOUBLE AS len FROM documents)""",
-    "t03_lang_id" ->
-      """WITH scored AS (
-           SELECT doc_id, lang,
-             len(list_intersect(toks, ['the','a','and','of','is'])) AS en,
-             len(list_intersect(toks, ['der','die','und','das','ist'])) AS de,
-             len(list_intersect(toks, ['le','la','et','les','est'])) AS fr,
-             len(list_intersect(toks, ['el','los','y','es','una'])) AS es,
-             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
-           FROM (SELECT doc_id, lang, text,
-                   list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS toks
-                 FROM documents))
-         SELECT doc_id, lang,
-           CASE WHEN cjk > 0 THEN 'zh'
-                WHEN de >= en AND de >= fr AND de >= es AND de > 0 THEN 'de'
-                WHEN fr >= en AND fr >= es AND fr > 0 THEN 'fr'
-                WHEN es >= en AND es > 0 THEN 'es'
-                WHEN en > 0 THEN 'en'
-                ELSE 'unknown' END AS pred_lang
-         FROM scored""",
+    "t03_lang_id" -> t03Sql,
+    "t12_lang_confusion" ->
+      s"""SELECT lang, pred_lang, count(*) AS n
+          FROM ($t03Sql) GROUP BY 1, 2""",
     "t04_fingerprint" ->
       """SELECT doc_id,
          list_reduce(list_prepend(7::BIGINT,
