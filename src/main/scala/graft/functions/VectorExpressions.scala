@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -512,6 +512,42 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Fused 8-bit scalar quantize → midpoint dequantize in one native
+    * pass: out[i] = mn[i] + (min(254, ⌊(v[i]−mn[i])/(mx[i]−mn[i])·255⌋)
+    * + 0.5)·(mx[i]−mn[i])/255. Exactly the arithmetic of s10's oracle
+    * (same ops, same order — floor/clamp on bit-identical doubles);
+    * replaces two interpreted 64-lambda `transform`s per row. The
+    * byte codes exist transiently here — the STORAGE form at scale —
+    * and the reconstruction is what search ranks.
+    */
+  case class SqDequantize(vec: Expression, mins: Expression, maxs: Expression)
+    extends TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def first: Expression = vec
+    override def second: Expression = mins
+    override def third: Expression = maxs
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+      val v = a.asInstanceOf[ArrayData].toDoubleArray()
+      val mn = b.asInstanceOf[ArrayData].toDoubleArray()
+      val mx = c.asInstanceOf[ArrayData].toDoubleArray()
+      val n = math.min(v.length, math.min(mn.length, mx.length))
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val w = mx(i) - mn(i)
+        val q = math.min(254L, math.floor((v(i) - mn(i)) / w * 255.0).toLong)
+        out(i) = mn(i) + (q.toDouble + 0.5) * w / 255.0
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(vec = newFirst, mins = newSecond, maxs = newThird)
+  }
+
   /** Word n-grams of a text in one native pass, NON-distinct — every
     * occurrence is kept, in order. The occurrence-weighted sibling of
     * ShingleSet (same tokenization: lowercase, split on whitespace,
@@ -610,5 +646,7 @@ object VectorExpressions {
       "graft_word_bigrams", es => WordGramList(es.head, 2), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rproj", es => RandomProjection(es.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sq_dequantize", es => SqDequantize(es.head, es(1), es(2)), "built-in")
   }
 }
