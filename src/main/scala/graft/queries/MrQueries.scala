@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.mr.{Emit, KSV, KV, MapReduce}
+import graft.mr.{Emit, KSV, KV, MapReduce, UntypedMapReduce}
 
 /** Layer A (the distributed MapReduce trait) exercised end-to-end and
   * exposed through the same oracle-checked query surface as Layer B —
@@ -118,13 +118,48 @@ object MrQueries {
       .toDF("o_custkey", "first_orderkey", "last_orderkey", "n_orders")
   }
 
+  /** Frequency-of-frequencies THROUGH the second shuffle round — O8 on
+    * real data (previously only the unit matrix exercised it): round 1
+    * groups by WORD and the reducer emits `(count, 1)` — a NEW key of
+    * a different type, the dynamic-key freedom tinymr's untyped
+    * surface has (`tinymr.py:217-221`: reducer output is re-partitioned
+    * by whatever keys it emitted) — and the second shuffle regroups by
+    * count; each count's group SIZE is the spectrum value. t07 is the
+    * declarative twin, answer-identical by construction (the q20/mr01
+    * parity-pair pattern, applied to O8).
+    */
+  class FreqOfFreq extends UntypedMapReduce {
+    def rawMapper(item: Seq[Any]): IterableOnce[Seq[Any]] =
+      item.head.asInstanceOf[String].toLowerCase.split("\\s+").iterator
+        .filter(_.nonEmpty).map(w => Seq(w, 1L))
+    def rawReducer(key: Any, values: Iterator[Any]): IterableOnce[Seq[Any]] =
+      Iterator.single(Seq(values.size.toLong, 1L))
+  }
+
+  def mr07FreqSpectrum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.documents(s, d).select("text").as[String]
+      .rdd.map(t => Seq[Any](t))
+    new FreqOfFreq().run(lines)
+      .map { case (k, vs) => (k.asInstanceOf[Long], vs.size.toLong) }
+      .toDF("n_occurrences", "n_words")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr07_freq_spectrum" -> mr07FreqSpectrum,
     "mr01_word_count" -> mr01WordCount,
     "mr02_key_overload" -> mr02KeyOverload,
     "mr03_longest_doc" -> mr03LongestDoc,
     "mr06_orders_timeline" -> mr06OrdersTimeline)
 
   val oracles: Map[String, String] = Map(
+    "mr07_freq_spectrum" ->
+      """SELECT n AS n_occurrences, count(*) AS n_words FROM (
+           SELECT word, count(*) AS n FROM (
+             SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+             FROM documents) t
+           WHERE word <> '' GROUP BY 1) c
+         GROUP BY 1""",
     "mr01_word_count" ->
       """SELECT word, count(*) AS n FROM (
            SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
