@@ -151,12 +151,66 @@ object Multimodal {
       .toDF()
   }
 
+  /** One extracted feature value (long-form: one row per dimension,
+    * so the gate compares scalars, not float arrays). */
+  case class Feat(doc_id: Long, dim: Long, feat: Double)
+
+  /** FEATURE EXTRACTION — the fourth multimodal stage (after decode
+    * m01, fan-out m02, resize m03): each decoded asset yields an
+    * 8-dim embedding row, the bridge from binary assets into the
+    * similarity/clustering pipeline (s01–s10 run unchanged on such a
+    * table). Same batch shape as the others: codec init per
+    * partition, iterator emission, typed output. The "model" is the
+    * deterministic stub (a polynomial hash of the decoded payload,
+    * mixed per dimension, scaled to [0, 1)); swapping in a real
+    * vision tower changes nothing upstream or downstream. Long-form
+    * output (doc_id, dim, feat) keeps the oracle comparison scalar.
+    */
+  def m04FeatureExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(32) + col("doc_id") % 97).cast("long").as("width"),
+        (lit(32) + (col("doc_id") * 7) % 89).cast("long").as("height"),
+        md5(col("text").cast("binary")).as("payload_md5"))
+      .select(col("doc_id"),
+        concat_ws(":", lit("FAKEIMG1"), col("width"), col("height"),
+          col("payload_md5")).cast("binary").as("asset"))
+    assets.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = FakeCodec // real model: load weights here, once
+        it.flatMap { case (id, bytes) =>
+          val m = codec.decode(id, bytes)
+          // stub "tower": polynomial hash of the payload, per-dim mix
+          var h = 7L
+          m.payload_md5.foreach(ch => h = (h * 31 + ch.toLong) % 1000000007L)
+          (0L until 8L).iterator.map { j =>
+            Feat(id, j, ((h * (j + 2) + 7919L * j) % 1000L).toDouble / 1000.0)
+          }
+        }
+      }
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m04_feature_extract" -> m04FeatureExtract,
     "m03_resize_thumb" -> m03ResizeThumb,
     "m01_decode_meta" -> m01DecodeMeta,
     "m02_frame_sample" -> m02FrameSample)
 
   val oracles: Map[String, String] = Map(
+    // the t04-style polynomial hash over the md5 HEX STRING's chars,
+    // then the per-dim affine mix — integer space end to end, so the
+    // scaled double is bit-identical
+    "m04_feature_extract" ->
+      """WITH h AS (
+           SELECT doc_id, list_reduce(list_prepend(7::BIGINT,
+             list_transform(regexp_split_to_array(md5(text), ''), ch -> ascii(ch)::BIGINT)),
+             (acc, ch) -> (acc * 31 + ch) % 1000000007) AS hv
+           FROM documents)
+         SELECT doc_id, j AS dim,
+           ((hv * (j + 2) + 7919 * j) % 1000)::DOUBLE / 1000.0 AS feat
+         FROM h, unnest(range(0, 8)) AS u(j)""",
     "m03_resize_thumb" ->
       """WITH dims AS (
            SELECT doc_id, (32 + doc_id % 97)::BIGINT AS in_w,
