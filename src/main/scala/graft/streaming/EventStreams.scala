@@ -448,7 +448,10 @@ object EventStreams {
               col("hour") === col("bh") && col("event_type") === col("bt"),
               "left_anti")
             .union(b)
-        merged.write.mode("overwrite").parquet(s"$base/v$bid")
+        // one file per version: each version is a few thousand keyed
+        // rows, and the NEXT batch re-reads it — 8 state-partition
+        // files per tiny version just multiplies open costs
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$base/v$bid")
         latest = bid
       }
       .start()
