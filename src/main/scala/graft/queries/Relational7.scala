@@ -106,13 +106,45 @@ object Relational7 {
       GROUP BY lang""")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * join-condition corner where SQL's three-valued logic bites: a
+    * plain equi-join silently DROPS rows whose key is NULL on both
+    * sides (NULL = NULL is UNKNOWN), while dimension keys in real
+    * lakehouses are nullable ("unknown nation") and those rows must
+    * still pair up. Key 3 is nulled on both sides here, so the
+    * null↔null row exists in the answer — an engine with plain-equals
+    * semantics loses it and hash-mismatches. Still a hash
+    * partitionable equi-join at scale: Spark plans `<=>` as a
+    * SortMergeJoin/HashJoin key, not a theta join.
+    */
+  def q57NullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(expr("nullif(c_nationkey, 3)").as("ck"))
+      .groupBy(col("ck")).agg(count(lit(1)).as("n_customers"))
+    val su = Tables.supplier(s, d)
+      .select(expr("nullif(s_nationkey, 3)").as("sk"))
+      .groupBy(col("sk")).agg(count(lit(1)).as("n_suppliers"))
+    c.join(su, col("ck") <=> col("sk"))
+      .select(col("ck").as("k"), col("n_customers"), col("n_suppliers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_null_safe_join" -> q57NullSafeJoin,
     "q39_approx_percentiles" -> q39ApproxPercentiles,
     "q40_funnel" -> q40Funnel,
     "q41_interval_bucket_join" -> q41IntervalBucketJoin,
     "q42_sql_surface" -> q42SqlSurface)
 
   val oracles: Map[String, String] = Map(
+    "q57_null_safe_join" ->
+      """WITH c AS (
+           SELECT nullif(c_nationkey, 3) AS k, count(*) AS n_customers
+           FROM customer GROUP BY 1),
+         s AS (
+           SELECT nullif(s_nationkey, 3) AS k, count(*) AS n_suppliers
+           FROM supplier GROUP BY 1)
+         SELECT c.k, n_customers, n_suppliers
+         FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k""",
     "q39_approx_percentiles" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
          round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
