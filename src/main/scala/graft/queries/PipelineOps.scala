@@ -107,14 +107,70 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"), col("rk"))
   }
 
+  /** EMBEDDING-SPACE corpus curation (the SemDeDup shape): p01's text
+    * capstone replayed in vector space. Semantic near-dups (cosine ≥
+    * 0.35) are detected ONLY within a coarse cluster — the economy
+    * that makes embedding dedup affordable at 100 TB: |cells| ×
+    * (n/k)² comparisons instead of n², with the cells coming from the
+    * k-means build (s08's loop; here the stored `label`). Pairs are
+    * transitive evidence, so the d07 connected-components machinery
+    * resolves clusters and the non-canonical members are dropped via
+    * LeftAnti — every stage is a standalone operator's audited scale
+    * design, composed exactly as a curation pipeline would chain them.
+    * Output: the KEPT rows (vec_id, cell), oracle-checked against a
+    * recursive-CTE closure over the same pair domain.
+    */
+  def p02SemDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_sumsq(v)")))
+    val a = e.as("a"); val b = e.as("b")
+    val pairs = a.join(b, col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        expr("graft_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= 0.35)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    val nonCanon = Dedup.connectedComponents(pairs)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("vec_id"))
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      .join(nonCanon, Seq("vec_id"), "left_anti")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p02_semdedup" -> p02SemDedup,
     "p01_corpus_build" -> p01CorpusBuild,
     "t06_quality_filter" -> t06QualityFilter,
     "t07_freq_spectrum" -> t07FreqSpectrum,
     "e01_cluster_stats" -> e01ClusterStats,
     "q37_hash_sample" -> q37HashSample)
 
+  private val semdedupSql =
+    """WITH RECURSIVE
+       e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       jp AS (
+         SELECT a.vec_id AS va, b.vec_id AS vb
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.v, x -> x * x)), (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(b.v, x -> x * x)), (acc, x) -> acc + x))) >= 0.35),
+       edges AS (SELECT va AS src, vb AS dst FROM jp
+                 UNION SELECT vb, va FROM jp),
+       reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+       lab AS (
+         SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src)
+       SELECT vec_id, label FROM embeddings
+       WHERE vec_id NOT IN (SELECT vec_id FROM lab WHERE vec_id <> cluster_id)"""
+
   val oracles: Map[String, String] = Map(
+    "p02_semdedup" -> semdedupSql,
     "p01_corpus_build" ->
       s"""WITH RECURSIVE
           ${graft.queries.Dedup.clusterCtes},
