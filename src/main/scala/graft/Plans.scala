@@ -21,7 +21,7 @@ object Plans {
       "s06_kmeans_refine", "d08_incremental_dedup", "q50_gap_fill",
       "d09_ngram_decontam", "d10_simhash_band_pairs", "t11_repetition",
       "s09_rproj_ann", "q52_salted_join", "s10_sq_ann", "q55_dynamic_pruning",
-      "d12_containment_pairs",
+      "d12_containment_pairs", "p02_semdedup",
       "p01_corpus_build")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries (sf0.01, AQE off for readability)\n\n"
