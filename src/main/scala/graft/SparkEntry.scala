@@ -22,6 +22,7 @@ object SparkEntry {
       (graft.queries.Relational7.queries, graft.queries.Relational7.oracles),
       (graft.queries.Relational8.queries, graft.queries.Relational8.oracles),
       (graft.queries.Relational9.queries, graft.queries.Relational9.oracles),
+      (graft.queries.Relational10.queries, graft.queries.Relational10.oracles),
       (graft.queries.PipelineOps.queries, graft.queries.PipelineOps.oracles),
       (graft.queries.MrQueries.queries, graft.queries.MrQueries.oracles),
       (graft.queries.TextOps.queries, graft.queries.TextOps.oracles),

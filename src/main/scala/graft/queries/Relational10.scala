@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Tenth tranche — the two product-analytics staples every events
+  * table eventually answers: WITHIN-SESSION funnels (q58) and cohort
+  * retention (q59).
+  */
+object Relational10 {
+
+  /** Sessionized funnel: q40's ordered-stage logic scoped to st02's
+    * 30-minute-gap sessions — "did the user view → click → purchase
+    * WITHIN one visit", the form product analytics actually asks (a
+    * purchase three days after a view is not that view's conversion).
+    * Stage 1: tag each event with its session ordinal (one user
+    * exchange, the st02/q44 window idiom). Stage 2: per session, the q40
+    * conditional-min chain — first view, first click AFTER that view,
+    * first purchase AFTER that click — then one tiny count by funnel
+    * depth. Two partial-aggable shuffles total (user, then
+    * user×session), both on the session key domain.
+    */
+  def q58SessionFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessioned = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+          > 30L * 60 * 1000000, 1L).otherwise(
+          when(lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val funnel = sessioned.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("v"),
+        collect_list(struct(col("ts"), col("event_type"))).as("evs"))
+    // conditional-min chain over the in-row session events (sessions
+    // are minutes long — tiny arrays; the heavy grouping stays in the
+    // aggregation above)
+    val staged = funnel
+      .withColumn("c", expr(
+        "array_min(transform(filter(evs, e -> e.event_type = 'click' AND v IS NOT NULL AND e.ts > v), e -> e.ts))"))
+      .withColumn("p", expr(
+        "array_min(transform(filter(evs, e -> e.event_type = 'purchase' AND c IS NOT NULL AND e.ts > c), e -> e.ts))"))
+      .select(
+        when(col("p").isNotNull, 3L)
+          .when(col("c").isNotNull, 2L)
+          .when(col("v").isNotNull, 1L)
+          .otherwise(0L).as("depth"))
+    staged.groupBy(col("depth")).agg(count(lit(1)).as("n_sessions"))
+  }
+
+  /** Cohort retention — THE events-table report: users grouped by
+    * first-seen day (their cohort), and for each (cohort, day-offset)
+    * the distinct users active that day. Two partial-aggable passes
+    * (per-user cohort min; distinct user-day activity) and one join
+    * that broadcasts nothing bigger than the user→cohort map needs to
+    * be — at 100 TB the cohort map is users-sized and joins
+    * shuffle-to-shuffle on user_id, offsets bounded by the calendar.
+    */
+  def q59CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val active = ev.distinct()
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_session_funnel" -> q58SessionFunnel,
+    "q59_cohort_retention" -> q59CohortRetention)
+
+  val oracles: Map[String, String] = Map(
+    // same session construction as st02's oracle (µs-precision
+    // ordering and comparisons — Spark's ts is micros, DuckDB's is
+    // nanos); conditional-min chain per session; counts by depth
+    "q58_session_funnel" ->
+      """WITH marked AS (
+           SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         sess AS (
+           SELECT user_id, epoch_us(ts) AS tus, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked),
+         chain AS (
+           SELECT user_id, session_id,
+             min(CASE WHEN event_type = 'view' THEN tus END) AS v
+           FROM sess GROUP BY 1, 2),
+         c2 AS (
+           SELECT s.user_id, s.session_id, chain.v,
+             min(CASE WHEN s.event_type = 'click' AND s.tus > chain.v THEN s.tus END) AS c
+           FROM sess s JOIN chain USING (user_id, session_id)
+           GROUP BY 1, 2, 3),
+         c3 AS (
+           SELECT s.user_id, s.session_id, c2.v, c2.c,
+             min(CASE WHEN s.event_type = 'purchase' AND s.tus > c2.c THEN s.tus END) AS p
+           FROM sess s JOIN c2 USING (user_id, session_id)
+           GROUP BY 1, 2, 3, 4)
+         SELECT CASE WHEN p IS NOT NULL THEN 3
+                     WHEN c IS NOT NULL THEN 2
+                     WHEN v IS NOT NULL THEN 1
+                     ELSE 0 END AS depth,
+           count(*) AS n_sessions
+         FROM c3 GROUP BY 1""",
+    "q59_cohort_retention" ->
+      """WITH ev AS (
+           SELECT user_id, date_trunc('day', ts)::DATE AS day FROM events),
+         cohorts AS (
+           SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+         active AS (SELECT DISTINCT user_id, day FROM ev)
+         SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+         FROM active a JOIN cohorts USING (user_id)
+         GROUP BY 1, 2"""
+  )
+}
