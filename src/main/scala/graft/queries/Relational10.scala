@@ -71,11 +71,38 @@ object Relational10 {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** UNPIVOT (long←wide reshaping) — the inverse of q38's pivot,
+    * closing the reshaping pair: a wide per-priority table (one column
+    * per order status, built by the same conditional aggregation q38
+    * lowers to) is melted back to long form via `stack`, which plans
+    * as a Generate — one narrow pass, no shuffle beyond the wide
+    * table's own aggregation. NULL cells (absent combinations) are
+    * dropped, matching the relational long form.
+    */
+  def q60Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+    wide.select(col("o_orderpriority"),
+        expr("stack(3, 'F', F, 'O', O, 'P', P) AS (o_orderstatus, total)"))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("total"))
+      .filter(col("total").isNotNull)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_unpivot" -> q60Unpivot,
     "q58_session_funnel" -> q58SessionFunnel,
     "q59_cohort_retention" -> q59CohortRetention)
 
   val oracles: Map[String, String] = Map(
+    // pivot → unpivot round-trip = the plain long-form aggregation
+    "q60_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus,
+         round(sum(o_totalprice), 2) AS total
+         FROM orders
+         WHERE o_orderstatus IN ('F', 'O', 'P')
+         GROUP BY 1, 2""",
     // same session construction as st02's oracle (µs-precision
     // ordering and comparisons — Spark's ts is micros, DuckDB's is
     // nanos); conditional-min chain per session; counts by depth
