@@ -240,16 +240,33 @@ object Dedup {
     while (changed > 0 && iter < 20) {
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+      val prop = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
-        .cache()
-      // ONE action per round: the count both decides convergence and
-      // materializes every partition of `updated`, so the new `labels`
-      // can ride `updated`'s cache and the previous round's backing
-      // can be released — per-round fixed cost is what dominates this
-      // loop (the data is tiny relative to the corpus)
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("p_label"),
+          col("label").as("old_label"))
+      // POINTER JUMP: resolve each node's label to its label's label —
+      // min-label propagation alone needs DIAMETER rounds, which is
+      // fine for shallow near-dup clusters (d07: 2-4) but p02's
+      // semantic chains at cosine 0.35 measured 10+ rounds (11 s of a
+      // 16 s query); the jump compresses paths exponentially →
+      // O(log diameter) rounds (12 → 5 observed). Labels only ever
+      // decrease within a component, so the min-label fixed point is
+      // unchanged.
+      val parents = prop.select(col("node").as("pn"), col("p_label").as("pp"))
+      val jumped = prop.join(parents, prop("p_label") === parents("pn"), "left")
+        .select(col("node"),
+          least(col("p_label"), coalesce(col("pp"), col("p_label"))).as("new_label"),
+          (least(col("p_label"), coalesce(col("pp"), col("p_label")))
+            < col("old_label")).as("chg"))
+      // The jump references `prop` twice and `prop` references
+      // `labels` twice → the analyzed tree would QUADRUPLE per round
+      // (s08's plan-doubling trap, squared — observed as an
+      // explainString OOM). The per-round materializing action is
+      // therefore an eager localCheckpoint + stats rebase (s08's
+      // exact discipline); the convergence count then reads the
+      // materialized RDD for free.
+      val ck = jumped.localCheckpoint()
+      val updated = pairs.sparkSession.createDataFrame(ck.rdd, ck.schema)
       changed = updated.filter(col("chg")).count()
       labels = updated.select(col("node"), col("new_label").as("label"))
       backing.unpersist()
