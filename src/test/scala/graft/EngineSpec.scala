@@ -181,6 +181,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no exchange may partition by the skewed key alone before the join")
   }
 
+  test("q54 rolling RANGE frame runs over ONE custkey exchange") {
+    val p = planOf("q54_rolling_range")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 window exchange:\n${p.take(1000)}")
+  }
+
+  test("s09/s10 ANN tiers broadcast their probe sides") {
+    assert(planOf("s09_rproj_ann").contains("BroadcastExchange"))
+    assert(planOf("s10_sq_ann").contains("BroadcastExchange"))
+  }
+
   test("d09 probes the held-out gram set via broadcast, not a shuffle join") {
     val p = planOf("d09_ngram_decontam")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
