@@ -90,12 +90,50 @@ object Relational10 {
       .filter(col("total").isNotNull)
   }
 
+  /** MAP-typed column functions — the one scalar-function family
+    * (SURVEY §2.3 "array/map/json") not yet exercised: per priority,
+    * build a status→total map from the grouped rows
+    * (`map_from_entries` over `collect_list(struct)`), then read it
+    * back with `element_at`/`map_keys`. Maps stay engine-internal
+    * (the output is scalar per the oracle-comparison contract); the
+    * shape is one partial-aggable shuffle and a narrow projection.
+    */
+  def q61MapFunctions(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"))
+      .groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("o_orderstatus"), col("total")))))
+        .as("m"))
+      .select(col("o_orderpriority"),
+        size(col("m")).cast("long").as("n_statuses"),
+        element_at(col("m"), "F").as("total_f"),
+        element_at(col("m"), "O").as("total_o"),
+        coalesce(element_at(col("m"), "P"), lit(0.0)).as("total_p"),
+        array_join(map_keys(col("m")), ",").as("statuses"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_map_functions" -> q61MapFunctions,
     "q60_unpivot" -> q60Unpivot,
     "q58_session_funnel" -> q58SessionFunnel,
     "q59_cohort_retention" -> q59CohortRetention)
 
   val oracles: Map[String, String] = Map(
+    // the map is engine plumbing; the oracle checks the scalar reads
+    // (keys sorted, so `statuses` is deterministic in both engines)
+    "q61_map_functions" ->
+      """WITH t AS (
+           SELECT o_orderpriority, o_orderstatus,
+             round(sum(o_totalprice), 2) AS total
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderpriority,
+           count(*) AS n_statuses,
+           max(CASE WHEN o_orderstatus = 'F' THEN total END) AS total_f,
+           max(CASE WHEN o_orderstatus = 'O' THEN total END) AS total_o,
+           coalesce(max(CASE WHEN o_orderstatus = 'P' THEN total END), 0.0) AS total_p,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+         FROM t GROUP BY 1""",
     // pivot → unpivot round-trip = the plain long-form aggregation
     "q60_unpivot" ->
       """SELECT o_orderpriority, o_orderstatus,
