@@ -475,6 +475,61 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** 64-bit SimHash over a token array in one native pass — the
+    * scale-grade widening of SimHash32 (whose 32-bit space gives only
+    * 4×8-bit bands = 1,024 buckets total; candidate pairs measured ~9 %
+    * of ALL pairs at sf0.1, i.e. a constant fraction of N² — quadratic
+    * at 100 TB). Two independent polynomial hashes per token, each mod
+    * a prime just under 2³² (4294967291 = 2³²−5 and 4294967279 = 2³²−17,
+    * so all 32 low bits of each are uniform): h1 (seed 7, mult 31)
+    * votes bits 0–31, h2 (seed 13, mult 33) votes bits 32–63. Per-bit
+    * ±1 votes over every occurrence, sign → bit — identical shape to
+    * the oracle's `list_reduce`/`unnest(range(0,64))` formulation
+    * (`ascii()` per char ↔ `charAt` here: matching for BMP text, the
+    * SimHash32 convention). Bit 63 makes the signature negative as a
+    * Java long; the oracle mirrors two's complement explicitly since
+    * DuckDB rejects `1::BIGINT << 63` as overflow. With 4×16-bit bands
+    * the bucket space per band is 65,536 (vs 256) and the Hamming ≤ 3
+    * pigeonhole guarantee is unchanged: 3 differing bits touch at most
+    * 3 of the 4 bands, so some band matches exactly.
+    */
+  private val SimHashP1 = 4294967291L // 2^32 - 5
+  private val SimHashP2 = 4294967279L // 2^32 - 17
+
+  case class SimHash64(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val votes = new Array[Long](64)
+      var j = 0
+      while (j < n) {
+        val s = arr.getUTF8String(j).toString
+        var h1 = 7L; var h2 = 13L; var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i).toLong
+          h1 = (h1 * 31 + c) % SimHashP1
+          h2 = (h2 * 33 + c) % SimHashP2
+          i += 1
+        }
+        var b = 0
+        while (b < 32) {
+          votes(b) += (if (((h1 >> b) & 1L) == 1L) 1L else -1L)
+          votes(b + 32) += (if (((h2 >> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+        j += 1
+      }
+      var sig = 0L; var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+      sig
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Johnson-Lindenstrauss signed random projection 64 → 16 dims in
     * one native pass: out[j] = Σₖ v[k]·s(j,k) with s(j,k) = ±1 drawn
     * from bit 20 of the same LCG family as LshBucket (NOT the low bit:
@@ -632,6 +687,8 @@ object VectorExpressions {
       "graft_trigrams_distinct", es => CharGrams(es.head, 3, distinct = true), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash32", es => SimHash32(es.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", es => SimHash64(es.head), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_trigram_counts", es => CharGramCounts(es.head, 3), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(

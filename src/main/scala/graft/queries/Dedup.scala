@@ -131,18 +131,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** SimHash: 32-bit signature by per-bit voting over token hashes
-    * (every occurrence votes, weight 1). Two small shuffles: (doc, bit)
-    * vote sums, then per-doc bit assembly. Near-dup = small Hamming
-    * distance; the signature itself is the oracle-checked output.
+  /** SimHash: 64-bit signature by per-bit voting over token hashes
+    * (every occurrence votes, weight 1), one native pass per document
+    * (the explode-by-bit formulation shuffled tokens×bits ≈ 10.6 M rows
+    * at sf0.1 for the same answer). Near-dup = small Hamming distance;
+    * the signature itself is the oracle-checked output. 64 bits (two
+    * independent sub-2³² polynomial hashes — see SimHash64) rather than
+    * 32: the signature space is what d10's banding buckets divide, and
+    * 32 bits left only 256 buckets per 8-bit band — candidates stayed a
+    * constant ~9 % of ALL pairs, quadratic at 100 TB.
     */
   def d04Simhash(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    // one native pass per document (the explode-by-bit formulation
-    // shuffled tokens×32 ≈ 10.6 M rows at sf0.1 for the same answer)
     Tables.documents(s, d)
       .select(col("doc_id"), expr(
-        "graft_simhash32(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS simhash"))
+        "graft_simhash64(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS simhash"))
   }
 
   /** Embedding near-dup pairs: exact double-precision cosine over all
@@ -365,37 +368,45 @@ object Dedup {
 
   /** SimHash near-dup PAIRS via Hamming-band bucketing — the scale
     * path that turns d04's signatures into actual pair detection. A
-    * 32-bit SimHash over word BIGRAMS (occurrence-weighted votes;
+    * 64-bit SimHash over word BIGRAMS (occurrence-weighted votes;
     * bigram features spread this corpus's signatures far better than
     * unigrams, whose votes correlate across docs) is split into 4
-    * byte-bands; by pigeonhole, any pair within Hamming distance 3
-    * agrees exactly on at least one band, so bucketing on (band,
-    * byte) finds EVERY qualifying pair — the banding is lossless, not
-    * approximate, and the oracle is the plain all-pairs filter.
+    * 16-bit bands; by pigeonhole, any pair within Hamming distance 3
+    * agrees exactly on at least one band (3 differing bits touch at
+    * most 3 of 4 bands), so bucketing on (band, value) finds EVERY
+    * qualifying pair — the banding is lossless, not approximate, and
+    * the oracle is the plain all-pairs filter.
     *
-    * Scale shape: the shuffle carries 4 tiny (band, byte) keys plus
+    * Scale shape: the shuffle carries 4 tiny (band, value) keys plus
     * the 8-byte signature per doc — and because the signature itself
     * rides the candidate row, verification is a codegen'd
     * `bit_count(a^b)` in place: NO second join back to per-doc state
     * (MinHash LSH must rejoin shingle sets; SimHash verification is
-    * free). Candidates here are ~9 % of all pairs (measured both sf);
-    * on a real corpus with dispersed signatures the fraction
-    * collapses further.
+    * free). Band width is the scale knob: the earlier 32-bit/4×8-bit
+    * scheme had 256 buckets per band, and candidates measured a
+    * constant ~9 % of ALL pairs — a fraction of N², quadratic at
+    * 100 TB. 16-bit bands give 65,536 buckets per band; candidates at
+    * sf0.1 measured 2,871 band rows / 2,683 distinct pairs of 12.5 M
+    * possible (0.023 %, ~400× fewer), and the fraction keeps falling
+    * as signatures disperse because expected candidates per band scale
+    * as Σ_buckets (n_b choose 2) — bucket collision mass, not corpus
+    * size.
     */
   def d10SimhashBandPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val sig = Tables.documents(s, d)
       .select(col("doc_id"),
-        expr("graft_simhash32(graft_word_bigrams(text))").as("sig"))
+        expr("graft_simhash64(graft_word_bigrams(text))").as("sig"))
     val bands = sig.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bv", expr("shiftright(sig, band * 8) & 255"))
+      // arithmetic shiftright + mask: correct for the sign-bit band too
+      .withColumn("bv", expr("shiftright(sig, band * 16) & 65535"))
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
-      .filter(col("hamming") <= 3) // before the dedup shuffle: ~9 % → ~0.03 %
+      .filter(col("hamming") <= 3) // in-place verify, before the dedup shuffle
       .dropDuplicates("doc_a", "doc_b")
   }
 
@@ -574,31 +585,50 @@ object Dedup {
              FROM tr JOIN held USING (s) GROUP BY 1) l
        JOIN sizes USING (doc_id)"""
 
+  /** Shared 64-bit SimHash oracle fragment: given a CTE body producing
+    * (doc_id, f) feature rows, emits feat/fh/votes/sh CTEs ending in
+    * sh(doc_id, simhash). Mirrors SimHash64 exactly — two polynomial
+    * hashes mod 2³²−5 / 2³²−17 voting the low/high 32 bits. Bit 63 is
+    * written as the min-long literal because DuckDB rejects
+    * `1::BIGINT << 63` as shift overflow; the HUGEINT sum then casts
+    * back into two's-complement BIGINT range.
+    */
+  private def simhash64Ctes(feat: String): String =
+    s"""feat AS ($feat),
+       fh AS (
+         SELECT doc_id,
+           list_reduce(list_prepend(7::BIGINT, chs),
+             (acc, ch) -> (acc * 31 + ch) % 4294967291) AS h1,
+           list_reduce(list_prepend(13::BIGINT, chs),
+             (acc, ch) -> (acc * 33 + ch) % 4294967279) AS h2
+         FROM (SELECT doc_id,
+                 list_transform(regexp_split_to_array(f, ''), ch -> ascii(ch)::BIGINT) AS chs
+               FROM feat)),
+       votes AS (
+         SELECT doc_id, bit,
+           sum(CASE WHEN ((CASE WHEN bit < 32 THEN h1 >> bit
+                           ELSE h2 >> (bit - 32) END) & 1) = 1
+               THEN 1 ELSE -1 END) AS v
+         FROM fh, unnest(range(0, 64)) AS u(bit) GROUP BY 1, 2),
+       sh AS (
+         SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN
+                 (CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)
+                  ELSE (1::BIGINT << bit) END)
+               ELSE 0 END)::BIGINT AS simhash
+         FROM votes GROUP BY 1)"""
+
   // d10's oracle: ALL-PAIRS Hamming filter over the same bigram
   // SimHash — the banding is lossless by pigeonhole (distance ≤ 3 over
   // 4 bands forces an identical band), so the bucketed path must
   // reproduce the quadratic reference answer exactly.
   private val simhashBandSql =
-    """WITH toks AS (
-         SELECT doc_id,
-           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
-         FROM documents),
-       feat AS (
-         SELECT doc_id, unnest(list_transform(range(1, len(t)),
+    s"""WITH ${simhash64Ctes(
+      """SELECT doc_id, unnest(list_transform(range(1, len(t)),
            i -> t[i] || ' ' || t[i+1])) AS f
-         FROM toks),
-       fh AS (
-         SELECT doc_id, list_reduce(list_prepend(7::BIGINT,
-           list_transform(regexp_split_to_array(f, ''), ch -> ascii(ch)::BIGINT)),
-           (acc, ch) -> (acc * 31 + ch) % 1000000007) AS h
-         FROM feat),
-       votes AS (
-         SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         FROM fh, unnest(range(0, 32)) AS u(bit) GROUP BY 1, 2),
-       sh AS (
-         SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
-         FROM votes GROUP BY 1)
+         FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+               FROM documents)""")}
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -655,21 +685,11 @@ object Dedup {
     "d03_minhash_lsh" -> jaccardSql,
     "d06_bloom_jaccard" -> jaccardSql,
     "d04_simhash" ->
-      """WITH tok AS (
-           SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
-           FROM documents),
-         th AS (
-           SELECT doc_id, list_reduce(list_prepend(7::BIGINT,
-             list_transform(regexp_split_to_array(tok, ''), ch -> ascii(ch)::BIGINT)),
-             (acc, ch) -> (acc * 31 + ch) % 1000000007) AS h
-           FROM tok),
-         votes AS (
-           SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-           FROM th, unnest(range(0, 32)) AS u(bit)
-           GROUP BY 1, 2)
-         SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
-         FROM votes GROUP BY 1""",
+      s"""WITH ${simhash64Ctes(
+        """SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS f
+           FROM documents""")}
+         SELECT doc_id, simhash FROM sh""",
     "d05_embedding_pairs" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          SELECT vec_a, vec_b, cosine FROM (
