@@ -197,7 +197,20 @@ object Dedup {
     jaccardFrom(sh.filter(expr("graft_bloom_contains(s)")), sh)
   }
 
-  /** Near-dup CLUSTER resolution: connected components over the d02
+  /** Candidate pairs feeding d07's clustering: d03's BANDED generation,
+    * not d02's shingle fan-out self-join. The pair set is provably the
+    * same (banding miss probability ~1e-14 at the planted j≥0.8
+    * separation — d03's analysis), so d07's oracle is unchanged, but
+    * the cost is |docs|×32 tiny band keys instead of a quadratic
+    * shingle join — the composition that must hold at 100 TB, where
+    * d02 exists only as the exactness oracle tier. Factored out so the
+    * plan shape is unit-assertable (the CC loop's localCheckpoints
+    * truncate d07's own lineage past recognition).
+    */
+  private[graft] def d07CandidatePairs(s: SparkSession, d: String): DataFrame =
+    d03MinhashLsh(s, d).select(col("doc_a"), col("doc_b"))
+
+  /** Near-dup CLUSTER resolution: connected components over the near-dup
     * pair graph via distributed min-label propagation — the step that
     * turns pairwise near-dup hits into dedup decisions (keep the
     * canonical member of each cluster). Pairs are transitive evidence:
@@ -215,7 +228,7 @@ object Dedup {
     * cluster and omitted, mirrored by the oracle.
     */
   def d07DupClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(d02JaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
+    connectedComponents(d07CandidatePairs(s, d))
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         (col("node") === col("label")).as("is_canonical"))
 

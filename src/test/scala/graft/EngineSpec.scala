@@ -206,6 +206,46 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("d07 candidates come from banded LSH, not d02's shingle fan-out join") {
+    val p = graft.queries.Dedup.d07CandidatePairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("minhashbands"), p.take(800))
+    assert(!p.contains("xxhash64"),
+      "d02's hashed-shingle self-join leaked into d07's candidate path")
+  }
+
+  test("q58 sessionization and session agg share ONE user exchange") {
+    val p = planOf("q58_session_funnel")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected one user_id exchange:\n${p.take(1200)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "only the user exchange plus the tiny final depth agg may shuffle")
+  }
+
+  test("q59 runs on ONE events scan and ONE user exchange") {
+    val p = planOf("q59_cohort_retention")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"events must be scanned once:\n${p.take(1200)}")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected one user_id exchange:\n${p.take(1200)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "only the user exchange plus the tiny cohort agg may shuffle")
+  }
+
+  test("d11 collapses grams to per-source DISTINCT hashes before the self-join") {
+    val p = planOf("d11_source_overlap")
+    assert("HashAggregate\\(keys=\\[source#\\d+, h#\\d+L\\]".r.findAllIn(p).nonEmpty,
+      s"per-source distinct must run below the join:\n${p.take(1200)}")
+    assert(p.contains("xxhash64"), "gram join keys must be 8-byte hashes")
+  }
+
+  test("d12 containment adds no shuffle beyond d02's pair machinery") {
+    val n = (s: String) => "Exchange hashpartitioning".r.findAllIn(s).size
+    val d02 = n(planOf("d02_jaccard_pairs"))
+    val d12 = n(planOf("d12_containment_pairs"))
+    assert(d12 == d02, s"d12 has $d12 exchanges vs d02's $d02")
+  }
+
   test("t11 runs with no exchange at all (per-doc metrics stay narrow)") {
     val p = planOf("t11_repetition")
     assert(!p.contains("Exchange"), s"t11 must not shuffle:\n${p.take(800)}")
@@ -215,6 +255,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = planOf("q55_dynamic_pruning")
     assert(p.contains("dynamicpruningexpression"),
       s"expected DPP on the partitioned fact scan:\n${p.take(1200)}")
+    // the pruning subquery must REUSE the join's broadcast (adaptive
+    // variant), not run the dim side a second time
+    assert(p.contains("SubqueryAdaptiveBroadcast") || p.contains("ReusedSubquery"),
+      s"DPP subquery should reuse the join broadcast:\n${p.take(1200)}")
   }
 
   test("DotSelfToSumSq rewrites graft_dot(x, x) into graft_sumsq(x)") {
