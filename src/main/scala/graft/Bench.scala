@@ -119,7 +119,19 @@ object Bench {
     val calibArr = calibs.map { case (at, c) => s"""{"at":"$at","sec":$c}""" }
       .mkString("[", ",", "]")
     val calibStart = calibs.head._2; val calibEnd = calibs.last._2
+    // Full-detail line FIRST: every query at full precision plus the
+    // interleaved calibration series (repo-local sweeps capture all of
+    // stdout, so nothing is lost for analysis).
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd},"calibs":$calibArr}""")
+    // Compact summary LAST: the driver keeps only the final ~2,000
+    // chars of stdout, and with 125 queries the full line is ~6 KB —
+    // the r2/r3 artifacts show it beheaded mid-map ("parsed": null).
+    // This line (~1 KB: headline total + slowest 20 at 3 dp) always
+    // fits the window whole, so the official artifact carries data.
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val nFailed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$slow,"queries_note":"slowest 20 of ${results.size}; full map on the first metric line","sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd}}""")
     spark.stop()
   }
 }
