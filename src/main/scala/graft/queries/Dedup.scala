@@ -21,6 +21,27 @@ import graft.core.Tables
   */
 object Dedup {
 
+  /** Shared-scan caches (and CC checkpoint blocks) created by the most
+    * recent dedup query BUILD in this session. A query builder returns
+    * a lazy DataFrame, so its caches cannot be dropped inside the
+    * builder without defeating them — instead every cache-creating
+    * site first releases the PREVIOUS build's registrations, bounding
+    * live block storage to one query's worth for a user composing
+    * dedup ops in a long session (harnesses that clearCache() between
+    * queries drop the DataFrame caches anyway; the CC checkpoint
+    * blocks below clearCache does NOT reach). Contract: materialize a
+    * dedup result before building the next dedup query, or call
+    * [[releaseCaches]] explicitly when done.
+    */
+  private val liveReleases =
+    new scala.collection.mutable.ArrayBuffer[() => Unit]
+  private def registerRelease(r: () => Unit): Unit =
+    synchronized { liveReleases += r }
+  def releaseCaches(): Unit = synchronized {
+    liveReleases.foreach(r => r())
+    liveReleases.clear()
+  }
+
   /** documents + a word-3-gram shingle-set column, via the fused
     * native `graft_shingles` expression — see
     * VectorExpressions.ShingleSet for why the declarative
@@ -59,11 +80,15 @@ object Dedup {
     * self-join inputs (d02), and additionally the df count + Bloom
     * build (d06).
     */
-  private def hashedShingles(s: SparkSession, d: String): DataFrame =
-    shingled(s, d)
+  private def hashedShingles(s: SparkSession, d: String): DataFrame = {
+    releaseCaches()
+    val sh = shingled(s, d)
       .select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
       .cache()
+    registerRelease(() => sh.unpersist())
+    sh
+  }
 
   /** Shared pair-scoring tail of d02/d06: self-join the (possibly
     * pruned) shingle stream, count shared shingles per pair, derive
@@ -237,6 +262,8 @@ object Dedup {
     * Public so the loop is unit-testable on synthetic graphs.
     */
   def connectedComponents(pairs0: DataFrame): DataFrame = {
+    releaseCaches()
+    val sc = pairs0.sparkSession.sparkContext
     val pairs = pairs0.toDF("doc_a", "doc_b").cache()
     // Size the iteration's parallelism to the EDGE count, not the
     // session default: dup-pair graphs are tiny relative to the corpus
@@ -248,9 +275,21 @@ object Dedup {
       (pairs.count() / 50000L + 1).toInt))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").repartition(nParts, col("dst")).cache()
-    var backing = edges.select(col("src").as("node")).distinct()
+    val base = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).cache()
-    var labels = backing
+    var labels = base
+    // Block-storage discipline: each round's eager localCheckpoint
+    // persists ONE new RDD, and its lineage truncation means round k
+    // never reads round k-1's blocks — so the previous round's
+    // snapshot is released as soon as the current one has
+    // materialized. (Before this, every round's snapshot accumulated:
+    // the old backing.unpersist() was a no-op from round 2 on because
+    // checkpoint-backed frames are not CacheManager-cached, and
+    // clearCache() between queries does not reach raw checkpoint RDDs
+    // either.) The FINAL round's blocks back the returned labels — a
+    // truncated lineage cannot recompute — so they are registered for
+    // the next releaseCaches() instead of being dropped here.
+    var releasePrev: () => Unit = () => base.unpersist()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -281,12 +320,15 @@ object Dedup {
       // therefore an eager localCheckpoint + stats rebase (s08's
       // exact discipline); the convergence count then reads the
       // materialized RDD for free.
-      val ck = jumped.localCheckpoint()
+      val before = sc.getPersistentRDDs.keySet
+      val ck = jumped.localCheckpoint() // eager: materializes here
+      val ckIds = sc.getPersistentRDDs.keySet -- before
       val updated = pairs.sparkSession.createDataFrame(ck.rdd, ck.schema)
       changed = updated.filter(col("chg")).count()
       labels = updated.select(col("node"), col("new_label").as("label"))
-      backing.unpersist()
-      backing = updated
+      releasePrev()
+      releasePrev = () => ckIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       iter += 1
     }
     // an unconverged result would silently mis-cluster — fail loudly
@@ -294,6 +336,7 @@ object Dedup {
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge in $iter rounds")
     edges.unpersist(); pairs.unpersist()
+    registerRelease(releasePrev)
     labels
   }
 
@@ -439,11 +482,13 @@ object Dedup {
     */
   def d11SourceOverlap(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
+    releaseCaches()
     val sg = Tables.documents(s, d)
       .select(col("source"), explode(expr("graft_shingles(text)")).as("g"))
       .select(col("source"), xxhash64(col("g")).as("h"))
       .distinct()
       .cache() // feeds sizes plus both self-join inputs
+    registerRelease(() => sg.unpersist())
     val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val a = sg.as("a"); val b = sg.as("b")
     a.join(b, col("a.h") === col("b.h") && col("a.source") < col("b.source"))

@@ -246,6 +246,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d12 == d02, s"d12 has $d12 exchanges vs d02's $d02")
   }
 
+  test("dedup shared caches are bounded and fully releasable in one session") {
+    val sc = spark.sparkContext
+    graft.queries.Dedup.releaseCaches()
+    val base = sc.getPersistentRDDs.keySet
+    graft.queries.Dedup.d02JaccardPairs(spark, sf).collect()
+    assert(sc.getPersistentRDDs.keySet.size > base.size,
+      "the shingle cache should be live after an executed build")
+    // building the next dedup query releases the previous one's caches;
+    // the CC loop self-cleans intermediate checkpoints and registers
+    // only its final snapshot
+    graft.queries.Dedup.d07DupClusters(spark, sf).collect()
+    graft.queries.Dedup.releaseCaches()
+    assert(sc.getPersistentRDDs.keySet.subsetOf(base),
+      s"dedup blocks survived release: ${sc.getPersistentRDDs.keySet -- base}")
+  }
+
   test("t11 runs with no exchange at all (per-doc metrics stay narrow)") {
     val p = planOf("t11_repetition")
     assert(!p.contains("Exchange"), s"t11 must not shuffle:\n${p.take(800)}")
