@@ -164,7 +164,36 @@ object EventStreams {
     * the OLDEST open session's deadline so closed sessions are never
     * held hostage by a user's newer activity.
     */
-  def st04StatefulSessions(s: SparkSession, d: String): DataFrame = {
+  def st04StatefulSessions(s: SparkSession, d: String): DataFrame =
+    statefulSessions(s, d, "st04_sink")
+
+  /** st04's stateful sessionization under the ROCKSDB state-store
+    * provider — the missing piece of the 100 TB streaming-state story.
+    * The default HDFSBackedStateStoreProvider keeps every partition's
+    * ENTIRE key map as JVM-heap objects: state capacity is bounded by
+    * executor heap, and large maps stress GC (the same
+    * state-volume-not-CPU sizing argument as withStatePartitions
+    * above). RocksDB keeps the working set in native memory backed by
+    * local SST files with incremental snapshot upload — the standard
+    * provider once keyed state (here: open sessions per user; at
+    * 100 TB, hundreds of millions of keys) outgrows the heap. The
+    * provider is a pure storage swap behind the same operator and
+    * state machine, so the result — and the oracle — is exactly
+    * st04's.
+    */
+  def st14RocksdbSessions(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try statefulSessions(s, d, "st14_sink")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  private def statefulSessions(s: SparkSession, d: String, name: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._
     val stream = eventsChunkStream(s, d)
@@ -199,7 +228,6 @@ object EventStreams {
           else { state.update(open); state.setTimeoutTimestamp(open.map(_._2).min / 1000 + 30 * 60 * 1000) }
           closed.iterator.map { case (st0, en0, n0) => (uid, st0, en0, n0) }
       }
-    val name = "st04_sink"
     val sq = q.toDF("user_id", "start_us", "end_us", "n_events")
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     try sq.processAllAvailable() finally sq.stop()
@@ -456,6 +484,14 @@ object EventStreams {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    // prior versions existed only to feed the next batch's merge —
+    // drop them now; the surviving latest version backs the returned
+    // (lazy) frame, so it is reclaimed at JVM exit instead
+    import scala.reflect.io.Directory
+    new java.io.File(base).listFiles()
+      .filter(f => f.isDirectory && f.getName != s"v$latest")
+      .foreach(f => new Directory(f).deleteRecursively())
+    sys.addShutdownHook(new Directory(new java.io.File(base)).deleteRecursively())
     s.read.schema(sch).parquet(s"$base/v$latest")
   }
 
@@ -568,12 +604,36 @@ object EventStreams {
     "st01_stream_hourly" -> gated(st01StreamHourly),
     "st02_sessionize" -> st02Sessionize,
     "st04_stateful_sessions" -> gated(st04StatefulSessions),
+    "st14_rocksdb_sessions" -> gated(st14RocksdbSessions),
     "st05_stream_static_join" -> gated(st05StreamStaticJoin),
     "st06_stream_dedup" -> gated(st06StreamDedup),
     "st11_dedup_within_watermark" -> gated(st11DedupWithinWatermark),
     "st07_foreach_batch_sink" -> gated(st07ForeachBatchSink),
     "st08_checkpoint_recovery" -> gated(st08CheckpointRecovery),
     "st09_stream_session_window" -> gated(st09StreamSessionWindow))
+
+  private val statefulSessionsSql =
+    """WITH marked AS (
+         SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       sess AS (
+         SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM marked),
+       agg AS (
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+           date_trunc('microsecond', min(ts)) AS session_start,
+           date_trunc('microsecond', max(ts)) AS session_end
+         FROM sess GROUP BY 1, 2),
+       wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS w FROM events)
+       SELECT user_id, session_start, session_end, n_events
+       FROM agg, wm WHERE end_us + 1800000000 < w"""
 
   val oracles: Map[String, String] = Map(
     // the batch interval join IS the streaming answer (inner matches
@@ -621,28 +681,9 @@ object EventStreams {
            date_trunc('microsecond', min(ts)) AS session_start,
            date_trunc('microsecond', max(ts)) AS session_end
          FROM sess GROUP BY 1, 2""",
-    "st04_stateful_sessions" ->
-      """WITH marked AS (
-           SELECT user_id, ts, event_id,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                  THEN 1 ELSE 0 END AS new_session
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-         sess AS (
-           SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-               ROWS UNBOUNDED PRECEDING) AS session_id
-           FROM marked),
-         agg AS (
-           SELECT user_id, session_id, count(*) AS n_events,
-             min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
-             date_trunc('microsecond', min(ts)) AS session_start,
-             date_trunc('microsecond', max(ts)) AS session_end
-           FROM sess GROUP BY 1, 2),
-         wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS w FROM events)
-         SELECT user_id, session_start, session_end, n_events
-         FROM agg, wm WHERE end_us + 1800000000 < w""",
+    "st04_stateful_sessions" -> statefulSessionsSql,
+    // identical by design: the state-store provider is a storage swap
+    "st14_rocksdb_sessions" -> statefulSessionsSql,
     // closed = session-window end (last event + 30min 1µs gap) has been
     // passed by the final watermark (max ts − 30min), inclusive —
     // mirroring Spark's append-mode eviction predicate
