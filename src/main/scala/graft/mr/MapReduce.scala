@@ -205,18 +205,23 @@ abstract class MapReduce[I, K: ClassTag: Ordering, S: ClassTag: Ordering,
     output(ListMap.from(run(rdd).collect()))
 
   /** Distributed finalization (SURVEY §7.4.6): the 100 TB counterpart
-    * of the driver-side [[output]] hook — results go to a parquet sink
-    * as (key, value) rows without ever touching the driver. Requires
+    * of the driver-side [[output]] hook — results go to a columnar (or
+    * text) sink as (key, value) rows without ever touching the driver.
+    * `format`/`options` pass straight to the DataFrameWriter, so Layer
+    * A jobs finalize to any connector Layer B reads (parquet default;
+    * CSV/JSON/ORC/text round-trips are spec-asserted). Requires
     * Encoders for K and V via the caller's SparkSession.
     */
   final def write(spark: org.apache.spark.sql.SparkSession, rdd: RDD[I],
-      path: String)(implicit ke: org.apache.spark.sql.Encoder[K],
+      path: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty)(implicit
+      ke: org.apache.spark.sql.Encoder[K],
       ve: org.apache.spark.sql.Encoder[V]): Unit = {
     implicit val tupleEnc: org.apache.spark.sql.Encoder[(K, V)] =
       org.apache.spark.sql.Encoders.tuple(ke, ve)
     spark.createDataset(run(rdd).flatMap { case (k, vs) => vs.map((k, _)) })
       .toDF("key", "value")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").format(format).options(options).save(path)
   }
 }
 

@@ -213,6 +213,24 @@ class MapReduceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back("word") == 2L && back("python") == 1L)
   }
 
+  test("write() reaches the full connector matrix: CSV and ORC round-trip") {
+    import spark.implicits._
+    val expected = new WC()
+      .run(sc.parallelize(text, 2)).flatMap { case (k, vs) => vs.map((k, _)) }
+      .collect().toMap
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_mr_csv_").toString
+    new WC().write(spark, sc.parallelize(text, 2), csvDir,
+      format = "csv", options = Map("header" -> "true"))
+    val csvBack = spark.read.option("header", "true")
+      .schema("key STRING, value BIGINT").csv(csvDir)
+      .as[(String, Long)].collect().toMap
+    assert(csvBack == expected)
+    val orcDir = java.nio.file.Files.createTempDirectory("graft_mr_orc_").toString
+    new WC().write(spark, sc.parallelize(text, 2), orcDir, format = "orc")
+    val orcBack = spark.read.orc(orcDir).as[(String, Long)].collect().toMap
+    assert(orcBack == expected)
+  }
+
   test("untyped surface runs end-to-end and raises ElementCountError on bad arity") {
     val wc = new UntypedWC(bad = false)
     val got = wc.run(sc.parallelize(text.map(Seq[Any](_)), 2)).collect()
