@@ -592,8 +592,16 @@ object VectorExpressions {
       var i = 0
       while (i < n) {
         val w = mx(i) - mn(i)
-        val q = math.min(254L, math.floor((v(i) - mn(i)) / w * 255.0).toLong)
-        out(i) = mn(i) + (q.toDouble + 0.5) * w / 255.0
+        // degenerate dimension (mx == mn): every value IS mn, so the
+        // reconstruction is mn exactly. Without the guard the divide
+        // yields NaN, which floor→toLong happens to collapse to the
+        // same answer HERE but the oracle's floor(NaN)::BIGINT cast
+        // errors — guard both engines into defined behavior.
+        if (w == 0.0) out(i) = mn(i)
+        else {
+          val q = math.min(254L, math.floor((v(i) - mn(i)) / w * 255.0).toLong)
+          out(i) = mn(i) + (q.toDouble + 0.5) * w / 255.0
+        }
         i += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

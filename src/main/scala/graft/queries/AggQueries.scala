@@ -66,11 +66,18 @@ object AggQueries {
     *
     * Contract (q17's pattern): per key, the exact count plus
     * `est_ge_exact` (CMS never under-counts — deterministic) and
-    * `est_within_bound` (est ≤ exact + 4·n/width; Markov per row at
-    * 4× the mean collision mass, taken to the min over 4 rows —
-    * verified to hold with wide margin on this key domain at all
-    * three sfs; the hashes and data are fixed, so it is a fact of the
-    * dataset, not a per-run gamble).
+    * `est_within_bound` (est ≤ exact + 8·n/width). Derivation of the
+    * slack: one row's collision mass for key k has mean ≤ n/width
+    * (residual mass spread over width cells), so by Markov
+    * P[collision > 8·n/width] ≤ 1/8 per row; the estimate is the MIN
+    * over depth = 4 independent rows, so P[fail] ≤ (1/8)⁴ ≈ 2.4e-4
+    * per key, ≈ 0.8 % union-bounded over the ~31 keys — and since the
+    * hashes and fixtures are fixed, the booleans are a replayed fact
+    * of the dataset (verified TRUE at all three sfs), not a per-run
+    * gamble. The slack stays ~2.4× tighter than the trivial
+    * deterministic bound (est ≤ exact + residual) even for the
+    * planted 70 %-mass hot key, so the gate still has teeth if the
+    * fixtures are ever regenerated.
     */
   def a03CmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -84,7 +91,7 @@ object AggQueries {
     val bc = s.sparkContext.broadcast(sketch)
     val exact = items.groupByKey(identity).count()
     val nTotal = Tables.lineitem(s, d).count()
-    val slack = 4L * nTotal / width
+    val slack = 8L * nTotal / width
     exact.map { case (k, n) =>
       val est = graft.functions.Aggregators.CountMinSketch
         .estimate(bc.value, k, depth, width)

@@ -505,8 +505,14 @@ object Similarity {
          FROM st),
        coded AS (
          SELECT vec_id,
-           list_transform(range(0, 64), i -> least(254,
-             floor((v[i + 1] - mns[i + 1]) / (mxs[i + 1] - mns[i + 1]) * 255.0)::BIGINT)) AS q,
+           -- degenerate dimension (mx = mn): code 0, reconstructing mn
+           -- exactly — mirrors SqDequantize's w == 0 guard (without it
+           -- this side errors on floor(NaN)::BIGINT)
+           list_transform(range(0, 64), i -> CASE
+             WHEN mxs[i + 1] = mns[i + 1] THEN 0
+             ELSE least(254,
+               floor((v[i + 1] - mns[i + 1]) / (mxs[i + 1] - mns[i + 1]) * 255.0)::BIGINT)
+             END) AS q,
            mns, mxs
          FROM ev, stats),
        dqv AS (
