@@ -318,13 +318,19 @@ object Dedup {
       // (s08's plan-doubling trap, squared — observed as an
       // explainString OOM). The per-round materializing action is
       // therefore an eager localCheckpoint + stats rebase (s08's
-      // exact discipline); the convergence count then reads the
-      // materialized RDD for free.
+      // exact discipline), and the convergence tally rides that SAME
+      // pass as an observed metric — one job per round (s08's
+      // one-action rationale; rounds are inherently sequential).
+      val obs = org.apache.spark.sql.Observation(
+        s"cc_r${iter}_${System.nanoTime()}")
       val before = sc.getPersistentRDDs.keySet
-      val ck = jumped.localCheckpoint() // eager: materializes here
+      val ck = jumped
+        .observe(obs, coalesce(sum(when(col("chg"), 1L).otherwise(0L)),
+          lit(0L)).as("changed"))
+        .localCheckpoint() // eager: materializes here
       val ckIds = sc.getPersistentRDDs.keySet -- before
       val updated = pairs.sparkSession.createDataFrame(ck.rdd, ck.schema)
-      changed = updated.filter(col("chg")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = updated.select(col("node"), col("new_label").as("label"))
       releasePrev()
       releasePrev = () => ckIds.foreach(id =>
