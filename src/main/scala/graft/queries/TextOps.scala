@@ -252,7 +252,32 @@ object TextOps {
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
 
+  /** Blocklist term scrub — the redaction pass every training pipeline
+    * runs before release (PII patterns, banned terms, internal names):
+    * count word-boundary blocklist hits per document, emit the scrub
+    * decision, and fingerprint the REDACTED text (md5) so downstream
+    * stages can prove they consumed the scrubbed form, not the
+    * original. One narrow map, no shuffle — at 100 TB this composes
+    * with t06's quality gate as a pure scan stage, and the blocklist
+    * generalizes to any alternation (emails, key formats). The
+    * fixtures are digit-free word salad, so classic PII regexes would
+    * gate vacuously — the term blocklist exercises identical machinery
+    * (boundary regex count + global replace) with real hits.
+    */
+  def t13TermScrub(s: SparkSession, d: String): DataFrame = {
+    val pat = "\\b(customer|spark|vector)\\b"
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast("long").as("n_hits"),
+        regexp_replace(col("text"), pat, "[REDACTED]").as("red"))
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits") === 0).as("clean"),
+        md5(col("red").cast("binary")).as("redacted_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_term_scrub" -> t13TermScrub,
     "t12_lang_confusion" -> t12LangConfusion,
     "t11_repetition" -> t11Repetition,
     "t10_lm_quality" -> t10LmQuality,
@@ -285,6 +310,12 @@ object TextOps {
        FROM scored"""
 
   val oracles: Map[String, String] = Map(
+    "t13_term_scrub" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, '\b(customer|spark|vector)\b'))::BIGINT AS n_hits,
+           len(regexp_extract_all(text, '\b(customer|spark|vector)\b')) = 0 AS clean,
+           md5(regexp_replace(text, '\b(customer|spark|vector)\b', '[REDACTED]', 'g')) AS redacted_md5
+         FROM documents""",
     "t11_repetition" ->
       """WITH toks AS (
            SELECT doc_id,
