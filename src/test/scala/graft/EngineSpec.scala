@@ -206,6 +206,37 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("d10 banding finds EVERY Hamming<=3 pair, incl. via the sign-bit band") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted partners at <=3 flips over random 64-bit signatures
+    // (negative longs included) — brute force is the ground truth, the
+    // banded join + in-place verify is d10's exact arithmetic
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.fill(50)(rnd.nextLong()).zipWithIndex.flatMap { case (s0, i) =>
+      var s1 = s0
+      (0 until 3).foreach(_ => s1 ^= 1L << rnd.nextInt(64))
+      Seq((i * 2L, s0), (i * 2L + 1L, s1))
+    }
+    val expected = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(expected.size >= 50, "planted pairs must make the test non-vacuous")
+    val df = docs.toDF("doc_id", "sig")
+    val bands = df.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(sig, band * 16) & 65535"))
+    val a = bands.as("a"); val b = bands.as("b")
+    val got = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("bit_count(a.sig ^ b.sig) <= 3"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"banding missed ${expected -- got} / invented ${got -- expected}")
+  }
+
   test("d07 candidates come from banded LSH, not d02's shingle fan-out join") {
     val p = graft.queries.Dedup.d07CandidatePairs(spark, sf)
       .queryExecution.executedPlan.toString
