@@ -192,13 +192,78 @@ object Multimodal {
       .toDF()
   }
 
+  /** One file-ingested asset record. */
+  case class Ingested(doc_id: Long, n_bytes: Long, width: Long,
+      height: Long, payload_md5: String)
+
+  /** BINARY-FILE INGEST — the step BEFORE m01–m04: real assets arrive
+    * as files, not as a column somebody already loaded, and Spark's
+    * `binaryFile` source is the scalable reader (distributed listing,
+    * content as a BinaryType column next to path/size/mtime metadata,
+    * path-glob and size filters applied at the source — no driver-side
+    * reads). A deterministic ~2 % doc slice is staged ONCE per input
+    * dir as `asset_<doc_id>.bin` files (Staging.ensure keying; the
+    * file synthesis is harness work standing in for the upstream
+    * crawler — at 100 TB the files pre-exist), then: binaryFile scan →
+    * doc key recovered from the filename → per-partition stub decode →
+    * typed metadata rows, verified against the same arithmetic oracle
+    * as m01. This closes the lakehouse loop for binary assets: files →
+    * typed table → (m02–m04, s01–s10) without any bytes ever touching
+    * the driver.
+    */
+  def m05BinaryIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.core.Staging.ensure(d, "documents", "bin_assets") { out =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      // tiny deterministic slice (100 files at sf0.1) — fixture
+      // staging, not the operator under test
+      Tables.documents(s, d).filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+          concat_ws(":", lit("FAKEIMG1"),
+            (lit(32) + col("doc_id") % 97).cast("long"),
+            (lit(32) + (col("doc_id") * 7) % 89).cast("long"),
+            md5(col("text").cast("binary"))).as("payload"))
+        .as[(Long, String)].collect()
+        .foreach { case (id, payload) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, s"asset_$id.bin"),
+            payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+    }
+    s.read.format("binaryFile").load(s"$dir/*.bin")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = FakeCodec // real codec: init once per partition
+        it.map { case (path, bytes) =>
+          val id = path.substring(path.lastIndexOf('_') + 1,
+            path.lastIndexOf('.')).toLong
+          val m = codec.decode(id, bytes)
+          Ingested(id, m.n_bytes, m.width, m.height, m.payload_md5)
+        }
+      }
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m04_feature_extract" -> m04FeatureExtract,
     "m03_resize_thumb" -> m03ResizeThumb,
+    "m05_binary_ingest" -> m05BinaryIngest,
     "m01_decode_meta" -> m01DecodeMeta,
     "m02_frame_sample" -> m02FrameSample)
 
   val oracles: Map[String, String] = Map(
+    // recomputes the staged bytes' metadata arithmetically over the
+    // same deterministic slice — a lost/duplicated file, a wrong key
+    // parse, or stale staging hash-mismatches
+    "m05_binary_ingest" ->
+      """SELECT doc_id,
+           length('FAKEIMG1:' || (32 + doc_id % 97) || ':'
+             || (32 + (doc_id * 7) % 89) || ':' || md5(text))::BIGINT AS n_bytes,
+           32 + doc_id % 97 AS width,
+           32 + (doc_id * 7) % 89 AS height,
+           md5(text) AS payload_md5
+         FROM documents WHERE doc_id % 50 = 0""",
     // the t04-style polynomial hash over the md5 HEX STRING's chars,
     // then the per-dim affine mix — integer space end to end, so the
     // scaled double is bit-identical

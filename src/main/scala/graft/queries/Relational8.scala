@@ -127,6 +127,26 @@ object Relational8 {
         round(sum(col("p_retailprice")), 2).as("total_price"))
   }
 
+  /** XML sink + source round-trip — the row-tag document connector
+    * (Spark 4 ships the former spark-xml package as a built-in
+    * source), widening the matrix beyond columnar (parquet/ORC),
+    * delimited (CSV), and line-JSON to the config/feed format ETL
+    * still ingests. Same contract as q29/q30/q45: the engine owns
+    * serialization both ways, and the oracle checks the round-tripped
+    * aggregate — dropped rows or re-inferred types would corrupt it.
+    */
+  def q62XmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xml_").toString
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      .write.mode("overwrite").format("xml")
+      .option("rowTag", "supplier").save(tmp)
+    s.read.format("xml").option("rowTag", "supplier").load(tmp)
+      .groupBy(col("s_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal")), 2).as("total_bal"))
+  }
+
   /** Deterministic stratified train/val/test split (80/10/10 by
     * doc_id hash) — the q37 reproducible-sampling idiom promoted to
     * the dataset-split op every training pipeline runs. Hash-based
@@ -202,6 +222,7 @@ object Relational8 {
     "q43_merge_upsert" -> q43MergeUpsert,
     "q44_funnel_timeout" -> q44FunnelTimeout,
     "q45_orc_roundtrip" -> q45OrcRoundtrip,
+    "q62_xml_roundtrip" -> q62XmlRoundtrip,
     "q46_stratified_split" -> q46StratifiedSplit)
 
   val oracles: Map[String, String] = Map(
@@ -258,6 +279,10 @@ object Relational8 {
       """SELECT p_brand, count(*) AS n_parts,
          round(sum(p_retailprice), 2) AS total_price
          FROM part GROUP BY 1""",
+    "q62_xml_roundtrip" ->
+      """SELECT s_nationkey::BIGINT AS nation, count(*) AS n_suppliers,
+         round(sum(s_acctbal), 2) AS total_bal
+         FROM supplier GROUP BY 1""",
     "q46_stratified_split" ->
       """SELECT lang,
            CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
