@@ -22,7 +22,9 @@ object Plans {
       "d09_ngram_decontam", "d10_simhash_band_pairs", "t11_repetition",
       "s09_rproj_ann", "q52_salted_join", "s10_sq_ann", "q55_dynamic_pruning",
       "d12_containment_pairs", "p02_semdedup",
-      "p01_corpus_build")
+      "p01_corpus_build",
+      "q59_cohort_retention", "q62_xml_roundtrip", "m05_binary_ingest",
+      "t13_term_scrub")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries (sf0.01, AQE off for readability)\n\n"
     sb ++= "Regenerate: `sbt \"runMain graft.Plans\"`. What to look for per query\n"
