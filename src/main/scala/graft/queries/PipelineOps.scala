@@ -140,7 +140,47 @@ object PipelineOps {
       .join(nonCanon, Seq("vec_id"), "left_anti")
   }
 
+  /** CORPUS MIXING to a per-source budget — the "data mixing" step of
+    * every pretraining corpus build: each source gets a target share
+    * (weights here derived deterministically from the source name —
+    * stand-ins for the 30 % web / 30 % code /… recipe), and documents
+    * fill the share greedily in reproducible md5 order until the
+    * budget is met. A source can end BUDGET-CAPPED (docs left over) or
+    * EXHAUSTED (budget unreached) — both paths occur on these
+    * fixtures and both matter operationally: exhausted sources are
+    * what forces a recipe renegotiation. Output is the mixing
+    * manifest: per source, docs taken, chars used, and the budget.
+    *
+    * Scale shape: one exchange on source + an in-partition running
+    * sum (q48's deterministic-order idiom with a RESOURCE cap instead
+    * of a row cap). A 100 TB source is one giant window partition —
+    * there the refinement is a two-level prefix sum (coarse per-
+    * (source, hash-bucket) subtotals first, then only the boundary
+    * bucket needs row order), same answer, bounded partitions; at
+    * gate scale the direct window IS the right plan.
+    */
+  def p03MixToBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("budget",
+        (lit(3000L) * (lit(1L) + (ascii(substring(col("source"), -1, 1)) % 3)))
+          .cast("long"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .filter(col("cum") <= col("budget"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("cum")).as("chars_used"),
+        first(col("budget")).as("char_budget"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p03_mix_to_budget" -> p03MixToBudget,
     "p02_semdedup" -> p02SemDedup,
     "p01_corpus_build" -> p01CorpusBuild,
     "t06_quality_filter" -> t06QualityFilter,
@@ -170,6 +210,22 @@ object PipelineOps {
        WHERE vec_id NOT IN (SELECT vec_id FROM lab WHERE vec_id <> cluster_id)"""
 
   val oracles: Map[String, String] = Map(
+    "p03_mix_to_budget" ->
+      """WITH ranked AS (
+           SELECT source, doc_id, n_chars,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h,
+             3000 * (1 + ascii(substr(source, -1, 1)) % 3) AS budget
+           FROM documents),
+         filled AS (
+           SELECT source, budget, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM ranked)
+         SELECT source, count(*) AS n_docs,
+           CAST(max(cum) AS BIGINT) AS chars_used,
+           CAST(budget AS BIGINT) AS char_budget
+         FROM filled WHERE cum <= budget
+         GROUP BY source, budget""",
     "p02_semdedup" -> semdedupSql,
     "p01_corpus_build" ->
       s"""WITH RECURSIVE
