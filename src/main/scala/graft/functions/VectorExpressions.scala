@@ -611,6 +611,56 @@ object VectorExpressions {
       copy(vec = newFirst, mins = newSecond, maxs = newThird)
   }
 
+  /** Product-quantization encode→decode fused in one native pass:
+    * the 64-dim vector is split into 8 subspaces of 8 dims; for each
+    * subspace the nearest of 16 codewords (flat codebook argument:
+    * 16×64 doubles, codeword-major — only the subspace slice of each
+    * codeword is used) is chosen by exact L2², ties to the LOWEST
+    * codeword index (strict `<` keeps the first minimum — mirrored by
+    * the oracle's ORDER BY d2, j), and the reconstruction concatenates
+    * the chosen codewords' slices. The 8×4-bit codes exist transiently
+    * — the STORAGE form at scale is 8 bytes/vector vs 512 for raw
+    * doubles — and search ranks reconstructions asymmetrically
+    * (probe stays exact). Distance folds accumulate dim-ascending, so
+    * doubles are bit-identical to the oracle's `list_reduce`.
+    */
+  case class PqReconstruct(vec: Expression, cb: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def left: Expression = vec
+    override def right: Expression = cb
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val v = a.asInstanceOf[ArrayData].toDoubleArray()
+      val c = b.asInstanceOf[ArrayData].toDoubleArray() // 16 * 64 flat
+      val out = new Array[Any](64)
+      var s = 0
+      while (s < 8) {
+        var best = 0; var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < 16) {
+          var d2 = 0.0; var i = 0
+          val base = j * 64 + s * 8
+          while (i < 8) {
+            val diff = v(s * 8 + i) - c(base + i)
+            d2 += diff * diff
+            i += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < 8) { out(s * 8 + i) = c(best * 64 + s * 8 + i); i += 1 }
+        s += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(vec = newLeft, cb = newRight)
+  }
+
   /** Word n-grams of a text in one native pass, NON-distinct — every
     * occurrence is kept, in order. The occurrence-weighted sibling of
     * ShingleSet (same tokenization: lowercase, split on whitespace,
@@ -713,5 +763,7 @@ object VectorExpressions {
       "graft_rproj", es => RandomProjection(es.head), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sq_dequantize", es => SqDequantize(es.head, es(1), es(2)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_reconstruct", es => PqReconstruct(es.head, es(1)), "built-in")
   }
 }

@@ -458,7 +458,59 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("qcos"))
   }
 
+  /** PRODUCT-QUANTIZED ANN — the codebook-compression axis, completing
+    * the ANN tiers: bucketing (s02), coarse routing (s03/s04),
+    * dimension reduction (s09), per-dim scalar codes (s10), and here
+    * per-SUBSPACE vector codes: 8 subspaces × 16 codewords, so a
+    * vector stores as 8 four-bit codes (8 bytes, 64× smaller than raw
+    * doubles — PQ is how billion-scale indexes fit in RAM). The
+    * codebook is the 16 md5-lowest vectors (deterministic sampled
+    * init, SQL-mirrorable at every sf; Lloyd refinement per subspace
+    * is s06's loop verbatim and deliberately not repeated here — the
+    * search path, not training, is what this tier adds). Encode→decode
+    * is one fused native pass (PqReconstruct; ties to the lowest
+    * codeword, mirrored by the oracle's ORDER BY d2, j); search is
+    * ASYMMETRIC (ADC): probes stay exact, the corpus side is
+    * reconstructed — the standard PQ search contract. The quantized
+    * ranking, error included, is oracle-checked bit-for-bit.
+    *
+    * Scale shape: codebook selection is a distributed top-16
+    * (TakeOrderedAndProject, no global sort — at 100 TB train on a
+    * q37 hash-sample first), the 1,024-double codebook broadcasts,
+    * encode is narrow and in-row, and the search is s01's
+    * broadcast-probe scan over reconstructions.
+    */
+  def s11PqAnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cb = e
+      .withColumn("h",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .orderBy(col("h"), col("vec_id")).limit(16)
+      .agg(expr(
+        "flatten(transform(array_sort(collect_list(struct(h, vec_id, v))), p -> p.v))")
+        .as("cb"))
+    val coded = e.crossJoin(broadcast(cb))
+      .withColumn("dq", expr("graft_pq_reconstruct(v, cb)"))
+      .select(col("vec_id"), col("v"), col("dq"))
+      .withColumn("qnrm", sqrt(expr("graft_sumsq(dq)")))
+    val probes = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .withColumn("pnrm", sqrt(expr("graft_sumsq(pv)")))
+    val joined = coded.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("qcos", expr("graft_dot(pv, dq)") / (col("pnrm") * col("qnrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("qcos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_pq_ann" -> s11PqAnn,
     "s10_sq_ann" -> s10SqAnn,
     "s09_rproj_ann" -> s09RandomProjAnn,
     "s08_kmeans_full" -> s08KmeansFull,
@@ -566,7 +618,49 @@ object Similarity {
            ORDER BY qcos DESC, neighbor_id) AS rank FROM scored) r
        WHERE rank <= 5"""
 
+  // s11's oracle mirrors codebook-select/encode/decode/ADC-search
+  // exactly: same md5-sampled 16 codewords, same subspace L2 fold
+  // order, ties to the lowest codeword index, probe-exact scoring.
+  private val s11Sql =
+    """WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       cw AS (
+         SELECT v, h, vec_id FROM (
+           SELECT v, vec_id,
+             ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+           FROM ev)
+         ORDER BY h, vec_id LIMIT 16),
+       cwj AS (
+         SELECT v, row_number() OVER (ORDER BY h, vec_id) - 1 AS j FROM cw),
+       dists AS (
+         SELECT e.vec_id, s, c.j,
+           list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+             i -> (e.v[s*8 + i] - c.v[s*8 + i]) * (e.v[s*8 + i] - c.v[s*8 + i]))),
+             (a, x) -> a + x) AS d2
+         FROM ev e, unnest(range(0, 8)) AS u(s), cwj c),
+       codes AS (
+         SELECT vec_id, s, j FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id, s
+             ORDER BY d2, j) AS rk
+           FROM dists) t
+         WHERE rk = 1),
+       recon AS (
+         SELECT codes.vec_id,
+           flatten(list(list_slice(c.v, s*8 + 1, s*8 + 8) ORDER BY s)) AS dq
+         FROM codes JOIN cwj c USING (j)
+         GROUP BY codes.vec_id),
+       scored AS (
+         SELECT p.vec_id AS probe_id, r.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * r.dq[i])), (a, x) -> a + x)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.v, x -> x * x)), (a, x) -> a + x))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(r.dq, x -> x * x)), (a, x) -> a + x))) AS qcos
+         FROM ev p JOIN recon r ON p.vec_id < 10 AND r.vec_id <> p.vec_id)
+       SELECT probe_id, rank, neighbor_id, qcos FROM (
+         SELECT *, row_number() OVER (PARTITION BY probe_id
+           ORDER BY qcos DESC, neighbor_id) AS rank FROM scored) t
+       WHERE rank <= 5"""
+
   val oracles: Map[String, String] = Map(
+    "s11_pq_ann" -> s11Sql,
     "s10_sq_ann" -> s10Sql,
     "s09_rproj_ann" -> s09Sql,
     // s08 contract oracle (q17 pattern): convergence and the fixed
