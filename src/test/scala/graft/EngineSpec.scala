@@ -187,9 +187,13 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"expected 1 window exchange:\n${p.take(1000)}")
   }
 
-  test("s09/s10 ANN tiers broadcast their probe sides") {
+  test("s09/s10/s11 ANN tiers broadcast their probe sides") {
     assert(planOf("s09_rproj_ann").contains("BroadcastExchange"))
     assert(planOf("s10_sq_ann").contains("BroadcastExchange"))
+    val s11 = planOf("s11_pq_ann")
+    assert(s11.contains("BroadcastExchange"))
+    // codebook selection must be a distributed top-16, not a global sort
+    assert(s11.contains("TakeOrderedAndProject"), s11.take(800))
   }
 
   test("d09 probes the held-out gram set via broadcast, not a shuffle join") {
