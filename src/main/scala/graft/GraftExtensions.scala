@@ -56,7 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("graft_word_bigrams", "word bigrams, every occurrence",
         es => WordGramList(es.head, 2)),
       ("graft_rproj", "16-dim signed random projection",
-        es => RandomProjection(es.head)))
+        es => RandomProjection(es.head)),
+      ("graft_simhash64", "64-bit SimHash of a token array",
+        es => SimHash64(es.head)),
+      ("graft_sq_dequantize", "fused 8-bit scalar quantize -> midpoint dequantize",
+        es => SqDequantize(es.head, es(1), es(2))),
+      ("graft_pq_reconstruct", "fused product-quantization encode -> decode",
+        es => PqReconstruct(es.head, es(1))))
     fns.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
