@@ -516,9 +516,16 @@ object Dedup {
     * Containment ≥ 0.8 in EITHER direction flags the pair, and which
     * side is contained tells the pipeline which document is the
     * subset. Same shingle machinery and join shape as d02 — the tail
-    * just divides by each side's OWN size instead of the union; at
-    * 100 TB the d03 banding generates the candidates and this scoring
-    * replaces the Jaccard verify.
+    * just divides by each side's OWN size instead of the union.
+    *
+    * Role: the EXACTNESS ORACLE tier, exactly as d02 is for d03/d06 —
+    * quadratic by design. The production path at 100 TB is d13's
+    * prefix-filtered candidates + this scoring. (NOT d03's MinHash
+    * banding: band-collision probability tracks JACCARD, and the
+    * high-containment/low-Jaccard pairs this operator exists for are
+    * precisely the pairs Jaccard banding misses most — a 10-shingle
+    * doc inside a 1000-shingle doc has containment 1.0 but j ≈ 0.01,
+    * per-band collision odds ≈ 0.01² per row.)
     */
   def d12ContainmentPairs(s: SparkSession, d: String): DataFrame = {
     val sh = hashedShingles(s, d)
@@ -538,7 +545,129 @@ object Dedup {
         col("contain_a"), col("contain_b"))
   }
 
+  /** PREFIX-FILTERED candidate pairs for containment ≥ θ = 0.8 — the
+    * AllPairs/PPJoin principle specialized to the overlap predicate.
+    *
+    * Derivation (why this candidate set is COMPLETE at θ = 0.8):
+    * contain_a ≥ θ OR contain_b ≥ θ is equivalent to
+    * common ≥ θ·min(na, nb) — the smaller side always has the larger
+    * containment, so only the min matters; common is an integer, so
+    * the requirement is common ≥ t where t = ⌈θ·n_small⌉.
+    *
+    * Fix ONE global total order on shingles (here: document frequency
+    * ascending, hash ascending as tie-break — any total order is
+    * correct; df-ascending minimizes work, below) and sort each doc's
+    * distinct shingles by it. Prefix principle: if the first
+    * n − t + 1 shingles of the SMALLER doc A all miss B, then at most
+    * the remaining t − 1 can be shared, so common ≤ t − 1 < t and the
+    * pair cannot qualify. Contrapositive: every qualifying pair is
+    * found by joining the smaller side's prefix (length
+    * na − ⌈θ·na⌉ + 1 = ⌊(1−θ)·na⌋ + 1, computed in exact integer
+    * arithmetic as na − (4·na + 4) DIV 5 + 1) against the OTHER doc's
+    * FULL shingle list. Prefix-vs-prefix — the symmetric-Jaccard
+    * shortcut — is deliberately NOT used here: for na ≪ nb the
+    * required overlap t = ⌈θ·na⌉ is far below ⌈θ·nb⌉, so B's short
+    * Jaccard prefix has no hit guarantee — unsound in exactly the
+    * short-doc-in-long-doc case this operator exists for. Every doc
+    * contributes BOTH prefix rows and full rows, so whichever side of
+    * a pair is smaller, its prefix-vs-full probe fires; pairs then
+    * dedupe on (least, greatest).
+    *
+    * Scale shape: df is one partial-aggable count over 8-byte keys;
+    * the df join-back and the per-doc sort/rank partition by doc_id
+    * (partition size = one doc's shingle count — bounded); the
+    * candidate join's fan-out is Σ_prefix-rows df(shingle), and
+    * df-ascending ordering puts each doc's RAREST ~20 % of shingles
+    * in its prefix, so the posting lists probed are the short ones.
+    * df = 1 shingles are dropped from both sides (d06's rationale: a
+    * shingle in one document can never witness a pair — prefix
+    * membership is decided BEFORE the drop, so prefix positions are
+    * unaffected). No quadratic term anywhere: the full self-join of
+    * d02/d12 never happens. Hash-domain candidates inherit d02's
+    * xxhash64 collision analysis; collisions only merge df mass or
+    * admit a false candidate, which the exact verify tier rejects —
+    * never a miss (common_hash ≥ common_string keeps the prefix
+    * guarantee conservative).
+    *
+    * Takes the (doc_id, s) stream as a parameter so the completeness
+    * proof is unit-testable on synthetic planted-containment corpora
+    * (EngineSpec), mirroring d10's lossless-banding proof.
+    */
+  private[graft] def prefixCandidates(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfTab = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // ONE ordered window spec for both rank and size (count runs with
+    // an unbounded frame over the SAME sort) → a single Window
+    // operator, a single per-doc sort.
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    // Both candidate-join inputs are projections of this SAME frame;
+    // caching it computes the df join + per-doc rank once and both
+    // join sides read the cache (the release rides the shared dedup
+    // registry, like the shingle cache itself). At 100 TB this
+    // materialization is the AllPairs "indexed prefix" structure —
+    // the thing a production system would persist alongside the
+    // corpus.
+    val ranked = sh.join(dfTab, "s")
+      .withColumn("pos", row_number().over(byDoc))
+      .withColumn("na", count(lit(1)).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("df") >= 2)
+      .withColumn("is_prefix",
+        col("pos") <= expr("na - (na * 4 + 4) DIV 5 + 1"))
+      .select(col("doc_id"), col("s"), col("is_prefix"))
+      .cache()
+    registerRelease(() => ranked.unpersist())
+    ranked.filter(col("is_prefix"))
+      .select(col("doc_id").as("pref_id"), col("s"))
+      .join(ranked.select(col("doc_id").as("full_id"), col("s")), "s")
+      .filter(col("pref_id") =!= col("full_id"))
+      .select(least(col("pref_id"), col("full_id")).as("doc_a"),
+        greatest(col("pref_id"), col("full_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** d12's production twin: prefix-filtered candidates (see
+    * [[prefixCandidates]] for the completeness derivation) + the same
+    * exact containment scoring — the oracle is d12's quadratic
+    * `containmentSql`, unchanged, exactly as d03/d06 answer to d02's
+    * `jaccardSql`.
+    *
+    * Honest local cost note: this synthetic corpus draws every doc
+    * from one small shared vocabulary, so even df-ascending prefixes
+    * hit df ≥ 2 shingles and candidates measure ~181 k of 2.1 M
+    * possible pairs (8.7 %) at sf0.1 — d13 runs ~1.7× d12's wall
+    * clock HERE. The crossover is corpus breadth, not size: on real
+    * text the rarest ⌊0.2·n⌋+1 shingles of a doc are overwhelmingly
+    * df = 1 (dropped) or df = 2-3, candidate cost stays
+    * Σ_prefix df(s) ≈ linear in corpus size, while d12's self-join
+    * grows with Σ_s df(s)² — the boilerplate-shingle cliques that
+    * dominate at 100 TB and make the quadratic tier unrunnable.
+    */
+  def d13ContainmentPrefix(s: SparkSession, d: String): DataFrame = {
+    val sh = hashedShingles(s, d)
+    val cands = prefixCandidates(sh)
+    // Verify on per-doc HASH arrays folded from the already-cached
+    // shingle stream — no second document scan/re-shingle (the array
+    // rejoin d03 uses would rescan documents twice here; with this
+    // corpus's dense shared vocab the candidate set is large, so the
+    // verify tier is the bulk of the query), and the intersects run
+    // over 8-byte longs, not strings. Counts are hash-domain — d02's
+    // collision analysis applies, exactly as in d12's own scoring.
+    val docArr = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("s")).as("hs"))
+    cands
+      .join(docArr.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(docArr.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("contain_a", col("common") / size(col("ha")).cast("long"))
+      .withColumn("contain_b", col("common") / size(col("hb")).cast("long"))
+      .filter(col("contain_a") >= 0.8 || col("contain_b") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("contain_a"), col("contain_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_containment_prefix" -> d13ContainmentPrefix,
     "d12_containment_pairs" -> d12ContainmentPairs,
     "d11_source_overlap" -> d11SourceOverlap,
     "d09_ngram_decontam" -> d09NgramDecontam,
@@ -733,6 +862,9 @@ object Dedup {
         WHERE common / sa.n >= 0.8 OR common / sb.n >= 0.8"""
 
   val oracles: Map[String, String] = Map(
+    // d13 is the prefix-filtered path to the same answer — same oracle
+    // by design (the d02/d03 twin pattern).
+    "d13_containment_prefix" -> containmentSql,
     "d12_containment_pairs" -> containmentSql,
     "d11_source_overlap" -> sourceOverlapSql,
     "d09_ngram_decontam" -> decontamSql,

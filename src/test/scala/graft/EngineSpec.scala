@@ -274,6 +274,58 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("xxhash64"), "gram join keys must be 8-byte hashes")
   }
 
+  test("d13 prefix filtering finds EVERY containment>=0.8 pair (planted low-Jaccard subsets)") {
+    import spark.implicits._
+    // Planted worst case for Jaccard-based candidates: short docs that
+    // are near-subsets of long docs (containment ~1.0, Jaccard ~0.1).
+    // Brute force over the synthetic sets is the ground truth; the
+    // prefix-filter join must produce a SUPERSET of the qualifying
+    // pairs while probing far fewer than all pairs.
+    val rnd = new scala.util.Random(11)
+    val vocab = 100000
+    val longDocs = (0 until 30).map { i =>
+      (i.toLong, Set.fill(80 + rnd.nextInt(40))(rnd.nextInt(vocab).toLong))
+    }
+    val shortDocs = (0 until 30).map { i =>
+      val (_, parent) = longDocs(rnd.nextInt(longDocs.size))
+      val core = rnd.shuffle(parent.toSeq).take(8 + rnd.nextInt(5)).toSet
+      // one private token in ~half the shorts: containment dips below
+      // 1.0 but stays >= 0.8 for most, and some fall just under
+      val extra = if (i % 2 == 0) Set((vocab + i).toLong) else Set.empty[Long]
+      (100L + i, core ++ extra)
+    }
+    val docs = longDocs ++ shortDocs
+    def qualifies(a: Set[Long], b: Set[Long]): Boolean = {
+      val common = (a & b).size
+      common >= math.ceil(0.8 * math.min(a.size, b.size)) && common > 0
+    }
+    val expected = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs
+      if ia < ib && qualifies(sa, sb)
+    } yield (ia, ib)).toSet
+    assert(expected.size >= 25, "planted pairs must make the test non-vacuous")
+    val sh = docs.flatMap { case (id, s) => s.map(t => (id, t)) }.toDF("doc_id", "s")
+    val got = graft.queries.Dedup.prefixCandidates(sh)
+      .as[(Long, Long)].collect().toSet
+    assert((expected -- got).isEmpty,
+      s"prefix filtering missed qualifying pairs: ${expected -- got}")
+    val allPairs = docs.size.toLong * (docs.size - 1) / 2
+    assert(got.size < allPairs / 2,
+      s"candidate set ${got.size} is not selective vs $allPairs all-pairs")
+  }
+
+  test("d13 candidates come from the prefix window, not a full shingle self-join") {
+    val p = planOf("d13_containment_prefix")
+    // the df-ordered per-doc rank that defines the prefix must be in
+    // the plan, and its <= prefix-length filter must gate a join input
+    assert(p.contains("row_number"), p.take(1200))
+    val posFilter = p.linesIterator.filter(l =>
+      l.contains("pos#") && l.contains("<=")).toSeq
+    assert(posFilter.nonEmpty,
+      s"prefix-length filter missing above the candidate join; pos sites:\n" +
+        p.linesIterator.filter(_.contains("pos#")).mkString("\n"))
+  }
+
   test("d12 containment adds no shuffle beyond d02's pair machinery") {
     val n = (s: String) => "Exchange hashpartitioning".r.findAllIn(s).size
     val d02 = n(planOf("d02_jaccard_pairs"))
