@@ -151,32 +151,67 @@ object PipelineOps {
     * what forces a recipe renegotiation. Output is the mixing
     * manifest: per source, docs taken, chars used, and the budget.
     *
-    * Scale shape: one exchange on source + an in-partition running
-    * sum (q48's deterministic-order idiom with a RESOURCE cap instead
-    * of a row cap). A 100 TB source is one giant window partition —
-    * there the refinement is a two-level prefix sum (coarse per-
-    * (source, hash-bucket) subtotals first, then only the boundary
-    * bucket needs row order), same answer, bounded partitions; at
-    * gate scale the direct window IS the right plan.
+    * Scale shape — TWO-LEVEL PREFIX SUM, never a per-source row-order
+    * window (a 100 TB source would be one giant unbounded partition;
+    * unlike q48 there is no WindowGroupLimit pushdown for a resource
+    * cap). The md5 order key is bucketed by its high 5 bits into 32
+    * contiguous h-ranges, so bucket order IS row order coarsened:
+    *   1. per-(source, bucket) count/char subtotals — the only
+    *      corpus-wide shuffle, partial-aggable;
+    *   2. a running sum over the ≤32 subtotal rows per source
+    *      classifies each bucket: wholly inside the budget, wholly
+    *      beyond it, or THE boundary bucket (≤1 per source);
+    *   3. only boundary-bucket rows (1/32 of one source, via a
+    *      broadcast of the tiny boundary list) get the row-order
+    *      running sum, offset by the chars before the bucket — its
+    *      window partitions by (source, bucket), bounded by
+    *      construction (at 100 TB, widen to h's high k bits so a
+    *      bucket fits a task);
+    *   4. wholly-in buckets contribute count/chars from their
+    *      SUBTOTALS alone — per-row cums are never computed for them.
+    * Same answer as the direct window (the filter cum ≤ budget
+    * decides whole buckets identically on both paths), plan-asserted
+    * to contain no (source)-partitioned row-order window.
     */
   def p03MixToBudget(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .withColumn("h",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long"))
       .withColumn("budget",
         (lit(3000L) * (lit(1L) + (ascii(substring(col("source"), -1, 1)) % 3)))
           .cast("long"))
-      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("bkt", shiftright(col("h"), 27)) // h < 2³² → 32 contiguous ranges
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        col("h"), col("budget"), col("bkt"))
+    val stats = base.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sub"),
+        first(col("budget")).as("budget"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = stats.withColumn("cum_end", sum(col("sub")).over(wSrc))
+      .withColumn("cum_before", col("cum_end") - col("sub"))
+    val allIn = cum.filter(col("cum_end") <= col("budget"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"), max(col("cum_end")).as("chars_used"),
+        first(col("budget")).as("char_budget"))
+    val boundary = cum
+      .filter(col("cum_end") > col("budget") && col("cum_before") <= col("budget"))
+      .select(col("source"), col("bkt"), col("cum_before"))
+    val wBkt = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryAgg = base.join(broadcast(boundary), Seq("source", "bkt"))
+      .withColumn("cum", col("cum_before") + sum(col("n_chars")).over(wBkt))
       .filter(col("cum") <= col("budget"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        max(col("cum")).as("chars_used"),
+      .agg(count(lit(1)).as("n_docs"), max(col("cum")).as("chars_used"),
         first(col("budget")).as("char_budget"))
+    allIn.unionByName(boundaryAgg)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), max(col("chars_used")).as("chars_used"),
+        first(col("char_budget")).as("char_budget"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -326,6 +326,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         p.linesIterator.filter(_.contains("pos#")).mkString("\n"))
   }
 
+  test("p03 has no per-source unbounded row-order window (two-level prefix sum)") {
+    val p = planOf("p03_mix_to_budget")
+    // the direct plan's signature: a window PARTITIONED by source alone
+    // and ORDERED by the row key h — one unbounded partition per source
+    assert("windowspecdefinition\\(source#\\d+, h#".r.findAllIn(p).isEmpty,
+      s"per-source row-order window found:\n${p.take(1200)}")
+    // the boundary window partitions by (source, bkt) — bounded buckets
+    assert("windowspecdefinition\\(source#\\d+, bkt#\\d+L?, h#".r.findAllIn(p).nonEmpty,
+      s"expected the (source, bkt)-partitioned boundary window:\n${p.take(1200)}")
+  }
+
   test("d12 containment adds no shuffle beyond d02's pair machinery") {
     val n = (s: String) => "Exchange hashpartitioning".r.findAllIn(s).size
     val d02 = n(planOf("d02_jaccard_pairs"))
