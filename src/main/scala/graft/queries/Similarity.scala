@@ -509,7 +509,42 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("qcos"))
   }
 
+  /** Recall@5 for the QUANTIZED ANN tiers — s05's gate extended to the
+    * compression axis: s09 (JL projection), s10 (scalar quantization),
+    * s11 (product quantization), each measured against s01's exact
+    * ranking. This is the number a PQ/SQ deployment decision is made
+    * on — an approximation tier without a recall gate is an
+    * unmonitored loss. One row per tier; every tier is deterministic
+    * in both engines, so the recall VALUES are hash-checked, not just
+    * produced (tiers that lose a probe entirely still appear, via the
+    * literal tier list). Join shape is s05's: top-k lists are
+    * probe-sample-sized → broadcast-joined; at 100 TB the gate runs
+    * over a probe sample exactly like s05.
+    */
+  def s12QuantRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exact = s01CosineTopK(s, d).select(col("probe_id"), col("neighbor_id"))
+    val tiers: Seq[(String, DataFrame)] = Seq(
+      "s09_rproj" -> s09RandomProjAnn(s, d),
+      "s10_sq" -> s10SqAnn(s, d),
+      "s11_pq" -> s11PqAnn(s, d))
+    val ann = tiers.map { case (n, df) =>
+        df.select(lit(n).as("tier"), col("probe_id"), col("neighbor_id")) }
+      .reduce(_ unionByName _)
+    val hits = exact.join(ann, Seq("probe_id", "neighbor_id"))
+      .groupBy(col("tier")).agg(count(lit(1)).as("hits"))
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    tiers.map(_._1).toDF("tier")
+      .join(hits, Seq("tier"), "left")
+      .crossJoin(total)
+      .select(col("tier"), coalesce(col("hits"), lit(0L)).as("n_hits"),
+        col("n_exact"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall_at_5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_quant_recall" -> s12QuantRecall,
     "s11_pq_ann" -> s11PqAnn,
     "s10_sq_ann" -> s10SqAnn,
     "s09_rproj_ann" -> s09RandomProjAnn,
@@ -660,6 +695,22 @@ object Similarity {
        WHERE rank <= 5"""
 
   val oracles: Map[String, String] = Map(
+    "s12_quant_recall" ->
+      s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s01Sql) x),
+          t09 AS (SELECT probe_id, neighbor_id FROM ($s09Sql) a),
+          t10 AS (SELECT probe_id, neighbor_id FROM ($s10Sql) b),
+          t11 AS (SELECT probe_id, neighbor_id FROM ($s11Sql) c),
+          ann AS (
+            SELECT 's09_rproj' AS tier, * FROM t09
+            UNION ALL SELECT 's10_sq', * FROM t10
+            UNION ALL SELECT 's11_pq', * FROM t11),
+          hits AS (SELECT tier, count(*) AS hits FROM exact
+                   JOIN ann USING (probe_id, neighbor_id) GROUP BY tier),
+          tot AS (SELECT count(*) AS n_exact FROM exact),
+          tiers AS (SELECT * FROM (VALUES ('s09_rproj'), ('s10_sq'), ('s11_pq')) t(tier))
+          SELECT tier, coalesce(hits, 0)::BIGINT AS n_hits, n_exact,
+            coalesce(hits, 0)::DOUBLE / n_exact::DOUBLE AS recall_at_5
+          FROM tiers LEFT JOIN hits USING (tier), tot""",
     "s11_pq_ann" -> s11Sql,
     "s10_sq_ann" -> s10Sql,
     "s09_rproj_ann" -> s09Sql,
