@@ -480,18 +480,24 @@ object Similarity {
     * encode is narrow and in-row, and the search is s01's
     * broadcast-probe scan over reconstructions.
     */
-  def s11PqAnn(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorExpressions.register(s)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val cb = e
-      .withColumn("h",
-        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-          .cast("long"))
-      .orderBy(col("h"), col("vec_id")).limit(16)
-      .agg(expr(
-        "flatten(transform(array_sort(collect_list(struct(h, vec_id, v))), p -> p.v))")
-        .as("cb"))
+  /** s11/s13's shared deterministic codebook init: the 16 md5-lowest
+    * vectors, flattened to a 1,024-double row in (h, vec_id) order —
+    * ONE code path so the sampled init cannot diverge between the
+    * search tier and the refinement.
+    */
+  private[graft] def pqCodebook(e: DataFrame): DataFrame = e
+    .withColumn("h",
+      conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"))
+    .orderBy(col("h"), col("vec_id")).limit(16)
+    .agg(expr(
+      "flatten(transform(array_sort(collect_list(struct(h, vec_id, v))), p -> p.v))")
+      .as("cb"))
+
+  /** The shared ADC search tail of s11/s13: encode→decode the corpus
+    * against a (possibly refined) codebook, rank probe-exact cosines.
+    */
+  private def pqSearch(e: DataFrame, cb: DataFrame): DataFrame = {
     val coded = e.crossJoin(broadcast(cb))
       .withColumn("dq", expr("graft_pq_reconstruct(v, cb)"))
       .select(col("vec_id"), col("v"), col("dq"))
@@ -507,6 +513,97 @@ object Similarity {
       .filter(col("rank") <= 5)
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), col("qcos"))
+  }
+
+  def s11PqAnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    pqSearch(e, pqCodebook(e))
+  }
+
+  /** s11 with ONE per-subspace Lloyd round over the codebook — the PQ
+    * TRAINING step the sampled init deliberately deferred (s12
+    * measured that init at recall 0.14; training is what a production
+    * PQ index does before serving). Per subspace s: every vector's
+    * 8-dim slice is assigned to its nearest codeword slice (the same
+    * i-ascending (v−c)² fold and lowest-j tie-break as
+    * PqReconstruct's encode, so assignment == what the search would
+    * do), then each (subspace, codeword) cell's slice is re-centered
+    * to the MEAN of its members — computed with the vec_id-ordered
+    * sequential fold (cellCentroids' discipline) so the refined
+    * codebook is bit-reproducible against the oracle's identical
+    * `list(... ORDER BY vec_id)` fold. Codewords left empty in a
+    * subspace keep their init slice (the coalesce mirrors the
+    * oracle's LEFT JOIN). Search then reruns s11's ADC tail against
+    * the refined codebook; s12's gate measures the recall gain.
+    *
+    * Scale shape: assignment explodes 16 codewords × 8 subspaces per
+    * vector — the TRAINING path, run over a q37 hash-sample at 100 TB
+    * (exactly like s04's sampled centroids); the refined 1,024-double
+    * codebook broadcasts and the serving path (encode + ADC scan) is
+    * s11's unchanged.
+    */
+  def s13PqRefined(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    pqSearch(e, pqRefinedCodebook(s, e))
+  }
+
+  /** One Lloyd round over [[pqCodebook]]'s init — package-visible so
+    * the spec can assert the round's actual guarantee: total squared
+    * reconstruction error is non-increasing (both Lloyd half-steps
+    * only ever lower it). Recall@5 is measured by s12 but NOT
+    * guaranteed to rise — on these isotropic synthetic embeddings the
+    * exact top-5 are near-ties and one round measured 0.14 → 0.12 at
+    * sf0.1: noise, not signal; distortion is the trained quantity.
+    */
+  private[graft] def pqRefinedCodebook(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    val cb0 = pqCodebook(e)
+    // 16 codeword rows (j, cw[64]) from the flat init row
+    val cwj = cb0.select(posexplode(
+        expr("transform(sequence(0, 15), j -> slice(cb, j * 64 + 1, 64))"))
+      .as(Seq("j", "cw")))
+    // assignment: argmin_j of the subspace L2, ties to lowest j —
+    // PqReconstruct's encode arithmetic, declaratively
+    val codes = e.crossJoin(broadcast(cwj))
+      .select(col("vec_id"), col("v"), col("j"), col("cw"),
+        explode(sequence(lit(0), lit(7))).as("s"))
+      .withColumn("d2", expr(
+        """aggregate(sequence(1, 8), cast(0.0 AS double), (acc, i) ->
+           acc + (element_at(v, s * 8 + i) - element_at(cw, s * 8 + i))
+               * (element_at(v, s * 8 + i) - element_at(cw, s * 8 + i)))"""))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("j"))
+    // re-center each (subspace, codeword) cell: vec_id-ordered fold
+    val means = codes.join(e, "vec_id")
+      .select(col("s"), col("j"), col("vec_id"),
+        expr("slice(v, s * 8 + 1, 8)").as("sv"))
+      .as[(Int, Int, Long, Seq[Double])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapSortedGroups(col("vec_id").asc) { (k, it) =>
+        val sums = new Array[Double](8); var n = 0L
+        it.foreach { r =>
+          val v = r._4; var i = 0
+          while (i < 8) { sums(i) += v(i); i += 1 }
+          n += 1
+        }
+        Iterator.single((k._1, k._2, sums.map(_ / n).toSeq))
+      }
+      .toDF("s", "j", "m")
+    val refined = means
+      .select(col("s"), col("j"), posexplode(col("m")).as(Seq("i", "mv")))
+      .select((col("j") * 64 + col("s") * 8 + col("i")).as("idx"), col("mv"))
+    val newCb = cwj
+      .select(col("j"), posexplode(col("cw")).as(Seq("k", "ov")))
+      .select((col("j") * 64 + col("k")).as("idx"), col("ov"))
+      .join(refined, Seq("idx"), "left")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(idx, coalesce(mv, ov) AS val))), p -> p.val)")
+        .as("cb"))
+    newCb
   }
 
   /** Recall@5 for the QUANTIZED ANN tiers — s05's gate extended to the
@@ -527,7 +624,8 @@ object Similarity {
     val tiers: Seq[(String, DataFrame)] = Seq(
       "s09_rproj" -> s09RandomProjAnn(s, d),
       "s10_sq" -> s10SqAnn(s, d),
-      "s11_pq" -> s11PqAnn(s, d))
+      "s11_pq" -> s11PqAnn(s, d),
+      "s13_pq_refined" -> s13PqRefined(s, d))
     val ann = tiers.map { case (n, df) =>
         df.select(lit(n).as("tier"), col("probe_id"), col("neighbor_id")) }
       .reduce(_ unionByName _)
@@ -544,6 +642,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_pq_refined" -> s13PqRefined,
     "s12_quant_recall" -> s12QuantRecall,
     "s11_pq_ann" -> s11PqAnn,
     "s10_sq_ann" -> s10SqAnn,
@@ -694,20 +793,96 @@ object Similarity {
            ORDER BY qcos DESC, neighbor_id) AS rank FROM scored) t
        WHERE rank <= 5"""
 
+  // s13's oracle: s11's init/assign CTEs, then the per-(subspace,
+  // codeword) ordered-fold re-centering (empty cells keep the init
+  // slice via the LEFT JOIN), then s11's encode/ADC search against the
+  // refined codebook. Every fold order matches the engine exactly.
+  private val s13Sql =
+    """WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       cw AS (
+         SELECT v, h, vec_id FROM (
+           SELECT v, vec_id,
+             ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+           FROM ev)
+         ORDER BY h, vec_id LIMIT 16),
+       cwj AS (
+         SELECT v, row_number() OVER (ORDER BY h, vec_id) - 1 AS j FROM cw),
+       dists AS (
+         SELECT e.vec_id, s, c.j,
+           list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+             i -> (e.v[s*8 + i] - c.v[s*8 + i]) * (e.v[s*8 + i] - c.v[s*8 + i]))),
+             (a, x) -> a + x) AS d2
+         FROM ev e, unnest(range(0, 8)) AS u(s), cwj c),
+       codes AS (
+         SELECT vec_id, s, j FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id, s
+             ORDER BY d2, j) AS rk
+           FROM dists) t
+         WHERE rk = 1),
+       cells AS (
+         SELECT s, j, list(list_slice(e.v, s*8 + 1, s*8 + 8) ORDER BY e.vec_id) AS vs,
+           count(*) AS n
+         FROM codes JOIN ev e USING (vec_id) GROUP BY s, j),
+       newm AS (
+         SELECT s, j, i,
+           list_reduce(list_prepend(0.0, list_transform(vs, vv -> vv[i])),
+             (a, x) -> a + x) / n AS mv
+         FROM cells, unnest(range(1, 9)) AS u(i)),
+       oldv AS (
+         SELECT j, k, v[k] AS ov FROM cwj, unnest(range(1, 65)) AS u(k)),
+       flat AS (
+         SELECT o.j * 64 + o.k - 1 AS idx, coalesce(m.mv, o.ov) AS val
+         FROM oldv o LEFT JOIN newm m
+           ON m.j = o.j AND m.s = (o.k - 1) // 8
+          AND m.i = ((o.k - 1) % 8) + 1),
+       cw2 AS (
+         SELECT idx // 64 AS j, list(val ORDER BY idx) AS v
+         FROM flat GROUP BY 1),
+       dists2 AS (
+         SELECT e.vec_id, s, c.j,
+           list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+             i -> (e.v[s*8 + i] - c.v[s*8 + i]) * (e.v[s*8 + i] - c.v[s*8 + i]))),
+             (a, x) -> a + x) AS d2
+         FROM ev e, unnest(range(0, 8)) AS u(s), cw2 c),
+       codes2 AS (
+         SELECT vec_id, s, j FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id, s
+             ORDER BY d2, j) AS rk
+           FROM dists2) t
+         WHERE rk = 1),
+       recon AS (
+         SELECT codes2.vec_id,
+           flatten(list(list_slice(c.v, s*8 + 1, s*8 + 8) ORDER BY s)) AS dq
+         FROM codes2 JOIN cw2 c USING (j)
+         GROUP BY codes2.vec_id),
+       scored AS (
+         SELECT p.vec_id AS probe_id, r.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * r.dq[i])), (a, x) -> a + x)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.v, x -> x * x)), (a, x) -> a + x))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(r.dq, x -> x * x)), (a, x) -> a + x))) AS qcos
+         FROM ev p JOIN recon r ON p.vec_id < 10 AND r.vec_id <> p.vec_id)
+       SELECT probe_id, rank, neighbor_id, qcos FROM (
+         SELECT *, row_number() OVER (PARTITION BY probe_id
+           ORDER BY qcos DESC, neighbor_id) AS rank FROM scored) t
+       WHERE rank <= 5"""
+
   val oracles: Map[String, String] = Map(
+    "s13_pq_refined" -> s13Sql,
     "s12_quant_recall" ->
       s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s01Sql) x),
           t09 AS (SELECT probe_id, neighbor_id FROM ($s09Sql) a),
           t10 AS (SELECT probe_id, neighbor_id FROM ($s10Sql) b),
           t11 AS (SELECT probe_id, neighbor_id FROM ($s11Sql) c),
+          t13 AS (SELECT probe_id, neighbor_id FROM ($s13Sql) e),
           ann AS (
             SELECT 's09_rproj' AS tier, * FROM t09
             UNION ALL SELECT 's10_sq', * FROM t10
-            UNION ALL SELECT 's11_pq', * FROM t11),
+            UNION ALL SELECT 's11_pq', * FROM t11
+            UNION ALL SELECT 's13_pq_refined', * FROM t13),
           hits AS (SELECT tier, count(*) AS hits FROM exact
                    JOIN ann USING (probe_id, neighbor_id) GROUP BY tier),
           tot AS (SELECT count(*) AS n_exact FROM exact),
-          tiers AS (SELECT * FROM (VALUES ('s09_rproj'), ('s10_sq'), ('s11_pq')) t(tier))
+          tiers AS (SELECT * FROM (VALUES ('s09_rproj'), ('s10_sq'), ('s11_pq'), ('s13_pq_refined')) t(tier))
           SELECT tier, coalesce(hits, 0)::BIGINT AS n_hits, n_exact,
             coalesce(hits, 0)::DOUBLE / n_exact::DOUBLE AS recall_at_5
           FROM tiers LEFT JOIN hits USING (tier), tot""",

@@ -337,6 +337,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the (source, bkt)-partitioned boundary window:\n${p.take(1200)}")
   }
 
+  test("s13's Lloyd round strictly lowers PQ reconstruction distortion") {
+    import org.apache.spark.sql.functions._
+    // Lloyd's actual guarantee (what s12's recall gate does NOT
+    // promise): both half-steps are non-increasing in total squared
+    // reconstruction error — nearest-codeword assignment by
+    // definition, mean re-centering because the mean minimizes
+    // within-cell squared distance.
+    graft.functions.VectorExpressions.register(spark)
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double =
+      e.crossJoin(broadcast(cb))
+        .withColumn("dq", expr("graft_pq_reconstruct(v, cb)"))
+        .withColumn("err", expr(
+          """aggregate(sequence(1, 64), cast(0.0 AS double), (acc, i) ->
+             acc + (element_at(v, i) - element_at(dq, i))
+                 * (element_at(v, i) - element_at(dq, i)))"""))
+        .agg(sum(col("err"))).head().getDouble(0)
+    val init = distortion(graft.queries.Similarity.pqCodebook(e))
+    val refined = distortion(graft.queries.Similarity.pqRefinedCodebook(spark, e))
+    assert(refined < init,
+      s"Lloyd round must strictly lower distortion on these fixtures: $init -> $refined")
+  }
+
   test("d12 containment adds no shuffle beyond d02's pair machinery") {
     val n = (s: String) => "Exchange hashpartitioning".r.findAllIn(s).size
     val d02 = n(planOf("d02_jaccard_pairs"))
