@@ -495,6 +495,45 @@ object EventStreams {
     s.read.schema(sch).parquet(s"$base/v$latest")
   }
 
+  /** A Layer-A MapReduce job (the reference's own programming model)
+    * run PER MICRO-BATCH via foreachBatch — SURVEY §7.2 P5's promise
+    * made into a gate: the canonical count-shaped job (mapper emits
+    * (event_type, 1), mergeable summing reducer — mr01's word-count
+    * shape over the event stream) executes on each of the 4 replay
+    * chunks, and each batch's reduce output lands in the sink as
+    * PARTIAL counts. Because the reducer is mergeable (the reference's
+    * Counter-merge law, SURVEY §2.2), re-running the job per batch and
+    * summing partials is algebraically the global job — the final
+    * frame re-aggregates the partials and must equal the plain batch
+    * oracle over ALL events. This is exactly how a tinymr user's
+    * existing job runs incrementally on a live stream: no rewrite,
+    * foreachBatch hands each micro-batch to the batch engine.
+    */
+  class TypeCount extends graft.mr.MapReduce[String, String, Int, Long] {
+    def mapper(t: String): IterableOnce[graft.mr.Emit[String, Int, Long]] =
+      Iterator.single(graft.mr.KV(t, 1L))
+    def reducer(k: String, vs: Iterator[Long]): IterableOnce[graft.mr.Emit[String, Int, Long]] =
+      Iterator.single(graft.mr.KV(k, vs.sum))
+  }
+
+  def st15StreamMapReduce(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream15_").toString
+    val q = eventsChunkStream(s, d).writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val types = batch.select(col("event_type")).as[String].rdd
+        new TypeCount().run(types)
+          .map { case (k, vs) => (k, vs.head) }
+          .toDF("event_type", "n")
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.schema("event_type STRING, n BIGINT").parquet(out)
+      .groupBy(col("event_type")).agg(sum(col("n")).as("n"))
+  }
+
   /** Checkpointed kill-and-resume: the hourly aggregation runs with a
     * checkpoint, is STOPPED after its first micro-batch (wherever that
     * lands), then a second query with the same checkpoint resumes from
@@ -598,6 +637,7 @@ object EventStreams {
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st15_stream_mapreduce" -> gated(st15StreamMapReduce),
     "st13_update_upsert" -> gated(st13UpdateUpsert),
     "st12_late_data_drop" -> gated(st12LateDataDrop),
     "st10_stream_stream_join" -> gated(st10StreamStreamJoin),
@@ -636,6 +676,11 @@ object EventStreams {
        FROM agg, wm WHERE end_us + 1800000000 < w"""
 
   val oracles: Map[String, String] = Map(
+    // st15: partial counts merged across micro-batches == the global
+    // count — the mergeable-reducer law, so the batch count IS the
+    // streaming answer
+    "st15_stream_mapreduce" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
     // the batch interval join IS the streaming answer (inner matches
     // emit eagerly; nothing is late on a time-ordered replay)
     "st10_stream_stream_join" ->
