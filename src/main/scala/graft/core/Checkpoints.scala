@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Round-checkpointing for the iterative loops (connected components,
+  * k-means): each round needs its lineage AND plan statistics
+  * truncated (the plan-doubling / stats-squaring traps documented at
+  * the loops). Two interchangeable mechanisms:
+  *
+  *   - default: `localCheckpoint` — executor-block-backed, zero
+  *     config, the right choice for a single-JVM gate run;
+  *   - `spark.graft.checkpointDir` set to a durable path (HDFS /
+  *     object store) switches every loop to RELIABLE checkpoints: on
+  *     a real cluster a localCheckpoint block dies with its executor
+  *     and a TRUNCATED lineage cannot recompute it — a 1000-executor,
+  *     multi-hour loop wants files, not blocks.
+  *
+  * Same loop structure either way. On the reliable path the loops'
+  * block-release discipline degrades to a no-op by construction (the
+  * persistent-RDD set diff sees no new blocks); round files accumulate
+  * under the configured dir and are reclaimed by that dir's lifecycle
+  * (at 100 TB: a per-job subdir with a TTL policy), which is the
+  * standard operational contract for Spark checkpoint dirs.
+  */
+object Checkpoints {
+  def roundCheckpoint(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
+      case Some(dir) =>
+        // setCheckpointDir creates a fresh UUID subdir per call — only
+        // (re)set when the configured root actually changed
+        if (!s.sparkContext.getCheckpointDir.exists(_.contains(dir)))
+          s.sparkContext.setCheckpointDir(dir)
+        df.checkpoint() // eager + reliable (files)
+      case None => df.localCheckpoint() // eager (executor blocks)
+    }
+  }
+}

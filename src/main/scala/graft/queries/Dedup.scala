@@ -324,10 +324,10 @@ object Dedup {
       val obs = org.apache.spark.sql.Observation(
         s"cc_r${iter}_${System.nanoTime()}")
       val before = sc.getPersistentRDDs.keySet
-      val ck = jumped
+      val ck = graft.core.Checkpoints.roundCheckpoint(jumped
         .observe(obs, coalesce(sum(when(col("chg"), 1L).otherwise(0L)),
-          lit(0L)).as("changed"))
-        .localCheckpoint() // eager: materializes here
+          lit(0L)).as("changed"))) // eager: materializes here; reliable
+      // files instead of blocks when spark.graft.checkpointDir is set
       val ckIds = sc.getPersistentRDDs.keySet -- before
       val updated = pairs.sparkSession.createDataFrame(ck.rdd, ck.schema)
       changed = obs.get("changed").asInstanceOf[Long]

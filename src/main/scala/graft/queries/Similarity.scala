@@ -325,8 +325,9 @@ object Similarity {
       //     cost goes exponential in round count long before any data
       //     moves (a cache only shortcuts execution; the analyzer
       //     still walks the whole tree). The eager checkpoint is the
-      //     round's materializing action. (On a real cluster use a
-      //     reliable checkpoint dir — same structure.)
+      //     round's materializing action. (On a real cluster set
+      //     spark.graft.checkpointDir — Checkpoints.roundCheckpoint
+      //     switches to reliable file checkpoints, same structure.)
       //
       //  2. STATS (createDataFrame rebase): a checkpoint's LogicalRDD
       //     carries the child plan's ESTIMATED statistics forward, and
@@ -353,10 +354,9 @@ object Similarity {
       val obs = org.apache.spark.sql.Observation(
         s"kmeans_r${rounds}_${System.nanoTime()}")
       val before = s.sparkContext.getPersistentRDDs.keySet
-      val next = reassign(s, cur)
+      val next = graft.core.Checkpoints.roundCheckpoint(reassign(s, cur)
         .observe(obs, coalesce(sum(when(col("cell") =!= col("prev"), 1L)
-          .otherwise(0L)), lit(0L)).as("moved"))
-        .localCheckpoint()
+          .otherwise(0L)), lit(0L)).as("moved")))
       val ckIds = s.sparkContext.getPersistentRDDs.keySet -- before
       moved = obs.get("moved").asInstanceOf[Long]
       // the superseded round's blocks are dead once this round is

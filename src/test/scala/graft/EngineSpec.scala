@@ -369,6 +369,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d12 == d02, s"d12 has $d12 exchanges vs d02's $d02")
   }
 
+  test("connectedComponents: identical labels under local and reliable checkpoints") {
+    import spark.implicits._
+    // two chains + a singleton pair — multi-round convergence either way
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L)).toDF("doc_a", "doc_b")
+    val local = graft.queries.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck_")
+    spark.conf.set("spark.graft.checkpointDir", dir.toString)
+    try {
+      val reliable = graft.queries.Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toSet
+      assert(reliable == local,
+        s"reliable-checkpoint labels diverged: ${reliable -- local} vs ${local -- reliable}")
+      assert(local.map(_._2) == Set(1L, 10L, 20L), "labels must be component minima")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("dedup shared caches are bounded and fully releasable in one session") {
     val sc = spark.sparkContext
     graft.queries.Dedup.releaseCaches()
