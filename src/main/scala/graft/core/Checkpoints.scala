@@ -23,6 +23,21 @@ import org.apache.spark.sql.DataFrame
   * standard operational contract for Spark checkpoint dirs.
   */
 object Checkpoints {
+
+  /** The RDD backing a frame returned by [[roundCheckpoint]], derived
+    * DIRECTLY from the checkpointed plan's LogicalRDD leaf — never by
+    * diffing `sc.getPersistentRDDs` around the checkpoint call, which
+    * on a shared SparkContext captures (and would later evict) any
+    * unrelated RDD another thread persisted inside the window. On the
+    * local path this is the persisted block-backed RDD; on the
+    * reliable path unpersisting it is a harmless no-op (files are the
+    * backing).
+    */
+  def checkpointedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   def roundCheckpoint(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {

@@ -22,6 +22,33 @@ import java.nio.file.{Files, Path, Paths}
   */
 object Staging {
 
+  /** Scratch dirs that must disappear at JVM exit, deleted by ONE
+    * shutdown hook over a registry (a hook per call site accumulated
+    * hooks across repeated runs in a session, and `deleteOnExit` only
+    * removes empty dirs). Deletion waits for exit because callers
+    * return LAZY frames reading these dirs.
+    */
+  private val cleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHookInstalled: Boolean = {
+    sys.addShutdownHook {
+      import scala.reflect.io.Directory
+      cleanupDirs.forEach(d =>
+        new Directory(new java.io.File(d)).deleteRecursively())
+    }
+    true
+  }
+  def registerAtExit(dir: String): Unit = {
+    require(cleanupHookInstalled)
+    cleanupDirs.add(dir); ()
+  }
+  /** `createTempDirectory` + exit-time recursive deletion. */
+  def tempAtExit(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix).toString
+    registerAtExit(dir)
+    dir
+  }
+
   def ensure(d: String, srcTable: String, tag: String)
       (write: String => Unit): String = {
     val src = Paths.get(s"$d/$srcTable.parquet")

@@ -209,8 +209,12 @@ abstract class MapReduce[I, K: ClassTag: Ordering, S: ClassTag: Ordering,
     * text) sink as (key, value) rows without ever touching the driver.
     * `format`/`options` pass straight to the DataFrameWriter, so Layer
     * A jobs finalize to any connector Layer B reads (parquet default;
-    * CSV/JSON/ORC/text round-trips are spec-asserted). Requires
-    * Encoders for K and V via the caller's SparkSession.
+    * CSV/JSON/ORC round-trips are spec-asserted). The `text` writer is
+    * the one exception: it requires a SINGLE string column, so callers
+    * must pre-concatenate (key, value) in `output`/a mapper before a
+    * text-format write — passing format="text" on the two-column frame
+    * fails at runtime by Spark's own contract. Requires Encoders for K
+    * and V via the caller's SparkSession.
     */
   final def write(spark: org.apache.spark.sql.SparkSession, rdd: RDD[I],
       path: String, format: String = "parquet",

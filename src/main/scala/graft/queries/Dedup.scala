@@ -263,7 +263,6 @@ object Dedup {
     */
   def connectedComponents(pairs0: DataFrame): DataFrame = {
     releaseCaches()
-    val sc = pairs0.sparkSession.sparkContext
     val pairs = pairs0.toDF("doc_a", "doc_b").cache()
     // Size the iteration's parallelism to the EDGE count, not the
     // session default: dup-pair graphs are tiny relative to the corpus
@@ -286,9 +285,13 @@ object Dedup {
     // the old backing.unpersist() was a no-op from round 2 on because
     // checkpoint-backed frames are not CacheManager-cached, and
     // clearCache() between queries does not reach raw checkpoint RDDs
-    // either.) The FINAL round's blocks back the returned labels — a
-    // truncated lineage cannot recompute — so they are registered for
-    // the next releaseCaches() instead of being dropped here.
+    // either.) The round's RDD is derived from the checkpointed plan
+    // itself (Checkpoints.checkpointedRdd), never by diffing global
+    // persistent-RDD state — a shared SparkContext may persist
+    // unrelated RDDs concurrently, and a set-diff would capture and
+    // later evict them. The FINAL round's blocks are released before
+    // returning: the result is first folded into an ordinary cache
+    // (see loop exit).
     var releasePrev: () => Unit = () => base.unpersist()
     var changed = 1L
     var iter = 0
@@ -323,27 +326,40 @@ object Dedup {
       // one-action rationale; rounds are inherently sequential).
       val obs = org.apache.spark.sql.Observation(
         s"cc_r${iter}_${System.nanoTime()}")
-      val before = sc.getPersistentRDDs.keySet
       val ck = graft.core.Checkpoints.roundCheckpoint(jumped
         .observe(obs, coalesce(sum(when(col("chg"), 1L).otherwise(0L)),
           lit(0L)).as("changed"))) // eager: materializes here; reliable
       // files instead of blocks when spark.graft.checkpointDir is set
-      val ckIds = sc.getPersistentRDDs.keySet -- before
+      val ckRdd = graft.core.Checkpoints.checkpointedRdd(ck)
       val updated = pairs.sparkSession.createDataFrame(ck.rdd, ck.schema)
       changed = obs.get("changed").asInstanceOf[Long]
       labels = updated.select(col("node"), col("new_label").as("label"))
       releasePrev()
-      releasePrev = () => ckIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      releasePrev = () => ckRdd.foreach(_.unpersist(blocking = false))
       iter += 1
     }
     // an unconverged result would silently mis-cluster — fail loudly
     // (20 rounds covers any realistic near-dup cluster diameter)
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge in $iter rounds")
+    // The final round's snapshot is checkpoint-backed, and a truncated
+    // lineage CANNOT recompute — returning it directly made any
+    // releaseCaches() before the caller materialized (or any
+    // re-evaluation after) a hard "checkpoint block not found" failure
+    // rather than a perf loss. So: fold the labels (the COMPRESSED
+    // output — pair-graph nodes only, far smaller than the corpus)
+    // into an ordinary CacheManager cache NOW, then drop the raw
+    // checkpoint blocks immediately. The registered release is then a
+    // plain cache unpersist. Remaining edge, documented: on the LOCAL
+    // path a released-then-re-evaluated result still cannot recompute;
+    // with spark.graft.checkpointDir set the files remain the
+    // recompute source and the whole hazard disappears.
+    val out = labels.cache()
+    out.count()
+    releasePrev()
     edges.unpersist(); pairs.unpersist()
-    registerRelease(releasePrev)
-    labels
+    registerRelease(() => out.unpersist())
+    out
   }
 
   /** INCREMENTAL near-dup detection — dedupe an arriving batch against

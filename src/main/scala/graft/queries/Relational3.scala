@@ -60,7 +60,7 @@ object Relational3 {
     * partition).
     */
   def q29CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    val tmp = graft.core.Staging.tempAtExit("graft_csv_")
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .write.mode("overwrite").option("header", "true").csv(tmp)

@@ -57,7 +57,7 @@ object Relational4 {
     * schema) — completing the connector matrix with q29's CSV.
     */
   def q30JsonRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+    val tmp = graft.core.Staging.tempAtExit("graft_json_")
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .write.mode("overwrite").json(tmp)

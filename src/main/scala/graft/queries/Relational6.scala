@@ -18,7 +18,7 @@ object Relational6 {
     * count — with the engine owning the file I/O instead of the caller.
     */
   def q34TextRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_text_").toString
+    val tmp = graft.core.Staging.tempAtExit("graft_text_")
     Tables.documents(s, d).select(col("text"))
       .repartition(4) // several part files, like the multi-file example
       .write.mode("overwrite").text(tmp)

@@ -117,7 +117,7 @@ object Relational8 {
     * format's own footer (no re-inference on read).
     */
   def q45OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    val tmp = graft.core.Staging.tempAtExit("graft_orc_")
     Tables.part(s, d)
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
       .write.mode("overwrite").orc(tmp)
@@ -136,7 +136,7 @@ object Relational8 {
     * aggregate — dropped rows or re-inferred types would corrupt it.
     */
   def q62XmlRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_xml_").toString
+    val tmp = graft.core.Staging.tempAtExit("graft_xml_")
     Tables.supplier(s, d)
       .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
       .write.mode("overwrite").format("xml")

@@ -79,7 +79,7 @@ object Relational9 {
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
         .repartition(64).write.mode("overwrite").parquet(dir)
     }
-    val comp = java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/compacted"
+    val comp = graft.core.Staging.tempAtExit("graft_compact_") + "/compacted"
     // 4 MB target files at gate scale (128 MB in prod)
     compact(s, frag, comp, targetBytes = 4L << 20)
     s.read.parquet(comp)

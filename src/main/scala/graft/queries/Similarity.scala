@@ -353,31 +353,36 @@ object Similarity {
       // checkpoint storing UnsafeRows.)
       val obs = org.apache.spark.sql.Observation(
         s"kmeans_r${rounds}_${System.nanoTime()}")
-      val before = s.sparkContext.getPersistentRDDs.keySet
       val next = graft.core.Checkpoints.roundCheckpoint(reassign(s, cur)
         .observe(obs, coalesce(sum(when(col("cell") =!= col("prev"), 1L)
           .otherwise(0L)), lit(0L)).as("moved")))
-      val ckIds = s.sparkContext.getPersistentRDDs.keySet -- before
       moved = obs.get("moved").asInstanceOf[Long]
       // the superseded round's blocks are dead once this round is
       // materialized (truncated lineage never re-reads them) — same
-      // release discipline as Dedup.connectedComponents
+      // release discipline as Dedup.connectedComponents; the round's
+      // RDD comes from the checkpointed plan itself, not a global
+      // persistent-RDD set diff (which would capture — and later
+      // evict — unrelated RDDs persisted concurrently)
       if (prevRdd != null) prevRdd.unpersist(blocking = false)
-      prevRdd = null
-      ckIds.foreach(id => s.sparkContext.getPersistentRDDs.get(id)
-        .foreach(r => prevRdd = r))
+      prevRdd = graft.core.Checkpoints.checkpointedRdd(next).orNull
       val proj = next.select(col("cell").as("label"), col("vec_id"), col("v"), col("nrm"))
       cur = s.createDataFrame(proj.rdd, proj.schema)
       rounds += 1
     }
     if (moved != 0) throw new IllegalStateException(
       s"k-means did not converge in $rounds rounds")
-    val contract = cur
+    // The contract is ONE row — evaluate it eagerly (a single extra
+    // aggregate job after ~20 rounds) and rebuild it as a literal
+    // frame, so the FINAL round's checkpoint blocks can be released
+    // here instead of leaking one assignment-table snapshot per
+    // invocation (the returned frame no longer references them).
+    import s.implicits._
+    val r = cur
       .agg(countDistinct(col("label")).as("ncells"), count(lit(1)).as("total_members"))
-      .select(lit(true).as("converged"),
-        lit(0L).as("final_moves"),
-        (col("ncells") <= 10).as("cells_le_k"),
-        col("total_members"))
+      .head()
+    if (prevRdd != null) prevRdd.unpersist(blocking = false)
+    val contract = Seq((true, 0L, r.getLong(0) <= 10, r.getLong(1)))
+      .toDF("converged", "final_moves", "cells_le_k", "total_members")
     (contract, rounds)
   }
 

@@ -21,6 +21,13 @@ object EventStreams {
   private val EventsSchema =
     "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 
+  /** Every temp sink/scratch dir the gates stage enrolls in the shared
+    * exit-time registry (graft.core.Staging) — one shutdown hook total,
+    * recursive deletion, after the lazy readers are done with them.
+    */
+  private def cleanupAtExit(dir: String): Unit =
+    graft.core.Staging.registerAtExit(dir)
+
   /** Run `body` with shuffle partitions capped at 8: every stateful
     * streaming operator instantiates one state store PER shuffle
     * partition PER micro-batch, so partition count here is a fixed
@@ -48,7 +55,9 @@ object EventStreams {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
-    dir.toFile.deleteOnExit()
+    // deleteOnExit only removes EMPTY dirs — the symlink inside made it
+    // a silent orphan; the shared registry deletes recursively
+    cleanupAtExit(dir.toString)
     s.readStream.schema(schema).parquet(dir.toString)
   }
 
@@ -354,6 +363,7 @@ object EventStreams {
       val cut = ev.filter(onTime)
         .agg(date_trunc("hour", max(col("ts")))).head.getTimestamp(0)
       val scratch = java.nio.file.Files.createTempDirectory("graft_late_stage_")
+      cleanupAtExit(scratch.toString)
       Seq(
         onTime && col("ts") < lit(cut),
         onTime && col("ts") >= lit(cut),
@@ -424,6 +434,7 @@ object EventStreams {
     */
   def st07ForeachBatchSink(s: SparkSession, d: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_stream7_").toString
+    cleanupAtExit(out)
     val stream = eventsChunkStream(s, d)
     val agg = stream
       .withWatermark("ts", "2 hours")
@@ -450,11 +461,15 @@ object EventStreams {
     * Here the sink is a copy-on-write VERSIONED keyed table (the q43
     * merge idiom per micro-batch: previous version anti-joined on the
     * batch's keys, union, write version b) — exactly how update-mode
-    * streams land in a lakehouse, and the versions double as time
-    * travel. On a finite replay the latest version converges to the
-    * batch aggregation (st01's oracle) no matter how many times a key
-    * was re-emitted across batches — the convergence contract that
-    * makes update-mode upserts safe to consume.
+    * streams land in a lakehouse. In a persistent lakehouse the
+    * versions would double as time travel; THIS gate's sink is a temp
+    * dir, so superseded versions are deleted as soon as the stream
+    * stops (each existed only to feed the next batch's merge) and only
+    * the latest survives until JVM exit. On a finite replay the latest
+    * version converges to the batch aggregation (st01's oracle) no
+    * matter how many times a key was re-emitted across batches — the
+    * convergence contract that makes update-mode upserts safe to
+    * consume.
     */
   def st13UpdateUpsert(s: SparkSession, d: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_stream13_").toString
@@ -491,7 +506,7 @@ object EventStreams {
     new java.io.File(base).listFiles()
       .filter(f => f.isDirectory && f.getName != s"v$latest")
       .foreach(f => new Directory(f).deleteRecursively())
-    sys.addShutdownHook(new Directory(new java.io.File(base)).deleteRecursively())
+    cleanupAtExit(base)
     s.read.schema(sch).parquet(s"$base/v$latest")
   }
 
@@ -518,6 +533,7 @@ object EventStreams {
 
   def st15StreamMapReduce(s: SparkSession, d: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_stream15_").toString
+    cleanupAtExit(out)
     val q = eventsChunkStream(s, d).writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val sp = batch.sparkSession
@@ -544,6 +560,7 @@ object EventStreams {
     */
   def st08CheckpointRecovery(s: SparkSession, d: String): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt8_").toString
+    cleanupAtExit(ckpt)
     def agg() = eventsChunkStream(s, d)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -506,7 +506,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("compaction writes exactly the size-targeted file count") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ctest_").toString
+    val tmp = graft.core.Staging.tempAtExit("graft_ctest_")
     graft.core.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_quantity")
       .repartition(16).write.mode("overwrite").parquet(s"$tmp/frag")

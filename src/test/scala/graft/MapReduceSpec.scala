@@ -207,7 +207,7 @@ class MapReduceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("write() finalizes distributed to a parquet sink (SURVEY 7.4.6)") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_mr_sink_").toString
+    val tmp = graft.core.Staging.tempAtExit("graft_mr_sink_")
     new WC().write(spark, sc.parallelize(text, 2), tmp)
     val back = spark.read.parquet(tmp).as[(String, Long)].collect().toMap
     assert(back("word") == 2L && back("python") == 1L)
@@ -218,17 +218,22 @@ class MapReduceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = new WC()
       .run(sc.parallelize(text, 2)).flatMap { case (k, vs) => vs.map((k, _)) }
       .collect().toMap
-    val csvDir = java.nio.file.Files.createTempDirectory("graft_mr_csv_").toString
+    val csvDir = graft.core.Staging.tempAtExit("graft_mr_csv_")
     new WC().write(spark, sc.parallelize(text, 2), csvDir,
       format = "csv", options = Map("header" -> "true"))
     val csvBack = spark.read.option("header", "true")
       .schema("key STRING, value BIGINT").csv(csvDir)
       .as[(String, Long)].collect().toMap
     assert(csvBack == expected)
-    val orcDir = java.nio.file.Files.createTempDirectory("graft_mr_orc_").toString
+    val orcDir = graft.core.Staging.tempAtExit("graft_mr_orc_")
     new WC().write(spark, sc.parallelize(text, 2), orcDir, format = "orc")
     val orcBack = spark.read.orc(orcDir).as[(String, Long)].collect().toMap
     assert(orcBack == expected)
+    val jsonDir = graft.core.Staging.tempAtExit("graft_mr_json_")
+    new WC().write(spark, sc.parallelize(text, 2), jsonDir, format = "json")
+    val jsonBack = spark.read.schema("key STRING, value BIGINT").json(jsonDir)
+      .as[(String, Long)].collect().toMap
+    assert(jsonBack == expected)
   }
 
   test("untyped surface runs end-to-end and raises ElementCountError on bad arity") {
