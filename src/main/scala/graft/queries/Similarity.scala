@@ -611,6 +611,66 @@ object Similarity {
     newCb
   }
 
+  /** IVF-PQ — the two quantizers COMPOSED, which is how a
+    * billion-scale ANN index actually ships (FAISS's IVFPQ): the
+    * coarse quantizer (s03's per-cell centroids) routes each probe to
+    * its nearest cell, and within the cell the corpus side is scored
+    * from PQ codes over RESIDUALS (vector − its cell centroid) — the
+    * residual trick is what makes 16 codewords per subspace usable:
+    * residuals concentrate near zero, so the codebook spends its
+    * precision where the data is. The PQ codebook is s11's
+    * deterministic md5-sampled init built over residual vectors;
+    * reconstruction = centroid + decoded residual; search is
+    * asymmetric (exact probe vs reconstructed corpus — s11's ADC
+    * contract). Every stage is an existing audited tier's design;
+    * every fold is mirrored in the oracle, so the composed ranking is
+    * hash-checked bit-for-bit.
+    *
+    * Scale shape: centroids and the 1,024-double codebook broadcast;
+    * encode is narrow and in-row; each probe scans ONE cell's
+    * reconstructions (1/nlist of the corpus) — compression × routing,
+    * the economics that fit a 100 TB corpus's index in serving memory.
+    * s12's gate measures recall@5 = 0.04 here: nprobe=1 routing over
+    * ISOTROPIC synthetic embeddings drops cross-cell near-ties (the
+    * s03 trade compounded with PQ error) — on real clustered
+    * embeddings the cells capture neighborhoods; the knobs are nprobe
+    * (s04) and codebook training (s13), both already built.
+    */
+  def s14IvfPqAnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val memberRows = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cent = cellCentroids(s, memberRows)
+    val resid = memberRows.join(broadcast(cent.withColumnRenamed("cnrm", "_cn")),
+        "label")
+      .select(col("label"), col("vec_id"), col("v"),
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("r"), col("cv"))
+    val cb = pqCodebook(resid.select(col("vec_id"), col("r").as("v")))
+    val recon = resid.crossJoin(broadcast(cb))
+      .withColumn("dq",
+        expr("zip_with(cv, graft_pq_reconstruct(r, cb), (a, b) -> a + b)"))
+      .select(col("label").as("cell"), col("vec_id"), col("dq"))
+      .withColumn("qnrm", sqrt(expr("graft_sumsq(dq)")))
+    val probes = memberRows.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .withColumn("pnrm", sqrt(expr("graft_sumsq(pv)")))
+    val routed = probes.join(broadcast(cent), lit(true))
+      .withColumn("ccos", expr("graft_dot(pv, cv)") / (col("pnrm") * col("cnrm")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("label"))))
+      .filter(col("crk") === 1)
+      .select(col("probe_id"), col("pv"), col("pnrm"), col("label").as("cell"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    recon.join(broadcast(routed),
+        recon("cell") === routed("cell") && col("vec_id") =!= col("probe_id"))
+      .withColumn("qcos", expr("graft_dot(pv, dq)") / (col("pnrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("qcos"))
+  }
+
   /** Recall@5 for the QUANTIZED ANN tiers — s05's gate extended to the
     * compression axis: s09 (JL projection), s10 (scalar quantization),
     * s11 (product quantization), each measured against s01's exact
@@ -630,7 +690,8 @@ object Similarity {
       "s09_rproj" -> s09RandomProjAnn(s, d),
       "s10_sq" -> s10SqAnn(s, d),
       "s11_pq" -> s11PqAnn(s, d),
-      "s13_pq_refined" -> s13PqRefined(s, d))
+      "s13_pq_refined" -> s13PqRefined(s, d),
+      "s14_ivfpq" -> s14IvfPqAnn(s, d))
     val ann = tiers.map { case (n, df) =>
         df.select(lit(n).as("tier"), col("probe_id"), col("neighbor_id")) }
       .reduce(_ unionByName _)
@@ -647,6 +708,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_ivfpq_ann" -> s14IvfPqAnn,
     "s13_pq_refined" -> s13PqRefined,
     "s12_quant_recall" -> s12QuantRecall,
     "s11_pq_ann" -> s11PqAnn,
@@ -871,7 +933,71 @@ object Similarity {
            ORDER BY qcos DESC, neighbor_id) AS rank FROM scored) t
        WHERE rank <= 5"""
 
+  // s14's oracle: s03's centroid CTE → residuals → s11's codebook
+  // select/encode/decode over the RESIDUAL vectors → reconstruction =
+  // centroid + decoded residual → nprobe=1 routing → in-cell ADC
+  // ranking. Fold orders match the engine expression-for-expression.
+  private val s14Sql =
+    s"""WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        ${centCte(sampleWhere = "")},
+        res AS (
+          SELECT e.vec_id, e.label,
+            list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS r,
+            c.cv AS cv
+          FROM ev e JOIN cent c ON e.label = c.label),
+        cw AS (
+          SELECT r AS v, h, vec_id FROM (
+            SELECT r, vec_id,
+              ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+            FROM res)
+          ORDER BY h, vec_id LIMIT 16),
+        cwj AS (
+          SELECT v, row_number() OVER (ORDER BY h, vec_id) - 1 AS j FROM cw),
+        dists AS (
+          SELECT e.vec_id, s, c.j,
+            list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+              i -> (e.r[s*8 + i] - c.v[s*8 + i]) * (e.r[s*8 + i] - c.v[s*8 + i]))),
+              (a, x) -> a + x) AS d2
+          FROM res e, unnest(range(0, 8)) AS u(s), cwj c),
+        codes AS (
+          SELECT vec_id, s, j FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+              ORDER BY d2, j) AS rk
+            FROM dists) t
+          WHERE rk = 1),
+        reconr AS (
+          SELECT codes.vec_id,
+            flatten(list(list_slice(c.v, s*8 + 1, s*8 + 8) ORDER BY s)) AS dqr
+          FROM codes JOIN cwj c USING (j)
+          GROUP BY codes.vec_id),
+        recon AS (
+          SELECT rr.vec_id, res.label AS cell,
+            list_transform(range(1, 65), i -> res.cv[i] + rr.dqr[i]) AS dq
+          FROM reconr rr JOIN res ON rr.vec_id = res.vec_id),
+        routed AS (
+          SELECT probe_id, cell, pv FROM (
+            SELECT p.vec_id AS probe_id, c.label AS cell, p.v AS pv,
+              row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                (list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> p.v[i] * c.cv[i])), (a, x) -> a + x)
+                 / (sqrt(list_reduce(list_prepend(0.0, list_transform(p.v, x -> x * x)), (a, x) -> a + x))
+                  * sqrt(list_reduce(list_prepend(0.0, list_transform(c.cv, x -> x * x)), (a, x) -> a + x)))) DESC,
+                c.label) AS crk
+            FROM ev p CROSS JOIN cent c WHERE p.vec_id < 10) t
+          WHERE crk = 1),
+        scored AS (
+          SELECT r2.probe_id, rec.vec_id AS neighbor_id,
+            list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> r2.pv[i] * rec.dq[i])), (a, x) -> a + x)
+            / (sqrt(list_reduce(list_prepend(0.0, list_transform(r2.pv, x -> x * x)), (a, x) -> a + x))
+             * sqrt(list_reduce(list_prepend(0.0, list_transform(rec.dq, x -> x * x)), (a, x) -> a + x))) AS qcos
+          FROM routed r2 JOIN recon rec
+            ON rec.cell = r2.cell AND rec.vec_id <> r2.probe_id)
+        SELECT probe_id, rank, neighbor_id, qcos FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY qcos DESC, neighbor_id) AS rank FROM scored) t
+        WHERE rank <= 5"""
+
   val oracles: Map[String, String] = Map(
+    "s14_ivfpq_ann" -> s14Sql,
     "s13_pq_refined" -> s13Sql,
     "s12_quant_recall" ->
       s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s01Sql) x),
@@ -879,15 +1005,17 @@ object Similarity {
           t10 AS (SELECT probe_id, neighbor_id FROM ($s10Sql) b),
           t11 AS (SELECT probe_id, neighbor_id FROM ($s11Sql) c),
           t13 AS (SELECT probe_id, neighbor_id FROM ($s13Sql) e),
+          t14 AS (SELECT probe_id, neighbor_id FROM ($s14Sql) f),
           ann AS (
             SELECT 's09_rproj' AS tier, * FROM t09
             UNION ALL SELECT 's10_sq', * FROM t10
             UNION ALL SELECT 's11_pq', * FROM t11
-            UNION ALL SELECT 's13_pq_refined', * FROM t13),
+            UNION ALL SELECT 's13_pq_refined', * FROM t13
+            UNION ALL SELECT 's14_ivfpq', * FROM t14),
           hits AS (SELECT tier, count(*) AS hits FROM exact
                    JOIN ann USING (probe_id, neighbor_id) GROUP BY tier),
           tot AS (SELECT count(*) AS n_exact FROM exact),
-          tiers AS (SELECT * FROM (VALUES ('s09_rproj'), ('s10_sq'), ('s11_pq'), ('s13_pq_refined')) t(tier))
+          tiers AS (SELECT * FROM (VALUES ('s09_rproj'), ('s10_sq'), ('s11_pq'), ('s13_pq_refined'), ('s14_ivfpq')) t(tier))
           SELECT tier, coalesce(hits, 0)::BIGINT AS n_hits, n_exact,
             coalesce(hits, 0)::DOUBLE / n_exact::DOUBLE AS recall_at_5
           FROM tiers LEFT JOIN hits USING (tier), tot""",
