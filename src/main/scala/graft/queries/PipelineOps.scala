@@ -173,15 +173,23 @@ object PipelineOps {
     * decides whole buckets identically on both paths), plan-asserted
     * to contain no (source)-partitioned row-order window.
     */
-  def p03MixToBudget(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = Tables.documents(s, d)
+  def p03MixToBudget(s: SparkSession, d: String): DataFrame =
+    mixToBudget(Tables.documents(s, d)
       .withColumn("h",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long"))
       .withColumn("budget",
         (lit(3000L) * (lit(1L) + (ascii(substring(col("source"), -1, 1)) % 3)))
-          .cast("long"))
+          .cast("long")))
+
+  /** The two-level fill over any (source, doc_id, n_chars, h, budget)
+    * frame with h ∈ [0, 2³²) — package-visible so the spec can assert
+    * two-level == direct-window on randomized synthetic corpora
+    * (including budgets landing exactly on bucket boundaries).
+    */
+  private[graft] def mixToBudget(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = rows
       .withColumn("bkt", shiftright(col("h"), 27)) // h < 2³² → 32 contiguous ranges
       .select(col("source"), col("doc_id"), col("n_chars"),
         col("h"), col("budget"), col("bkt"))

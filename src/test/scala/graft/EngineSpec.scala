@@ -362,6 +362,41 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"Lloyd round must strictly lower distortion on these fixtures: $init -> $refined")
   }
 
+  test("p03 two-level fill == direct window on randomized corpora (boundary budgets incl.)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    // h spans all 32 buckets; includes docs whose cum lands EXACTLY on
+    // the budget, zero-width sources, and budgets past the total
+    val rows = (0 until 400).map { i =>
+      val src = s"s${i % 5}"
+      val h = rnd.nextLong() & 0xFFFFFFFFL
+      val chars = 1L + rnd.nextInt(50)
+      (src, i.toLong, chars, h)
+    }
+    // one budget exactly equal to a prefix sum of s0's ordered chars:
+    val s0 = rows.filter(_._1 == "s0").sortBy(r => (r._4, r._2))
+    val exactBudget = s0.take(s0.size / 2).map(_._3).sum
+    val budgets = Map("s0" -> exactBudget, "s1" -> 5L, "s2" -> 10000000L,
+      "s3" -> 300L, "s4" -> 777L)
+    val df = rows.toDF("source", "doc_id", "n_chars", "h")
+      .withColumn("budget",
+        element_at(typedLit(budgets), col("source")))
+    val twoLevel = graft.queries.PipelineOps.mixToBudget(df)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val direct = df.withColumn("cum", sum(col("n_chars")).over(w))
+      .filter(col("cum") <= col("budget"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(col("cum")).as("chars_used"),
+        first(col("budget")).as("char_budget"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(twoLevel == direct,
+      s"two-level diverged: ${twoLevel -- direct} vs ${direct -- twoLevel}")
+  }
+
   test("d12 containment adds no shuffle beyond d02's pair machinery") {
     val n = (s: String) => "Exchange hashpartitioning".r.findAllIn(s).size
     val d02 = n(planOf("d02_jaccard_pairs"))
