@@ -24,6 +24,14 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
+  // the root WE last passed to setCheckpointDir — an exact-equality
+  // guard against redundant re-sets (each creates a fresh UUID
+  // subdir). Comparing against sc.getCheckpointDir was wrong twice
+  // over: it returns the UUID CHILD of the root, and a substring test
+  // on it silently skipped the re-set whenever the configured root
+  // happened to be a substring of an unrelated current dir.
+  @volatile private var lastSetDir: Option[String] = None
+
   /** The RDD backing a frame returned by [[roundCheckpoint]], derived
     * DIRECTLY from the checkpointed plan's LogicalRDD leaf — never by
     * diffing `sc.getPersistentRDDs` around the checkpoint call, which
@@ -42,10 +50,10 @@ object Checkpoints {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
       case Some(dir) =>
-        // setCheckpointDir creates a fresh UUID subdir per call — only
-        // (re)set when the configured root actually changed
-        if (!s.sparkContext.getCheckpointDir.exists(_.contains(dir)))
+        if (!lastSetDir.contains(dir)) {
           s.sparkContext.setCheckpointDir(dir)
+          lastSetDir = Some(dir)
+        }
         df.checkpoint() // eager + reliable (files)
       case None => df.localCheckpoint() // eager (executor blocks)
     }

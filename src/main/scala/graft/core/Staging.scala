@@ -30,12 +30,34 @@ object Staging {
     */
   private val cleanupDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val cleanupHookInstalled: Boolean = {
-    sys.addShutdownHook {
-      import scala.reflect.io.Directory
-      cleanupDirs.forEach(d =>
-        new Directory(new java.io.File(d)).deleteRecursively())
+
+  /** Recursive delete that NEVER follows symlinks: `walkFileTree`
+    * without FOLLOW_LINKS visits a symlink (even to a directory) as a
+    * plain file, so only the LINK is unlinked — its target is
+    * untouched. This is load-bearing: the streaming file source
+    * symlinks the read-only source dataset into its scratch dir, and
+    * a link-following recursive delete (scala.reflect.io.Directory
+    * has no symlink guard) would delete the real data behind it.
+    */
+  def deleteTree(root: String): Unit = {
+    import java.nio.file.{Files => F, _}
+    import java.nio.file.attribute.BasicFileAttributes
+    val p = Paths.get(root)
+    if (F.exists(p, LinkOption.NOFOLLOW_LINKS)) {
+      F.walkFileTree(p, new SimpleFileVisitor[Path] {
+        override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+          F.deleteIfExists(f); FileVisitResult.CONTINUE
+        }
+        override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+          F.deleteIfExists(d); FileVisitResult.CONTINUE
+        }
+      })
+      ()
     }
+  }
+
+  private lazy val cleanupHookInstalled: Boolean = {
+    sys.addShutdownHook(cleanupDirs.forEach(deleteTree(_)))
     true
   }
   def registerAtExit(dir: String): Unit = {

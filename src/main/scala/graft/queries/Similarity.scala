@@ -672,9 +672,12 @@ object Similarity {
   }
 
   /** Recall@5 for the QUANTIZED ANN tiers — s05's gate extended to the
-    * compression axis: s09 (JL projection), s10 (scalar quantization),
-    * s11 (product quantization), each measured against s01's exact
-    * ranking. This is the number a PQ/SQ deployment decision is made
+    * compression axis: every approximation tier this module ships that
+    * is not already gated by s05 — s09 (JL projection), s10 (scalar
+    * quantization), s11 (PQ sampled-init), s13 (PQ Lloyd-refined),
+    * s14 (IVF-PQ) — each measured against s01's exact ranking. Adding
+    * a tier means adding it to the `tiers` seq below AND the oracle's
+    * UNION/VALUES lists. This is the number a PQ/SQ deployment decision is made
     * on — an approximation tier without a recall gate is an
     * unmonitored loss. One row per tier; every tier is deterministic
     * in both engines, so the recall VALUES are hash-checked, not just

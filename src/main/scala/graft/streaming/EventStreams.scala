@@ -21,13 +21,6 @@ object EventStreams {
   private val EventsSchema =
     "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 
-  /** Every temp sink/scratch dir the gates stage enrolls in the shared
-    * exit-time registry (graft.core.Staging) — one shutdown hook total,
-    * recursive deletion, after the lazy readers are done with them.
-    */
-  private def cleanupAtExit(dir: String): Unit =
-    graft.core.Staging.registerAtExit(dir)
-
   /** Run `body` with shuffle partitions capped at 8: every stateful
     * streaming operator instantiates one state store PER shuffle
     * partition PER micro-batch, so partition count here is a fixed
@@ -52,12 +45,13 @@ object EventStreams {
   private def eventsFileStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    // registry deletion is symlink-safe (Staging.deleteTree): only the
+    // LINK is removed at exit — the read-only source dataset behind it
+    // is never touched
+    val dir = java.nio.file.Paths.get(
+      graft.core.Staging.tempAtExit("graft_stream_"))
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
-    // deleteOnExit only removes EMPTY dirs — the symlink inside made it
-    // a silent orphan; the shared registry deletes recursively
-    cleanupAtExit(dir.toString)
     s.readStream.schema(schema).parquet(dir.toString)
   }
 
@@ -362,8 +356,8 @@ object EventStreams {
       // by nature (it parameterizes the staging layout, not the data)
       val cut = ev.filter(onTime)
         .agg(date_trunc("hour", max(col("ts")))).head.getTimestamp(0)
-      val scratch = java.nio.file.Files.createTempDirectory("graft_late_stage_")
-      cleanupAtExit(scratch.toString)
+      val scratch = java.nio.file.Paths.get(
+        graft.core.Staging.tempAtExit("graft_late_stage_"))
       Seq(
         onTime && col("ts") < lit(cut),
         onTime && col("ts") >= lit(cut),
@@ -433,8 +427,7 @@ object EventStreams {
     * oracle-checked (st04's cutoff idiom).
     */
   def st07ForeachBatchSink(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_stream7_").toString
-    cleanupAtExit(out)
+    val out = graft.core.Staging.tempAtExit("graft_stream7_")
     val stream = eventsChunkStream(s, d)
     val agg = stream
       .withWatermark("ts", "2 hours")
@@ -472,7 +465,7 @@ object EventStreams {
     * consume.
     */
   def st13UpdateUpsert(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_stream13_").toString
+    val base = graft.core.Staging.tempAtExit("graft_stream13_")
     val sch = "hour TIMESTAMP, event_type STRING, n BIGINT, sum_value DOUBLE"
     val stream = eventsChunkStream(s, d)
     val agg = stream
@@ -502,11 +495,9 @@ object EventStreams {
     // prior versions existed only to feed the next batch's merge —
     // drop them now; the surviving latest version backs the returned
     // (lazy) frame, so it is reclaimed at JVM exit instead
-    import scala.reflect.io.Directory
     new java.io.File(base).listFiles()
       .filter(f => f.isDirectory && f.getName != s"v$latest")
-      .foreach(f => new Directory(f).deleteRecursively())
-    cleanupAtExit(base)
+      .foreach(f => graft.core.Staging.deleteTree(f.toString))
     s.read.schema(sch).parquet(s"$base/v$latest")
   }
 
@@ -532,8 +523,7 @@ object EventStreams {
   }
 
   def st15StreamMapReduce(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_stream15_").toString
-    cleanupAtExit(out)
+    val out = graft.core.Staging.tempAtExit("graft_stream15_")
     val q = eventsChunkStream(s, d).writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val sp = batch.sparkSession
@@ -559,8 +549,7 @@ object EventStreams {
     * depends on, asserted through the same oracle as st01.
     */
   def st08CheckpointRecovery(s: SparkSession, d: String): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt8_").toString
-    cleanupAtExit(ckpt)
+    val ckpt = graft.core.Staging.tempAtExit("graft_ckpt8_")
     def agg() = eventsChunkStream(s, d)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
