@@ -276,7 +276,38 @@ object TextOps {
         md5(col("red").cast("binary")).as("redacted_md5"))
   }
 
+  /** CROSS-document repeated-span profiling — the C4/RefinedWeb
+    * "remove boilerplate repeated across pages" step, at the span
+    * grain t11's WITHIN-doc repetition metrics don't see: a word
+    * 5-gram (d09's exact-decontam gram) occurring in ≥ 3 distinct
+    * documents is boilerplate evidence (on these fixtures that is
+    * precisely the planted near-dup spans — max corpus df is 4), and
+    * each doc reports its gram count, boilerplate-gram count, and
+    * boilerplate fraction — the number a cleaning pass thresholds on.
+    *
+    * Scale shape: per-doc-distinct grams travel as xxhash64 longs
+    * (d02's collision analysis); the df count is one partial-aggable
+    * shuffle on 8-byte keys; the df join-back is linear (same shape as
+    * d13's df annotation); the per-doc tally is partial-aggable. At
+    * 100 TB the df≥K table is the small side — a Bloom prune (d06) or
+    * broadcast (d09) replaces the full join-back.
+    */
+  def t14BoilerplateSpans(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr("graft_shingles5(text)")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val dfTab = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    grams.join(dfTab, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_grams").cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_boilerplate_spans" -> t14BoilerplateSpans,
     "t13_term_scrub" -> t13TermScrub,
     "t12_lang_confusion" -> t12LangConfusion,
     "t11_repetition" -> t11Repetition,
@@ -310,6 +341,20 @@ object TextOps {
        FROM scored"""
 
   val oracles: Map[String, String] = Map(
+    "t14_boilerplate_spans" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+           FROM toks),
+         dfc AS (SELECT g, count(*) AS df FROM sh GROUP BY 1)
+         SELECT doc_id, count(*) AS n_grams,
+           sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+           sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS boiler_frac
+         FROM sh JOIN dfc USING (g) GROUP BY 1""",
     "t13_term_scrub" ->
       """SELECT doc_id,
            len(regexp_extract_all(text, '\b(customer|spark|vector)\b'))::BIGINT AS n_hits,
