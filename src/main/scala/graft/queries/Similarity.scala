@@ -671,6 +671,80 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("qcos"))
   }
 
+  /** Greedy k-center (farthest-point / Gonzalez 1985) DIVERSITY SAMPLE
+    * over the embedding corpus — the curation step that follows dedup
+    * in a training-data pipeline: pick k documents maximizing pairwise
+    * spread (the greedy traversal is a 2-approximation to the optimal
+    * k-center cover), e.g. few-shot exemplar or eval-seed selection
+    * over a deduplicated pool. Cosine distance (1 − cos), seed = the
+    * smallest vec_id, max-min ties break to the smaller vec_id — fully
+    * deterministic, so the selection ORDER and each round's coverage
+    * gap (the max-min distance that forced the pick) are hash-checked
+    * against an unrolled CTE replay of the whole loop.
+    *
+    * Loop shape — k sequential jobs, each ONE narrow scan: round r
+    * scores dmin = least(...) over the r selected centers' distance
+    * expressions (literal 64-dim arrays carried in the PLAN — the
+    * selected set IS the model, k×64 doubles of driver state by
+    * definition, exactly like broadcast centroids) and takes the
+    * argmax with one partial-aggable max_by over a (dmin, −vec_id)
+    * struct — no shuffle beyond the 1-row partial merge, no per-round
+    * checkpoint, lineage flat BY CONSTRUCTION because every round
+    * re-derives from the cached (vec_id, v, nrm) projection, never
+    * from the previous round's frame (contrast the kmeans loop, whose
+    * per-round state is a full assignment TABLE and must be
+    * checkpointed; here per-round state is one row). least() is
+    * associative-exact over doubles, so the stateless least-of-r
+    * recompute equals the oracle chain's incremental update —
+    * asserted bit-for-bit by the randomized spec against a
+    * brute-force greedy twin.
+    *
+    * At 100 TB: k embarrassingly parallel passes over a cached
+    * columnar (vec_id, v, nrm) projection, each returning one row —
+    * the same sequential-rounds floor as Lloyd (s08) with NO per-round
+    * materialization to pay for. If k grows to where least-of-k
+    * dominates a scan (k ≳ hundreds), switch to a persisted
+    * incremental dmin column with the kmeans loop's checkpoint
+    * discipline — same answers, and the spec's brute-force twin is
+    * the contract either way.
+    */
+  def s15KcenterSample(s: SparkSession, d: String): DataFrame =
+    kcenterSelect(normed(s, d), k = 8)
+
+  /** The greedy loop behind s15 over any (vec_id, v, nrm) frame —
+    * package-visible so the spec can prove greedy == brute-force on
+    * randomized synthetic corpora (including an exact-duplicate
+    * point, the dmin ≈ 0 tie case).
+    */
+  private[graft] def kcenterSelect(e: DataFrame, k: Int): DataFrame = {
+    val s = e.sparkSession
+    graft.functions.VectorExpressions.register(s)
+    import s.implicits._
+    val ev = e.select(col("vec_id"), col("v"), col("nrm")).cache()
+    val seed = ev.orderBy(col("vec_id")).limit(1).head()
+    def distTo(sv: Seq[Double], snrm: Double): Column =
+      lit(1.0) - call_function("graft_dot", col("v"), typedLit(sv)) /
+        (col("nrm") * lit(snrm))
+    var selIds: List[Long] = List(seed.getLong(0))
+    var dists: List[Column] = List(distTo(seed.getSeq[Double](1), seed.getDouble(2)))
+    var out: List[(Long, Long, Double)] = List((0L, seed.getLong(0), 0.0))
+    for (r <- 1 until k) {
+      val far = ev.filter(!col("vec_id").isin(selIds: _*))
+        .withColumn("dmin",
+          if (dists.sizeIs == 1) dists.head else least(dists.reverse: _*))
+        .agg(max_by(
+          struct(col("vec_id"), col("dmin"), col("v"), col("nrm")),
+          struct(col("dmin"), (-col("vec_id")).as("nid"))).as("far"))
+        .head().getStruct(0)
+      out = (r.toLong, far.getLong(0), far.getDouble(1)) :: out
+      selIds = far.getLong(0) :: selIds
+      dists = distTo(far.getSeq[Double](2), far.getDouble(3)) :: dists
+    }
+    // the output is a k-row literal frame — no lineage on ev, release now
+    ev.unpersist(blocking = false)
+    out.reverse.toDF("sel_rank", "vec_id", "gap")
+  }
+
   /** Recall@5 for the QUANTIZED ANN tiers — s05's gate extended to the
     * compression axis: every approximation tier this module ships that
     * is not already gated by s05 — s09 (JL projection), s10 (scalar
@@ -711,6 +785,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_kcenter_sample" -> s15KcenterSample,
     "s14_ivfpq_ann" -> s14IvfPqAnn,
     "s13_pq_refined" -> s13PqRefined,
     "s12_quant_recall" -> s12QuantRecall,
@@ -999,7 +1074,40 @@ object Similarity {
             ORDER BY qcos DESC, neighbor_id) AS rank FROM scored) t
         WHERE rank <= 5"""
 
+  // s15's oracle replays the greedy loop as a GENERATED CTE chain —
+  // one (d_r = distance update, s_r = argmax pick) pair per round,
+  // s07's unrolled-rounds trick taken to k = 8 selections. The folds
+  // mirror the engine expression-for-expression (i-ascending
+  // sequential dot, sqrt-of-sumsq norms, least() on the running
+  // minimum), so the gap VALUES hash-check, not just the ids.
+  private val s15Sql: String = {
+    def cosTo(e: String, s: String) =
+      s"""(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $e.v[i] * $s.v[i])), (a, x) -> a + x)
+           / ($e.nrm * $s.nrm))"""
+    val rounds = (1 until 8).map { r =>
+      val prev = if (r == 1) "evn" else s"d${r - 1}"
+      val dm = if (r == 1) s"1.0 - ${cosTo("e", "s")}"
+               else s"least(e.dmin, 1.0 - ${cosTo("e", "s")})"
+      s"""d$r AS (
+            SELECT e.vec_id, e.v, e.nrm, $dm AS dmin
+            FROM $prev e, s${r - 1} s WHERE e.vec_id <> s.vec_id),
+          s$r AS (SELECT vec_id, v, nrm, dmin FROM d$r
+                  ORDER BY dmin DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n")
+    val picks = (1 until 8).map(r =>
+      s"UNION ALL SELECT ${r}::BIGINT, vec_id, dmin FROM s$r").mkString("\n")
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        evn AS (SELECT vec_id, v,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+          FROM ev),
+        s0 AS (SELECT vec_id, v, nrm FROM evn ORDER BY vec_id LIMIT 1),
+        $rounds
+        SELECT 0::BIGINT AS sel_rank, vec_id, 0.0 AS gap FROM s0
+        $picks"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "s15_kcenter_sample" -> s15Sql,
     "s14_ivfpq_ann" -> s14Sql,
     "s13_pq_refined" -> s13Sql,
     "s12_quant_recall" ->

@@ -397,6 +397,42 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"two-level diverged: ${twoLevel -- direct} vs ${direct -- twoLevel}")
   }
 
+  test("s15 greedy k-center == brute-force greedy on randomized vectors (dup point incl.)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val dim = 6
+    val pts = (0 until 40).map { i =>
+      (i.toLong, Vector.fill(dim)(rnd.nextDouble() * 2 - 1))
+    }
+    // an exact duplicate exercises the dmin ≈ 0 tail of the ordering
+    val all = pts :+ (40L, pts(3)._2)
+    def cosDist(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      1.0 - dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    var sel = List(all.minBy(_._1))
+    var expected = List((0L, sel.head._1, 0.0))
+    for (r <- 1 until 6) {
+      val rest = all.filterNot(p => sel.exists(_._1 == p._1))
+      val (farPt, farGap) = rest.iterator
+        .map(p => (p, sel.map(c => cosDist(p._2, c._2)).min))
+        .maxBy { case (p, dm) => (dm, -p._1) }
+      expected = (r.toLong, farPt._1, farGap) :: expected
+      sel = farPt :: sel
+    }
+    val df = all.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0.0D, (a, x) -> a + x * x)")))
+    val got = graft.queries.Similarity.kcenterSelect(df, 6)
+      .as[(Long, Long, Double)].collect().toList.sortBy(_._1)
+    val exp = expected.reverse
+    assert(got.size == exp.size)
+    got.zip(exp).foreach { case ((gr, gi, gg), (er, ei, eg)) =>
+      assert(gr == er && gi == ei && math.abs(gg - eg) < 1e-12,
+        s"round $gr: got ($gi, $gg) want ($ei, $eg)")
+    }
+  }
+
   test("d12 containment adds no shuffle beyond d02's pair machinery") {
     val n = (s: String) => "Exchange hashpartitioning".r.findAllIn(s).size
     val d02 = n(planOf("d02_jaccard_pairs"))
