@@ -62,7 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("graft_sq_dequantize", "fused 8-bit scalar quantize -> midpoint dequantize",
         es => SqDequantize(es.head, es(1), es(2))),
       ("graft_pq_reconstruct", "fused product-quantization encode -> decode",
-        es => PqReconstruct(es.head, es(1))))
+        es => PqReconstruct(es.head, es(1))),
+      ("graft_common_sorted", "common-element count of two sorted distinct long arrays",
+        es => SortedCommonCount(es.head, es(1))))
     fns.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

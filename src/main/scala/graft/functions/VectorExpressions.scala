@@ -721,6 +721,52 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** |A ∩ B| for two SORTED-ascending long arrays with DISTINCT
+    * elements (per-doc shingle-hash sets ordered by `sort_array`) —
+    * one linear merge over two primitive long[], no per-row hash-set
+    * construction and no intersection-array materialization, which is
+    * what `size(array_intersect(...))` pays per candidate pair in the
+    * dedup verify tiers. Preconditions are the caller's contract:
+    * unsorted input gives an undercount, duplicates count once per
+    * matched occurrence pair — both asserted against array_intersect
+    * on randomized inputs in the spec.
+    */
+  case class SortedCommonCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData].toLongArray()
+      val y = b.asInstanceOf[ArrayData].toLongArray()
+      var i = 0; var j = 0; var c = 0L
+      while (i < x.length && j < y.length) {
+        if (x(i) < y(j)) i += 1
+        else if (x(i) > y(j)) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
+      c
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        s"""
+        long[] $x = $a.toLongArray();
+        long[] $y = $b.toLongArray();
+        int $i = 0; int $j = 0; long $c = 0L;
+        while ($i < $x.length && $j < $y.length) {
+          if ($x[$i] < $y[$j]) $i++;
+          else if ($x[$i] > $y[$j]) $j++;
+          else { $c++; $i++; $j++; }
+        }
+        ${ev.value} = $c;
+        """
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Register as SQL temp functions (`graft_dot`, `graft_sumsq`,
     * `graft_minhash`) so the query surface reaches them through
     * `expr(...)` without touching the Column constructor
@@ -765,5 +811,7 @@ object VectorExpressions {
       "graft_sq_dequantize", es => SqDequantize(es.head, es(1), es(2)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_reconstruct", es => PqReconstruct(es.head, es(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_common_sorted", es => SortedCommonCount(es.head, es(1)), "built-in")
   }
 }

@@ -669,12 +669,22 @@ object Dedup {
     // verify tier is the bulk of the query), and the intersects run
     // over 8-byte longs, not strings. Counts are hash-domain — d02's
     // collision analysis applies, exactly as in d12's own scoring.
+    // Arrays are sorted ONCE per doc so the per-pair common count is a
+    // native linear merge over primitive long[] (graft_common_sorted)
+    // instead of array_intersect's per-pair hash-set build +
+    // intersection-array materialization — the verify tier is the bulk
+    // of this query, and the merge halves its per-candidate cost.
+    // Equivalence needs per-doc-distinct elements, which the shingle
+    // SET (graft_shingles' LinkedHashSet) guarantees modulo the same
+    // in-doc xxhash64 collision the hash-domain scoring already
+    // accepts; the spec asserts merge == array_intersect on randomized
+    // inputs.
     val docArr = sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("s")).as("hs"))
+      .agg(sort_array(collect_list(col("s"))).as("hs"))
     cands
       .join(docArr.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(docArr.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
-      .withColumn("common", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("common", expr("graft_common_sorted(ha, hb)"))
       .withColumn("contain_a", col("common") / size(col("ha")).cast("long"))
       .withColumn("contain_b", col("common") / size(col("hb")).cast("long"))
       .filter(col("contain_a") >= 0.8 || col("contain_b") >= 0.8)

@@ -493,6 +493,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"DPP subquery should reuse the join broadcast:\n${p.take(1200)}")
   }
 
+  test("graft_common_sorted == size(array_intersect) on randomized sorted distinct arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(23)
+    // overlapping draws from a small domain force real intersections;
+    // includes empty and disjoint cases
+    val rows = (0 until 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(50).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(50).toLong).distinct.sorted
+      (i, a, b)
+    } :+ ((200, Seq.empty[Long], Seq(1L, 2L))) :+ ((201, Seq(7L), Seq(8L)))
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("merge", expr("graft_common_sorted(a, b)"))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))).cast("long"))
+    val bad = df.filter(col("merge") =!= col("ref")).count()
+    assert(bad == 0, s"$bad rows diverged from array_intersect")
+  }
+
   test("DotSelfToSumSq rewrites graft_dot(x, x) into graft_sumsq(x)") {
     import spark.implicits._
     graft.functions.VectorExpressions.register(spark)
