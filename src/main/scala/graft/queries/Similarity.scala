@@ -745,13 +745,14 @@ object Similarity {
     out.reverse.toDF("sel_rank", "vec_id", "gap")
   }
 
-  /** Recall@5 for the QUANTIZED ANN tiers — s05's gate extended to the
-    * compression axis: every approximation tier this module ships that
-    * is not already gated by s05 — s09 (JL projection), s10 (scalar
-    * quantization), s11 (PQ sampled-init), s13 (PQ Lloyd-refined),
-    * s14 (IVF-PQ) — each measured against s01's exact ranking. Adding
-    * a tier means adding it to the `tiers` seq below AND the oracle's
-    * UNION/VALUES lists. This is the number a PQ/SQ deployment decision is made
+  /** Recall@5 for EVERY approximate ANN tier — s05's gate extended
+    * into the single recall board an ANN deployment reads: the
+    * bucketing axis — s02 (hyperplane LSH), s03 (IVF nprobe=1), s04
+    * (IVF sampled-train nprobe=2) — and the compression axis — s09
+    * (JL projection), s10 (scalar quantization), s11 (PQ
+    * sampled-init), s13 (PQ Lloyd-refined), s14 (IVF-PQ) — each
+    * measured against s01's exact ranking. Adding a tier means adding
+    * it to the `tiers` seq below AND the oracle's UNION/VALUES lists. This is the number a PQ/SQ deployment decision is made
     * on — an approximation tier without a recall gate is an
     * unmonitored loss. One row per tier; every tier is deterministic
     * in both engines, so the recall VALUES are hash-checked, not just
@@ -764,6 +765,9 @@ object Similarity {
     import s.implicits._
     val exact = s01CosineTopK(s, d).select(col("probe_id"), col("neighbor_id"))
     val tiers: Seq[(String, DataFrame)] = Seq(
+      "s02_lsh" -> s02AnnLsh(s, d),
+      "s03_ivf1" -> s03IvfTopK(s, d),
+      "s04_ivf2" -> s04IvfNprobe2(s, d),
       "s09_rproj" -> s09RandomProjAnn(s, d),
       "s10_sq" -> s10SqAnn(s, d),
       "s11_pq" -> s11PqAnn(s, d),
@@ -1112,13 +1116,21 @@ object Similarity {
     "s13_pq_refined" -> s13Sql,
     "s12_quant_recall" ->
       s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s01Sql) x),
+          t02 AS (SELECT probe_id, neighbor_id FROM ($s02Sql) g),
+          t03 AS (SELECT probe_id, neighbor_id FROM (${ivfSql(sampleWhere = "", nprobe = 1)}) h),
+          t04 AS (SELECT probe_id, neighbor_id FROM (${ivfSql(
+            sampleWhere = "WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 3 = 0",
+            nprobe = 2)}) i),
           t09 AS (SELECT probe_id, neighbor_id FROM ($s09Sql) a),
           t10 AS (SELECT probe_id, neighbor_id FROM ($s10Sql) b),
           t11 AS (SELECT probe_id, neighbor_id FROM ($s11Sql) c),
           t13 AS (SELECT probe_id, neighbor_id FROM ($s13Sql) e),
           t14 AS (SELECT probe_id, neighbor_id FROM ($s14Sql) f),
           ann AS (
-            SELECT 's09_rproj' AS tier, * FROM t09
+            SELECT 's02_lsh' AS tier, * FROM t02
+            UNION ALL SELECT 's03_ivf1', * FROM t03
+            UNION ALL SELECT 's04_ivf2', * FROM t04
+            UNION ALL SELECT 's09_rproj', * FROM t09
             UNION ALL SELECT 's10_sq', * FROM t10
             UNION ALL SELECT 's11_pq', * FROM t11
             UNION ALL SELECT 's13_pq_refined', * FROM t13
@@ -1126,7 +1138,7 @@ object Similarity {
           hits AS (SELECT tier, count(*) AS hits FROM exact
                    JOIN ann USING (probe_id, neighbor_id) GROUP BY tier),
           tot AS (SELECT count(*) AS n_exact FROM exact),
-          tiers AS (SELECT * FROM (VALUES ('s09_rproj'), ('s10_sq'), ('s11_pq'), ('s13_pq_refined'), ('s14_ivfpq')) t(tier))
+          tiers AS (SELECT * FROM (VALUES ('s02_lsh'), ('s03_ivf1'), ('s04_ivf2'), ('s09_rproj'), ('s10_sq'), ('s11_pq'), ('s13_pq_refined'), ('s14_ivfpq')) t(tier))
           SELECT tier, coalesce(hits, 0)::BIGINT AS n_hits, n_exact,
             coalesce(hits, 0)::DOUBLE / n_exact::DOUBLE AS recall_at_5
           FROM tiers LEFT JOIN hits USING (tier), tot""",
