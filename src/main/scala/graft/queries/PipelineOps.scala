@@ -222,7 +222,41 @@ object PipelineOps {
         first(col("char_budget")).as("char_budget"))
   }
 
+  /** Leakage-safe train/validation/test split: assignment is atomic
+    * per NEAR-DUP CLUSTER (d07's connected components), not per
+    * document — if any member of a cluster lands in train, every
+    * member does, so no eval document has a near-duplicate sitting in
+    * the training set (the split-leakage failure eval post-mortems
+    * keep finding). Unclustered docs are their own group. The split
+    * hash runs on the GROUP id (q37's reproducible md5 idiom),
+    * 8/1/1 train/validation/test, so re-running the pipeline — or
+    * adding documents that don't join an existing cluster — never
+    * reshuffles prior assignments.
+    *
+    * Scale shape: cluster labels exist only for docs touched by a
+    * near-dup pair (a small minority of any deduped corpus), d07's
+    * banded-candidate + pointer-jump machinery is reused as-is, and
+    * the label join back to documents is one equi-join on doc_id
+    * (broadcastable when the pair graph is small); the hash + split
+    * derivation is a narrow map. No new shuffle beyond d07's own.
+    */
+  def p04LeakSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val labels = Dedup.d07DupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        conv(substring(md5(col("group_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10)
+      .select(col("doc_id"), col("group_id"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "validation")
+          .otherwise("test").as("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p04_leak_safe_split" -> p04LeakSafeSplit,
     "p03_mix_to_budget" -> p03MixToBudget,
     "p02_semdedup" -> p02SemDedup,
     "p01_corpus_build" -> p01CorpusBuild,
@@ -253,6 +287,22 @@ object PipelineOps {
        WHERE vec_id NOT IN (SELECT vec_id FROM lab WHERE vec_id <> cluster_id)"""
 
   val oracles: Map[String, String] = Map(
+    "p04_leak_safe_split" ->
+      s"""WITH RECURSIVE
+          ${graft.queries.Dedup.clusterCtes},
+          labels AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src),
+          grp AS (
+            SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+          SELECT doc_id, group_id,
+            CASE WHEN b < 8 THEN 'train'
+                 WHEN b = 8 THEN 'validation'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id, group_id,
+                  ('0x' || substr(md5(group_id::VARCHAR), 1, 8))::BIGINT % 10 AS b
+                FROM grp) t""",
     "p03_mix_to_budget" ->
       """WITH ranked AS (
            SELECT source, doc_id, n_chars,

@@ -493,6 +493,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"DPP subquery should reuse the join broadcast:\n${p.take(1200)}")
   }
 
+  test("p04 split is cluster-atomic: every d07 cluster lands wholly in one split") {
+    // materialize each dedup build before starting the next — building
+    // a second dedup query releases the first's caches (the documented
+    // release-on-next-build registry contract)
+    val split = graft.queries.PipelineOps.p04LeakSafeSplit(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val labels = graft.queries.Dedup.d07DupClusters(spark, sf)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val straddling = labels.groupBy(_._2).count { case (_, members) =>
+      members.map(m => split(m._1)).distinct.size > 1
+    }
+    assert(straddling == 0, s"$straddling clusters straddle a split boundary")
+    // and the split actually partitions the whole corpus
+    val n = graft.core.Tables.documents(spark, sf).count()
+    assert(split.size == n)
+  }
+
   test("graft_common_sorted == size(array_intersect) on randomized sorted distinct arrays") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
