@@ -99,12 +99,41 @@ object AggQueries {
     }.toDF("k", "n_exact", "est_ge_exact", "est_within_bound")
   }
 
+  /** HLL++ cardinality estimation per source — the 100 TB distinct
+    * counter: `approx_count_distinct` keeps a fixed ~KB sketch per
+    * group that merges MAP-SIDE (partial-aggable; the shuffle carries
+    * one sketch per group per task), where exact COUNT(DISTINCT) must
+    * re-shuffle every distinct value. Contract gate (q39/a03's
+    * pattern): run BOTH, report the exact count plus whether the
+    * estimate honored its bound — at 100 TB the exact pass is the
+    * thing you DON'T run; the gate runs it to prove the sketch's
+    * honesty. rsd = 0.02, asserted at 5 % (2.5 standard deviations);
+    * sketch hashing and fixtures are deterministic, so the boolean is
+    * a replayed fact of the dataset at each sf, not a per-run gamble.
+    */
+  def a04HllDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("n_exact"),
+        approx_count_distinct(col("h"), 0.02).as("est"))
+      .select(col("source"), col("n_exact"),
+        (abs(col("est") - col("n_exact")).cast("double") <=
+          col("n_exact").cast("double") * 0.05).as("within_5pct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a04_hll_distinct" -> a04HllDistinct,
     "a03_cms_heavy_hitters" -> a03CmsHeavyHitters,
     "a01_counter_merge" -> a01CounterMerge,
     "a02_topk_per_key" -> a02TopKPerKey)
 
   val oracles: Map[String, String] = Map(
+    // exact side of the HLL contract; the bound boolean must replay
+    // TRUE for every source
+    "a04_hll_distinct" ->
+      """SELECT source, count(DISTINCT md5(text)) AS n_exact,
+           true AS within_5pct
+         FROM documents GROUP BY source""",
     // the exact side of the contract; the sketch bound booleans must
     // come out TRUE for every key (q17's contract-oracle pattern)
     "a03_cms_heavy_hitters" ->
