@@ -306,7 +306,61 @@ object TextOps {
         col("n_boiler").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** TF-IDF top terms per document — the classic keyword/salience
+    * extractor a corpus profiler ships next to t05's n-gram profiles:
+    * tf = in-document occurrences, idf = ln(N/df) over document
+    * frequency, top-3 terms per document by tf·idf (ties broken by
+    * term, so the ranking is deterministic in both engines — the
+    * doubles are products of identical IEEE ops).
+    *
+    * Scale shape: the token explode partial-aggregates to one row per
+    * (doc, term) before its shuffle; the (doc, term, tf) table is then
+    * CACHED — it feeds both join inputs (scores and the df count), and
+    * without the materialization Catalyst plans two full
+    * tokenize+explode scans (the branches optimize to different
+    * subtrees — df's inner count prunes to a distinct — so exchange
+    * reuse can never fire; spec-asserted). The df side of the
+    * join-back is post-aggregation small (heavy-tail vocab ≪ corpus)
+    * and AQE broadcasts it at runtime — a broadcast join rather than a
+    * per-term window, so stopword-grade terms (df ≈ N) cost no skewed
+    * partition; N is a one-row broadcast scalar; the final top-3 is a
+    * WindowGroupLimit-prunable rank (q48's pushdown), so no task
+    * materializes a full per-doc term ranking.
+    */
+  def t15TfIdf(s: SparkSession, d: String): DataFrame =
+    tfidfTopK(Tables.documents(s, d), k = 3)
+
+  /** The TF-IDF core over any (doc_id, text) frame — package-visible
+    * so the spec can pin hand-computed scores on a tiny corpus.
+    */
+  private[graft] def tfidfTopK(doc: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cached: feeds the score join AND the df aggregation (s07's
+    // query-internal-cache discipline — Bench/Verify release after)
+    val tf = doc.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = doc.agg(count(lit(1)).cast("double").as("n_docs"))
+    // round(·, 6): Spark's ln is StrictMath.log (fdlibm) and DuckDB's
+    // is the platform libm — they disagree in the last ulp (e.g.
+    // ln(3)), so the score is pinned at 6 decimals on BOTH sides (q01
+    // discipline) and the rank is computed over the rounded value
+    val scored = tf.join(dfTab, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        log(col("n_docs") / col("df").cast("double")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"),
+        col("rank").cast("long").as("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_tfidf" -> t15TfIdf,
     "t14_boilerplate_spans" -> t14BoilerplateSpans,
     "t13_term_scrub" -> t13TermScrub,
     "t12_lang_confusion" -> t12LangConfusion,
@@ -341,6 +395,23 @@ object TextOps {
        FROM scored"""
 
   val oracles: Map[String, String] = Map(
+    "t15_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+           FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+         dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term, round(tf::DOUBLE * ln(n_docs / df::DOUBLE), 6) AS tfidf
+           FROM tf JOIN dfc USING (term), n)
+         SELECT doc_id, term, tfidf, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term) AS rank FROM scored) r
+         WHERE rank <= 3""",
     "t14_boilerplate_spans" ->
       """WITH toks AS (
            SELECT doc_id,
