@@ -483,6 +483,60 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), s"t11 must not shuffle:\n${p.take(800)}")
   }
 
+  test("t15 TF-IDF matches hand-computed scores on a tiny corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // N=3; df: apple 1, banana 2, cherry 2, durian 1
+    val doc = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian cherry cherry")).toDF("doc_id", "text")
+    val got = graft.queries.TextOps.tfidfTopK(doc, k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    def e(tf: Int, df: Int) = BigDecimal(tf.toDouble * math.log(3.0 / df.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Seq(
+      (1L, "apple", e(2, 1), 1L), (1L, "banana", e(1, 2), 2L),
+      (2L, "banana", e(1, 2), 1L), (2L, "cherry", e(1, 2), 2L),
+      (3L, "cherry", e(3, 2), 1L), (3L, "durian", e(1, 1), 2L))
+    assert(got.toSeq == want) // bit-exact: identical IEEE ops
+  }
+
+  test("t15 tokenizes once (cached tf feeds both joins) and caps via WindowGroupLimit") {
+    val df = SparkEntry.queries("t15_tfidf")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the (doc,term,tf) cache must serve BOTH join inputs — without it
+    // Catalyst plans two full tokenize+explode scans (the branches
+    // optimize to different subtrees, so exchange reuse can't fire)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"both join inputs should read the cached tf table:\n${p.take(2000)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-3 should prune per task before the rank exchange:\n${p.take(2000)}")
+  }
+
+  test("s16 re-rank recall dominates s09 per probe (structural invariant)") {
+    // any true top-5 neighbor that reaches the 50-deep shortlist is
+    // beaten by ≤4 others corpus-wide, so the exact re-rank keeps it:
+    // per-probe exact-hit counts must satisfy hits(s16) ≥ hits(s09)
+    def pairs(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = pairs("s01_cosine_topk")
+    val jl = pairs("s09_rproj_ann")
+    val rr = pairs("s16_rerank_ann")
+    val probes = exact.keySet
+    assert(probes.nonEmpty)
+    for (p <- probes) {
+      val hJl = (exact(p) & jl.getOrElse(p, Set.empty)).size
+      val hRr = (exact(p) & rr.getOrElse(p, Set.empty)).size
+      assert(hRr >= hJl, s"probe $p: rerank hits $hRr < JL hits $hJl")
+    }
+  }
+
   test("q55 plants a dynamicpruning subquery on the fact partition column") {
     val p = planOf("q55_dynamic_pruning")
     assert(p.contains("dynamicpruningexpression"),
