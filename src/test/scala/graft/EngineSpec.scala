@@ -537,6 +537,57 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("planted clusters: approximate tiers retrieve cluster-pure neighbors; rerank == exact") {
+    import spark.implicits._
+    // The sf fixtures are isotropic, so exact top-5 sets are noise
+    // ties and the PQ-family recall@5 numbers on the s12 board are
+    // honestly low (the documented fixture caveat). This is the
+    // AFFIRMATIVE side of that caveat: on embeddings WITH planted
+    // cluster structure (4 well-separated ±1 centers, noise σ 50×
+    // smaller than the center scale) every approximate tier must
+    // retrieve neighbors from the probe's own cluster, and the
+    // two-stage rerank must reproduce the exact ranking VERBATIM —
+    // its 50-deep JL shortlist provably covers the 39-member home
+    // cluster, so stage 2 degenerates to s01 over a superset of the
+    // true top-5.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4, 64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    val rows = (0L until 160L).map { i =>
+      val c = (i % 4).toInt
+      (i, centers(c).toSeq.map(x => x + (rnd.nextGaussian() * 0.02).toFloat), c)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_planted").toFile
+    try {
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/embeddings.parquet")
+      val d = dir.getAbsolutePath
+      val labelOf = rows.map(r => (r._1, r._3)).toMap
+      def purity(name: String): Double = {
+        val pairs = SparkEntry.queries(name)(spark, d)
+          .select("probe_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        pairs.count { case (p, n) => labelOf(p) == labelOf(n) }.toDouble / pairs.length
+      }
+      for (t <- Seq("s02_ann_lsh", "s03_ivf_topk", "s09_rproj_ann", "s10_sq_ann",
+          "s11_pq_ann", "s13_pq_refined", "s14_ivfpq_ann")) {
+        val pu = purity(t)
+        assert(pu >= 0.9, s"$t cluster purity $pu < 0.9 on planted clusters")
+      }
+      def ranked(name: String): Set[(Long, Long, Long)] =
+        SparkEntry.queries(name)(spark, d)
+          .select("probe_id", "rank", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(ranked("s16_rerank_ann") == ranked("s01_cosine_topk"),
+        "rerank must equal the exact ranking when the shortlist covers the cluster")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("q55 plants a dynamicpruning subquery on the fact partition column") {
     val p = planOf("q55_dynamic_pruning")
     assert(p.contains("dynamicpruningexpression"),
