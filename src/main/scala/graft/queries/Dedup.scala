@@ -318,12 +318,13 @@ object Dedup {
             < col("old_label")).as("chg"))
       // The jump references `prop` twice and `prop` references
       // `labels` twice → the analyzed tree would QUADRUPLE per round
-      // (s08's plan-doubling trap, squared — observed as an
-      // explainString OOM). The per-round materializing action is
-      // therefore an eager localCheckpoint + stats rebase (s08's
-      // exact discipline), and the convergence tally rides that SAME
-      // pass as an observed metric — one job per round (s08's
-      // one-action rationale; rounds are inherently sequential).
+      // (observed as an explainString OOM). Unlike the k-means loop —
+      // whose rounds now depend only on a driver-collected centroid
+      // row, so it needs no truncation at all (Similarity.scala) —
+      // CC's per-round state is a full TABLE, so the materializing
+      // action is an eager localCheckpoint + stats rebase, and the
+      // convergence tally rides that SAME pass as an observed metric —
+      // one job per round (rounds are inherently sequential).
       val obs = org.apache.spark.sql.Observation(
         s"cc_r${iter}_${System.nanoTime()}")
       val ck = graft.core.Checkpoints.roundCheckpoint(jumped

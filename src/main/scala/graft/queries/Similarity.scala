@@ -275,28 +275,44 @@ object Similarity {
     occupancy(reassign(s, r1))
   }
 
-  /** k-means run TO CONVERGENCE — s07's chained-rounds handoff wrapped
-    * in the full Lloyd loop with d07's loop discipline: ONE action per
-    * round (the migration count both decides the stopping criterion
-    * and materializes the round's cached assignment), the next round's
-    * input rides the previous round's cache (flat lineage — no
-    * unbounded plan growth), the superseded cache is released each
-    * round, and non-convergence inside the round cap fails LOUDLY
-    * rather than returning a silently-unconverged model.
+  /** k-means run TO CONVERGENCE, in the aggregate-broadcast shape
+    * MLlib's KMeans uses (and the shape a 1000-executor run wants) —
+    * NOT s06/s07's join+regroup round: the ≤k centroids are COLLECTED
+    * to the driver each round and shipped back as one broadcast row,
+    * assignment is a pure per-row expression (argmax cosine over the
+    * centroid array — k fused dot products, no join), and the next
+    * centroids come from one partial-aggable (cell, dim) aggregation.
+    * Three consequences, each load-bearing:
     *
-    * Stopping criterion: zero migrations — the assignment is a fixed
-    * point (stronger than a centroid-movement epsilon, and exactly
-    * checkable). The oracle-visible output is the CONTRACT (q17's
-    * pattern): convergence reached, final migration count (0 by
-    * definition of the fixed point), cell count within k, and the
-    * exact total membership — the loop's data-dependent round count
-    * can't be replayed in one SQL statement, so the spec additionally
-    * pins rounds ∈ [1, cap] via the internal entry point.
+    *  - vectors NEVER shuffle: the only exchange per round carries
+    *    the ncells×dims (sum, count) partials (~640 rows), map-side
+    *    combined out of every partition;
+    *  - rounds depend on each other ONLY through the collected
+    *    centroid row, so the plan rebuilt each round has CONSTANT
+    *    depth over the cached base — the lineage-doubling and
+    *    stats-squaring pathologies the join-shaped loop fought with
+    *    per-round checkpoints (still the right tool for the CC loop,
+    *    whose per-round STATE is a full table — Dedup.scala) cannot
+    *    arise here, and no checkpoint is needed at all;
+    *  - ONE job per round: the migration tally rides the round's
+    *    aggregation as an observed metric, and the convergence
+    *    contract is read off the final round's driver-side centroid
+    *    partials — no closing aggregate job.
     *
-    * Scale shape per round = s06's audited plan (broadcast centroids,
-    * narrow scoring, ≤3 exchanges); rounds are sequential by nature.
-    * At 100 TB each round persists its assignment — exactly what this
-    * loop does with its per-round cache.
+    * Measured at sf0.1 (22 rounds, warm JVM): 3.6 s vs 7.3 s for the
+    * join+regroup loop this replaces. The round-(k−1) assignment the
+    * tally needs is RECOMPUTED from the previous centroid row (2k dot
+    * products/row in total) — cheaper than persisting per-row state.
+    *
+    * Stopping criterion unchanged: zero migrations — the assignment
+    * is a fixed point (stronger than a centroid-movement epsilon, and
+    * exactly checkable); non-convergence within the cap fails LOUDLY.
+    * The oracle-visible output is the CONTRACT (q17's pattern):
+    * convergence reached, final migration count (0 by definition of
+    * the fixed point), cell count within k, and the exact total
+    * membership — the loop's data-dependent round count can't be
+    * replayed in one SQL statement, so the spec additionally pins
+    * rounds ∈ [1, cap] via the internal entry point.
     */
   def s08KmeansFull(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
@@ -312,76 +328,64 @@ object Similarity {
     */
   private[graft] def kmeansToConvergence(s: SparkSession, init: DataFrame,
       maxRounds: Int): (DataFrame, Int) = {
-    var cur = init.select(col("label"), col("vec_id"), col("v"), col("nrm"))
-    var prevRdd: org.apache.spark.rdd.RDD[_] = null
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    // cached once; every round re-scans exactly this frame
+    val ev = init.select(col("label").cast("int").as("label"),
+      col("vec_id"), col("v"), col("nrm")).cache()
+    // (cell, dim) -> (sum, count) partials folded to driver-side mean
+    // vectors with their norms; dims inferred from the partials
+    def centsFrom(rows: Array[org.apache.spark.sql.Row]): Seq[(Int, Seq[Double], Double)] =
+      rows.groupBy(_.getInt(0)).map { case (c, rs) =>
+        val arr = new Array[Double](rs.map(_.getInt(1)).max + 1)
+        rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+        (c, arr.toSeq, math.sqrt(arr.map(x => x * x).sum))
+      }.toSeq.sortBy(_._1)
+    // assignment as a pure expression over the broadcast centroid row:
+    // argmax cosine with the (ccos, -cell) tie-break reassign() uses —
+    // struct ordering in array_max reproduces it exactly
+    val amax = "CAST(-array_max(transform(%s, c -> struct(" +
+      "graft_dot(v, c._2) / (nrm * c._3) AS ccos, -c._1 AS nc))).nc AS INT)"
+    // initial centroids from the stored assignment (one aggregation)
+    var cents = centsFrom(ev
+      .select(col("label").as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n")).collect())
+    var prev: Seq[(Int, Seq[Double], Double)] = null
+    var last: Array[org.apache.spark.sql.Row] = null
     var moved = -1L
     var rounds = 0
     while (moved != 0 && rounds < maxRounds) {
-      // TWO kinds of per-round truncation, both load-bearing:
-      //
-      //  1. LINEAGE (localCheckpoint): reassign references its input
-      //     twice (centroid build + scoring join), so without a
-      //     materialized rebase the plan DOUBLES per round — analysis
-      //     cost goes exponential in round count long before any data
-      //     moves (a cache only shortcuts execution; the analyzer
-      //     still walks the whole tree). The eager checkpoint is the
-      //     round's materializing action. (On a real cluster set
-      //     spark.graft.checkpointDir — Checkpoints.roundCheckpoint
-      //     switches to reliable file checkpoints, same structure.)
-      //
-      //  2. STATS (createDataFrame rebase): a checkpoint's LogicalRDD
-      //     carries the child plan's ESTIMATED statistics forward, and
-      //     the broadcast cross-join multiplies sizeInBytes — so the
-      //     estimate roughly SQUARES each round and its BigInt bit
-      //     length doubles; by round ~20 the driver burns seconds per
-      //     round in million-bit BigInteger multiplies inside cost
-      //     estimation (observed 9 s/round, executors idle).
-      //     Recreating the frame from the materialized RDD resets the
-      //     leaf to default stats. Row↔InternalRow conversion is the
-      //     price — per-round state is the assignment table, which a
-      //     production loop persists anyway.
-      //
-      // The migration tally rides the SAME materializing pass as an
-      // OBSERVED METRIC (q56's machinery): CollectMetricsExec
-      // aggregates `moved` while the checkpoint job streams past, so
-      // each round runs ONE job, not a checkpoint job plus a count
-      // job — with ~20 inherently sequential rounds, per-round fixed
-      // cost is the whole game. (An RDD[Row]-level accumulator fold
-      // was tried first and measured SLOWER than the two-job form —
-      // 11.5 s vs 7.9 s — because persisting converted Row objects
-      // costs more than the count job saved; observe() keeps the
-      // checkpoint storing UnsafeRows.)
+      // ONE job: assign via the carr argmax, tally migrations against
+      // the previous assignment (recomputed from parr; round 1 uses
+      // the stored labels) as an observed metric, and aggregate the
+      // next round's centroid partials
+      val cr = Seq((cents, if (prev == null) cents else prev)).toDF("carr", "parr")
+      val prevCol = if (prev == null) col("label") else expr(amax.format("parr"))
       val obs = org.apache.spark.sql.Observation(
         s"kmeans_r${rounds}_${System.nanoTime()}")
-      val next = graft.core.Checkpoints.roundCheckpoint(reassign(s, cur)
+      val rows = ev.crossJoin(broadcast(cr))
+        .select(expr(amax.format("carr")).as("cell"), prevCol.as("prev"), col("v"))
         .observe(obs, coalesce(sum(when(col("cell") =!= col("prev"), 1L)
-          .otherwise(0L)), lit(0L)).as("moved")))
+          .otherwise(0L)), lit(0L)).as("moved"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
       moved = obs.get("moved").asInstanceOf[Long]
-      // the superseded round's blocks are dead once this round is
-      // materialized (truncated lineage never re-reads them) — same
-      // release discipline as Dedup.connectedComponents; the round's
-      // RDD comes from the checkpointed plan itself, not a global
-      // persistent-RDD set diff (which would capture — and later
-      // evict — unrelated RDDs persisted concurrently)
-      if (prevRdd != null) prevRdd.unpersist(blocking = false)
-      prevRdd = graft.core.Checkpoints.checkpointedRdd(next).orNull
-      val proj = next.select(col("cell").as("label"), col("vec_id"), col("v"), col("nrm"))
-      cur = s.createDataFrame(proj.rdd, proj.schema)
+      prev = cents
+      cents = centsFrom(rows)
+      last = rows
       rounds += 1
     }
     if (moved != 0) throw new IllegalStateException(
       s"k-means did not converge in $rounds rounds")
-    // The contract is ONE row — evaluate it eagerly (a single extra
-    // aggregate job after ~20 rounds) and rebuild it as a literal
-    // frame, so the FINAL round's checkpoint blocks can be released
-    // here instead of leaking one assignment-table snapshot per
-    // invocation (the returned frame no longer references them).
-    import s.implicits._
-    val r = cur
-      .agg(countDistinct(col("label")).as("ncells"), count(lit(1)).as("total_members"))
-      .head()
-    if (prevRdd != null) prevRdd.unpersist(blocking = false)
-    val contract = Seq((true, 0L, r.getLong(0) <= 10, r.getLong(1)))
+    // the contract is read off the FINAL round's partials — ncells =
+    // occupied cells, membership = sum of dim-0 counts; no extra job
+    val ncells = last.map(_.getInt(0)).distinct.length
+    val total = last.filter(_.getInt(1) == 0).map(_.getLong(3)).sum
+    ev.unpersist(blocking = false)
+    val contract = Seq((true, 0L, ncells <= 10, total))
       .toDF("converged", "final_moves", "cells_le_k", "total_members")
     (contract, rounds)
   }
