@@ -359,7 +359,47 @@ object TextOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Zipf slope per language — the power-law fit a tokenizer/vocab
+    * sizing decision reads: rank the top-100 tokens per language by
+    * frequency, then least-squares ln(freq) on ln(rank). A healthy
+    * natural-language corpus slopes ≈ −1; corpus pathologies
+    * (boilerplate, templating) bend it. The fit is the closed-form
+    * slope from the five classical sums, written out identically in
+    * both engines (NOT regr_slope, whose internal update order is
+    * engine-specific); the slope is pinned at 6 decimals — the sums
+    * run over 100 doubles in engine-chosen order, so the last bits
+    * differ even though every input value is identical.
+    *
+    * Scale shape: (lang, term) counts partial-aggregate before their
+    * shuffle; the per-lang rank has only |langs| partitions but rides
+    * WindowGroupLimit (q48), so each task prunes to its local top-100
+    * BEFORE the exchange — the window input is ≤100×tasks rows, never
+    * the vocabulary; the final fit aggregates 100 rows per language.
+    */
+  def t16ZipfSlope(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("term"))
+    val top = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 100)
+      .select(col("lang"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    top.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n_terms"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_zipf_slope" -> t16ZipfSlope,
     "t15_tfidf" -> t15TfIdf,
     "t14_boilerplate_spans" -> t14BoilerplateSpans,
     "t13_term_scrub" -> t13TermScrub,
@@ -395,6 +435,24 @@ object TextOps {
        FROM scored"""
 
   val oracles: Map[String, String] = Map(
+    "t16_zipf_slope" ->
+      """WITH toks AS (
+           SELECT lang,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         counts AS (SELECT lang, term, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2),
+         top AS (
+           SELECT lang, ln(rank::DOUBLE) AS x, ln(n::DOUBLE) AS y FROM (
+             SELECT *, row_number() OVER (PARTITION BY lang
+               ORDER BY n DESC, term) AS rank FROM counts) r
+           WHERE rank <= 100),
+         sums AS (
+           SELECT lang, count(*)::BIGINT AS n_terms,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+           FROM top GROUP BY 1)
+         SELECT lang, n_terms,
+           round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS zipf_slope
+         FROM sums""",
     "t15_tfidf" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -537,6 +537,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t16 ranks via WindowGroupLimit and fits a negative Zipf slope") {
+    val p = planOf("t16_zipf_slope")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-lang top-100 must prune per task before the exchange:\n${p.take(1000)}")
+    val slopes = SparkEntry.queries("t16_zipf_slope")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(slopes.nonEmpty)
+    // frequency is non-increasing in rank by construction, so every
+    // fitted slope must be negative on any non-degenerate corpus
+    slopes.foreach { case (lang, sl) => assert(sl < 0, s"$lang slope $sl") }
+  }
+
   test("planted clusters: approximate tiers retrieve cluster-pure neighbors; rerank == exact") {
     import spark.implicits._
     // The sf fixtures are isotropic, so exact top-5 sets are noise
