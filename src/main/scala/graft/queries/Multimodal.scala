@@ -192,6 +192,75 @@ object Multimodal {
       .toDF()
   }
 
+  /** One signed asset: the perceptual signature + the feature vector
+    * it quantizes (kept for the verify tier). */
+  case class PSig(doc_id: Long, sig: Long, fv: Seq[Double])
+
+  /** PERCEPTUAL-HASH ASSET DEDUP — the image-dedup step of a
+    * multimodal pipeline, composing the decode stages (m01/m04) with
+    * the dedup machinery (d01/d10's shape): each decoded asset gets a
+    * 24-bit perceptual signature (8 feature dims quantized to 3 bits
+    * each), computed ONCE at decode time inside the per-partition
+    * codec pass — exactly where a real pHash/dHash is computed at
+    * ingest; candidate pairs come from a signature-bucket self-join
+    * (the shuffle carries an 8-byte key + the 8-double vector); the
+    * verify tier keeps only pairs whose FULL feature vectors agree,
+    * so quantization collisions (two assets sharing all 8 coarse
+    * levels but differing features — present in this corpus) are
+    * candidates that get FILTERED, exercising the candidate ⊃ dup
+    * structure honestly. With the stub tower, "duplicate" means
+    * byte-identical payloads (re-encodes of the same image under a
+    * real tower land within an ε-ball — the verify predicate becomes
+    * a distance threshold, same plan).
+    *
+    * Unlike m01–m05's per-document payloads, the asset fixture here is
+    * deliberately MANY-TO-ONE (payload keyed by `doc_id % 350`): the
+    * same image embedded by multiple pages is the exact situation
+    * asset dedup exists for, and it gives the gate a non-empty,
+    * structurally known answer (spec-checked against the key groups).
+    *
+    * Scale shape: decode+sign is one narrow per-partition pass; the
+    * self-join shuffles |assets| signature rows (d01's exact-dedup
+    * cost, NOT d02's shingle fan-out); bucket sizes are signature
+    * collisions only (~2⁻²⁴ pair rate), so the within-bucket
+    * quadratic never materializes.
+    */
+  def m06PhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 350).as("asset_key"))
+      .select(col("doc_id"),
+        (lit(32) + col("asset_key") % 97).cast("long").as("width"),
+        (lit(32) + (col("asset_key") * 7) % 89).cast("long").as("height"),
+        md5(col("asset_key").cast("string").cast("binary")).as("payload_md5"))
+      .select(col("doc_id"),
+        concat_ws(":", lit("FAKEIMG1"), col("width"), col("height"),
+          col("payload_md5")).cast("binary").as("asset"))
+    val signed = assets.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = FakeCodec // real tower: load weights once here
+        it.map { case (id, bytes) =>
+          val m = codec.decode(id, bytes)
+          var h = 7L
+          m.payload_md5.foreach(ch => h = (h * 31 + ch.toLong) % 1000000007L)
+          // m04's per-dim mix at FULL precision (m04 quantizes to 1000
+          // levels for scalar gating; dedup verify needs the feature
+          // space injective in h, else cross-asset collisions survive)
+          val fv = (0L until 8L).map(j =>
+            ((h * (j + 2) + 7919L * j) % 1000000007L).toDouble / 1000000007.0)
+          val sig = fv.zipWithIndex.foldLeft(0L) { case (acc, (f, j)) =>
+            acc + (math.floor(f * 8).toLong << (3 * j)) }
+          PSig(id, sig, fv)
+        }
+      }.toDF()
+    val a = signed.as("a"); val b = signed.as("b")
+    a.join(b, col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.fv") === col("b.fv"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig"))
+  }
+
   /** One file-ingested asset record. */
   case class Ingested(doc_id: Long, n_bytes: Long, width: Long,
       height: Long, payload_md5: String)
@@ -246,6 +315,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_phash_dedup" -> m06PhashDedup,
     "m04_feature_extract" -> m04FeatureExtract,
     "m03_resize_thumb" -> m03ResizeThumb,
     "m05_binary_ingest" -> m05BinaryIngest,
@@ -253,6 +323,28 @@ object Multimodal {
     "m02_frame_sample" -> m02FrameSample)
 
   val oracles: Map[String, String] = Map(
+    // m04's feature arithmetic -> the same 3-bit quantization ->
+    // bucket self-join + full-vector verify; identical IEEE ops both
+    // sides, so candidates AND survivors match exactly
+    "m06_phash_dedup" ->
+      """WITH h AS (
+           SELECT doc_id, list_reduce(list_prepend(7::BIGINT,
+             list_transform(regexp_split_to_array(md5((doc_id % 350)::VARCHAR), ''), ch -> ascii(ch)::BIGINT)),
+             (acc, ch) -> (acc * 31 + ch) % 1000000007) AS hv
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             list_transform(range(0, 8), j ->
+               ((hv * (j + 2) + 7919 * j) % 1000000007)::DOUBLE / 1000000007.0) AS fv
+           FROM h),
+         sg AS (
+           SELECT doc_id, fv,
+             list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
+               floor(fv[j + 1] * 8)::BIGINT << (3 * j))), (a, x) -> a + x) AS sig
+           FROM f)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig
+         FROM sg a JOIN sg b
+           ON a.sig = b.sig AND a.doc_id < b.doc_id AND a.fv = b.fv""",
     // recomputes the staged bytes' metadata arithmetically over the
     // same deterministic slice — a lost/duplicated file, a wrong key
     // parse, or stale staging hash-mismatches

@@ -537,6 +537,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("m06 asset dedup finds exactly the shared-asset pairs (key-group consistency)") {
+    // the asset fixture is many-to-one by construction (payload keyed
+    // by doc_id % 350), so the structurally known answer is every pair
+    // within a key group — candidates from signature collisions across
+    // groups must all be filtered by the full-vector verify
+    val ids = graft.core.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.groupBy(_ % 350).values.flatMap { g =>
+      val s = g.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+    }.toSet
+    assert(expected.nonEmpty, "fixture must contain shared assets")
+    val got = SparkEntry.queries("m06_phash_dedup")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
+  }
+
   test("t16 ranks via WindowGroupLimit and fits a negative Zipf slope") {
     val p = planOf("t16_zipf_slope")
     assert(p.contains("WindowGroupLimit"),
