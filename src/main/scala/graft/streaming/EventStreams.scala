@@ -540,6 +540,51 @@ object EventStreams {
       .groupBy(col("event_type")).agg(sum(col("n")).as("n"))
   }
 
+  /** SKETCH ALGEBRA ON THE STREAM — a03's Count-Min pass run
+    * incrementally: each micro-batch folds its events into a CMS via
+    * the SAME typed Aggregator, and the per-batch sketches merge
+    * across batches (driver-held here; at scale a parquet-backed
+    * sketch table — either way the state is one ~2 KB buffer, not
+    * per-key rows). The replay chunks partition the stream and CMS
+    * merge is commutative+associative (SketchLawsSpec pins exactly
+    * this law), so the streamed sketch is BIT-IDENTICAL to a
+    * batch-built sketch — the gate therefore asserts per-key estimate
+    * EQUALITY with the batch sketch (`stream_eq_batch`), on top of
+    * a03's bound contract against the exact counts. This is the
+    * streaming story for every mergeable summary in the library
+    * (Counter, bounded top-k, CMS, HLL): maintain the buffer per
+    * micro-batch, reprocess nothing, hold no unbounded state.
+    */
+  def st16StreamCms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Aggregators.CountMinSketch
+    val depth = 4; val width = 64
+    val cms = new CountMinSketch[Long](identity, depth, width)
+    val streamed = new java.util.concurrent.atomic.AtomicReference(cms.zero)
+    val q = eventsChunkStream(s, d).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val sk = batch.select((col("user_id") % 100).as("k")).as[Long]
+          .select(cms.toColumn.name("sk")).head()
+        streamed.updateAndGet(cur => cms.merge(cur, sk))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val items = graft.core.Tables.events(s, d)
+      .select((col("user_id") % 100).as("k")).as[Long]
+    val batchSketch = items.select(cms.toColumn.name("sk")).head()
+    val bcS = s.sparkContext.broadcast(streamed.get())
+    val bcB = s.sparkContext.broadcast(batchSketch)
+    val slack = 8L * graft.core.Tables.events(s, d).count() / width
+    items.groupByKey(identity).count().map { case (k, n) =>
+      val estS = CountMinSketch.estimate(bcS.value, k, depth, width)
+      val estB = CountMinSketch.estimate(bcB.value, k, depth, width)
+      (k, n, estS >= n, estS <= n + slack, estS == estB)
+    }.toDF("k", "n_exact", "est_ge_exact", "est_within_bound", "stream_eq_batch")
+  }
+
   /** Checkpointed kill-and-resume: the hourly aggregation runs with a
     * checkpoint, is STOPPED after its first micro-batch (wherever that
     * lands), then a second query with the same checkpoint resumes from
@@ -643,6 +688,7 @@ object EventStreams {
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_stream_cms" -> gated(st16StreamCms),
     "st15_stream_mapreduce" -> gated(st15StreamMapReduce),
     "st13_update_upsert" -> gated(st13UpdateUpsert),
     "st12_late_data_drop" -> gated(st12LateDataDrop),
@@ -682,6 +728,13 @@ object EventStreams {
        FROM agg, wm WHERE end_us + 1800000000 < w"""
 
   val oracles: Map[String, String] = Map(
+    // st16: exact per-key counts; the sketch booleans (bounds + the
+    // stream-sketch == batch-sketch merge law) must replay TRUE
+    "st16_stream_cms" ->
+      """SELECT user_id % 100 AS k, count(*) AS n_exact,
+           TRUE AS est_ge_exact, TRUE AS est_within_bound,
+           TRUE AS stream_eq_batch
+         FROM events GROUP BY 1""",
     // st15: partial counts merged across micro-batches == the global
     // count — the mergeable-reducer law, so the batch count IS the
     // streaming answer
