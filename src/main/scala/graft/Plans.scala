@@ -26,7 +26,8 @@ object Plans {
       "q59_cohort_retention", "q62_xml_roundtrip", "m05_binary_ingest",
       "t13_term_scrub",
       "d13_containment_prefix", "p03_mix_to_budget", "s13_pq_refined",
-      "s14_ivfpq_ann", "p04_leak_safe_split")
+      "s14_ivfpq_ann", "p04_leak_safe_split",
+      "t15_tfidf", "t16_zipf_slope", "s16_rerank_ann", "m06_phash_dedup")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries (sf0.01, AQE off for readability)\n\n"
     sb ++= "Regenerate: `sbt \"runMain graft.Plans\"`. What to look for per query\n"
