@@ -398,7 +398,63 @@ object TextOps {
           (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
   }
 
+  /** Bigram-LM perplexity scoring with CCNet-style head/middle/tail
+    * buckets — t10's unigram proxy upgraded to the real thing: train
+    * an add-one-smoothed bigram model on the corpus itself, score
+    * every document by its mean negative log-likelihood, and cut the
+    * corpus into perplexity tertiles (CCNet trains on `head`, audits
+    * `tail`). The float-fold ordering hazard t16 documents is removed
+    * STRUCTURALLY here, not by rounding the aggregate: each distinct
+    * bigram's log-probability is pinned ONCE to a scaled BIGINT
+    * (round(ln·10⁶) — the engines' ln disagree by ~1 ulp ≈ 10⁻⁹ after
+    * scaling, far inside the integer round), so the per-doc
+    * accumulation is an exact integer sum in ANY order, and the final
+    * avg_nll is one BIGINT/BIGINT IEEE division — bit-identical in
+    * both engines with no rounding of the result at all.
+    *
+    * Scale shape: the token stream shuffles once into bigram counts
+    * (partial-aggable); the model is vocab-sized, NOT stream-sized,
+    * so context totals and log-probs are computed on the small frame;
+    * the doc-side join is bigram-key hash (the heavy-tailed head of
+    * the model broadcasts under AQE). The tertile cut is the one
+    * global window — at 100 TB swap it for approx_percentile cutoffs
+    * (q39's pattern) broadcast against the scores; the oracle-checked
+    * exact cut documents the semantics.
+    */
+  def t17BigramPpl(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(s)
+    val doc = Tables.documents(s, d)
+    val bg = doc.select(col("doc_id"),
+      explode(expr("graft_word_bigrams(text)")).as("bg"))
+    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val ctx = counts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("ctxn"))
+    val vsize = doc.select(explode(toks(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("vsize"))
+    val model = counts
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctx, "w1")
+      .crossJoin(broadcast(vsize))
+      .select(col("bg"),
+        round(log((col("c12") + lit(1)).cast("double") /
+          (col("ctxn") + col("vsize")).cast("double")) * lit(1e6))
+          .cast("long").as("lp"))
+    val scored = bg.join(model, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-col("slp").cast("double") /
+          (lit(1e6) * col("n_bigrams").cast("double"))).as("avg_nll"))
+    val cut = Window.orderBy(col("avg_nll"), col("doc_id"))
+    scored.withColumn("ppl_bucket",
+      when(ntile(3).over(cut) === 1, "head")
+        .when(ntile(3).over(cut) === 2, "middle").otherwise("tail"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_bigram_ppl" -> t17BigramPpl,
     "t16_zipf_slope" -> t16ZipfSlope,
     "t15_tfidf" -> t15TfIdf,
     "t14_boilerplate_spans" -> t14BoilerplateSpans,
@@ -435,6 +491,32 @@ object TextOps {
        FROM scored"""
 
   val oracles: Map[String, String] = Map(
+    "t17_bigram_ppl" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS bg
+           FROM t),
+         c AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+         ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS ctxn
+                 FROM c GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS vsize
+               FROM (SELECT unnest(toks) AS tok FROM t)),
+         model AS (
+           SELECT bg, CAST(round(ln((c12 + 1.0) / (ctxn::DOUBLE + vsize)) * 1000000)
+             AS BIGINT) AS lp
+           FROM c JOIN ctx ON split_part(bg, ' ', 1) = w1 CROSS JOIN v),
+         scored AS (
+           SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(lp)::BIGINT AS slp
+           FROM bg JOIN model USING (bg) GROUP BY 1)
+         SELECT doc_id, n_bigrams,
+           -(slp::DOUBLE) / (1000000.0 * n_bigrams) AS avg_nll,
+           CASE ntile(3) OVER (ORDER BY -(slp::DOUBLE) / (1000000.0 * n_bigrams), doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         FROM scored""",
     "t16_zipf_slope" ->
       """WITH toks AS (
            SELECT lang,
