@@ -255,7 +255,56 @@ object PipelineOps {
           .otherwise("test").as("split"))
   }
 
+  /** Temperature-weighted source sampling — the OTHER half of the
+    * mixing recipe next to p03's absolute budgets: quotas derive from
+    * the source sizes themselves, w_s ∝ n_s^τ with τ = 0.5 (the
+    * XLM-R/mT5 upsampling trick — flatter than proportional, so
+    * small sources are over-represented without a hand recipe), and a
+    * fixed total budget of 300 documents is split as
+    * quota_s = ⌊B·w_s/Σw⌋. Every arithmetic step is exact: IEEE sqrt
+    * is correctly rounded (identical bits in both engines), pinned to
+    * a scaled BIGINT (round·10⁶), and the quota is one BIGINT
+    * multiply + integer division — no float sum ever occurs, so
+    * there is no ordering hazard at all (contrast t16's rounded fit).
+    * Output is the per-document take: reproducible md5-order rank
+    * within source, kept while rank ≤ quota.
+    *
+    * Scale shape: source stats are one partial-aggable shuffle of
+    * |sources| rows; the quota table broadcasts. The per-source rank
+    * wears q48's discipline — the literal `rank ≤ 400` ceiling (a
+    * recipe constant ≥ any quota, asserted in the spec) sits DIRECTLY
+    * above the window so WindowGroupLimit prunes each task to its
+    * local top-400 before the exchange; the data-dependent
+    * `rank ≤ quota` cut then runs on ≤400 rows/source. At 100 TB the
+    * ceiling is the recipe's max-per-source take — already part of
+    * real mixing configs.
+    */
+  def p05TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val doc = Tables.documents(s, d)
+    val stats = doc.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(sqrt(col("n_docs").cast("double")) * lit(1e6))
+        .cast("long"))
+    val tot = stats.agg(sum(col("w")).as("sw"))
+    val quotas = stats.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("(300L * w) div sw").as("quota")) // BIGINT div: exact floor
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val ranked = doc
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 400) // literal ceiling -> WindowGroupLimit
+    ranked.join(broadcast(quotas), "source")
+      .filter(col("rank") <= col("quota"))
+      .select(col("source"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("quota"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p05_temperature_mix" -> p05TemperatureMix,
     "p04_leak_safe_split" -> p04LeakSafeSplit,
     "p03_mix_to_budget" -> p03MixToBudget,
     "p02_semdedup" -> p02SemDedup,
@@ -287,6 +336,24 @@ object PipelineOps {
        WHERE vec_id NOT IN (SELECT vec_id FROM lab WHERE vec_id <> cluster_id)"""
 
   val oracles: Map[String, String] = Map(
+    "p05_temperature_mix" ->
+      """WITH stats AS (
+           SELECT source, count(*)::BIGINT AS n_docs,
+             CAST(round(sqrt(count(*)::DOUBLE) * 1000000) AS BIGINT) AS w
+           FROM documents GROUP BY 1),
+         tot AS (SELECT sum(w)::BIGINT AS sw FROM stats),
+         quotas AS (
+           SELECT source, (300 * w) // sw AS quota
+           FROM stats CROSS JOIN tot),
+         ranked AS (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                        doc_id)::BIGINT AS "rank"
+           FROM documents)
+         SELECT r.source, doc_id, "rank", quota::BIGINT AS quota
+         FROM ranked r JOIN quotas q ON r.source = q.source
+         WHERE "rank" <= quota""",
     "p04_leak_safe_split" ->
       s"""WITH RECURSIVE
           ${graft.queries.Dedup.clusterCtes},

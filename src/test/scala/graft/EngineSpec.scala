@@ -744,6 +744,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("p05 quotas stay under the literal ceiling and the rank prunes per task") {
+    val df = SparkEntry.queries("p05_temperature_mix")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"the literal rank<=400 cut should prune before the exchange:\n${p.take(1200)}")
+    // the ceiling must dominate every data-dependent quota, or the
+    // pushdown cut would silently truncate a source's take
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("quota")).max <= 400L,
+      "a quota exceeded the WindowGroupLimit ceiling")
+    // floor-split of B=300: takes sum to <= 300, each source <= quota
+    assert(rows.length <= 300)
+  }
+
   test("q50 generates the hourly domain in-plan (no driver loop, no calendar table)") {
     val p = planOf("q50_gap_fill")
     assert(p.contains("Generate"), p.take(800))
