@@ -842,7 +842,75 @@ object Similarity {
           col("n_exact").cast("double")).as("recall_at_5"))
   }
 
+  /** MMR (maximal-marginal-relevance) diversity re-rank — the serving
+    * stage AFTER the ANN shortlist: from each probe's exact top-20,
+    * greedily pick 5 results maximizing
+    * λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s) with λ = 0.7 — the
+    * classic Carbonell–Goldstein objective that stops five
+    * near-duplicates of the best hit from filling the page. Greedy
+    * selection is inherently sequential in rank, so the loop shape is
+    * s15's — but where s15's state is global, here every round picks
+    * ONE winner PER PROBE in a single partial-aggable `max_by`
+    * aggregation, so all probes advance in parallel and the round
+    * count is the OUTPUT size k = 5, independent of probe count.
+    * Per-round state (≤ 4 chosen vectors per probe) ships back as one
+    * broadcast literal; candidate-to-selected similarity is an in-row
+    * `array_max(transform(...))` over that broadcast — no join, no
+    * shuffle beyond the shortlist's own.
+    *
+    * Both engines fold identical IEEE ops in identical order, so the
+    * mmr scores are bit-exact and hash-checked raw (s01 discipline).
+    * At 100 TB the shortlist is the ANN tier's output (s16 composes
+    * the same way): MMR cost is O(k·shortlist) per probe regardless
+    * of corpus size.
+    */
+  def s17MmrRerank(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    import s.implicits._
+    val e = normed(s, d)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosq").desc, col("vec_id"))
+    val cand = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosq", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("probe_id"), col("vec_id"), col("v"), col("nrm"), col("cosq"))
+      .cache()
+    // selected state per probe: (vec_id, v, nrm, mmr), driver-held
+    var sel = Map.empty[Long, List[(Long, Seq[Double], Double, Double)]]
+    def pickRound(scored: DataFrame): Unit =
+      scored.groupBy(col("probe_id"))
+        .agg(max_by(struct(col("vec_id"), col("mmr"), col("v"), col("nrm")),
+          struct(col("mmr"), (-col("vec_id")).as("nv"))).as("p"))
+        .select(col("probe_id"), col("p.*")).collect()
+        .foreach { r =>
+          val p = r.getLong(0)
+          sel += p -> ((r.getLong(1), r.getSeq[Double](3), r.getDouble(4),
+            r.getDouble(2)) :: sel.getOrElse(p, Nil))
+        }
+    pickRound(cand.withColumn("mmr", lit(0.7) * col("cosq")))
+    for (_ <- 2 to 5) {
+      val selF = sel.toSeq.map { case (p, xs) =>
+        (p, xs.map(x => (x._2, x._3)), xs.map(_._1))
+      }.toDF("probe_id", "sels", "sel_ids")
+      val scored = cand.join(broadcast(selF), "probe_id")
+        .filter(!array_contains(col("sel_ids"), col("vec_id")))
+        .withColumn("msim", expr(
+          "array_max(transform(sels, x -> graft_dot(v, x._1) / (nrm * x._2)))"))
+        .withColumn("mmr", lit(0.7) * col("cosq") - lit(0.3) * col("msim"))
+      pickRound(scored)
+    }
+    cand.unpersist(blocking = false)
+    sel.toSeq.flatMap { case (p, xs) =>
+      xs.reverse.zipWithIndex.map { case (x, i) => (p, (i + 1).toLong, x._1, x._4) }
+    }.toDF("probe_id", "sel_rank", "vec_id", "mmr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_mmr_rerank" -> s17MmrRerank,
     "s16_rerank_ann" -> s16RerankAnn,
     "s15_kcenter_sample" -> s15KcenterSample,
     "s14_ivfpq_ann" -> s14IvfPqAnn,
@@ -1194,7 +1262,55 @@ object Similarity {
         $picks"""
   }
 
+  /** s17's oracle: the greedy rounds unrolled as CTEs (s15's idiom),
+    * one (m_r, d_r, s_r, sel_r) block per pick after the first.
+    */
+  private val s17Sql: String = {
+    def cosTo(a: String, b: String) =
+      s"""(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a.v[i] * $b.v[i])), (ac, x) -> ac + x)
+           / ($a.nrm * $b.nrm))"""
+    val rounds = (2 to 5).map { r =>
+      s"""m$r AS (
+            SELECT c.probe_id, c.vec_id, max(${cosTo("c", "s")}) AS msim
+            FROM cand c JOIN sel${r - 1} s ON c.probe_id = s.probe_id
+            GROUP BY c.probe_id, c.vec_id),
+          d$r AS (
+            SELECT c.probe_id, c.vec_id, c.v, c.nrm, c.cosq,
+              0.7 * c.cosq - 0.3 * m.msim AS mmr
+            FROM cand c JOIN m$r m ON c.probe_id = m.probe_id AND c.vec_id = m.vec_id
+            WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x
+              WHERE x.probe_id = c.probe_id AND x.vec_id = c.vec_id)),
+          s$r AS (
+            SELECT probe_id, vec_id, v, nrm, cosq, mmr FROM (
+              SELECT *, row_number() OVER (PARTITION BY probe_id
+                ORDER BY mmr DESC, vec_id) AS rn FROM d$r) WHERE rn = 1),
+          sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)"""
+    }.mkString(",\n")
+    val picks = (2 to 5).map(r =>
+      s"UNION ALL SELECT probe_id, ${r}::BIGINT, vec_id, mmr FROM s$r").mkString("\n")
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        evn AS (SELECT vec_id, v,
+          sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+          FROM ev),
+        scored AS (
+          SELECT p.vec_id AS probe_id, e.vec_id AS vec_id, e.v, e.nrm, $foldCosine AS cosq
+          FROM evn p JOIN evn e ON p.vec_id < 10 AND e.vec_id <> p.vec_id),
+        cand AS (
+          SELECT probe_id, vec_id, v, nrm, cosq FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cosq DESC, vec_id) AS rn FROM scored) WHERE rn <= 20),
+        s1 AS (
+          SELECT probe_id, vec_id, v, nrm, cosq, 0.7 * cosq AS mmr FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cosq DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+        sel1 AS (SELECT * FROM s1),
+        $rounds
+        SELECT probe_id, 1::BIGINT AS sel_rank, vec_id, mmr FROM s1
+        $picks"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "s17_mmr_rerank" -> s17Sql,
     "s16_rerank_ann" -> s16Sql,
     "s15_kcenter_sample" -> s15Sql,
     "s14_ivfpq_ann" -> s14Sql,

@@ -537,6 +537,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s17 MMR picks head the exact ranking and scores decay monotonically") {
+    val mmr = SparkEntry.queries("s17_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val exactTop1 = SparkEntry.queries("s01_cosine_topk")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toMap
+    val byProbe = mmr.groupBy(_._1)
+    assert(byProbe.nonEmpty)
+    for ((p, xs) <- byProbe) {
+      val ordered = xs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1L to 5L),
+        s"probe $p: ranks not 1..5")
+      assert(ordered.map(_._3).distinct.length == 5,
+        s"probe $p: duplicate picks")
+      // relevance-only first pick == the exact top-1 neighbor
+      assert(ordered.head._3 == exactTop1(p),
+        s"probe $p: MMR pick 1 ${ordered.head._3} != exact top-1 ${exactTop1(p)}")
+      // greedy objective over a shrinking set with a growing penalty:
+      // the winning score can never rise round-over-round
+      val scores = ordered.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => b <= a },
+        s"probe $p: MMR scores rose: ${scores.mkString(", ")}")
+    }
+  }
+
   test("m06 asset dedup finds exactly the shared-asset pairs (key-group consistency)") {
     // the asset fixture is many-to-one by construction (payload keyed
     // by doc_id % 350), so the structurally known answer is every pair
