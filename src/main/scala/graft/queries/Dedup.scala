@@ -132,20 +132,7 @@ object Dedup {
   def d03MinhashLsh(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val docs = shingled(s, d).filter(size(col("sh")) > 0)
-    // Band keys only — the shingle arrays do NOT travel through the
-    // band shuffle (they rejoin on the few surviving candidates).
-    // posexplode of the native band-combined signature guarantees one
-    // signature evaluation per document (element_at-style projection
-    // re-evaluated the signature per band: 40 s → 4 s at sf0.1).
-    val bands = docs
-      .select(col("doc_id"), posexplode(expr("graft_minhash_bands(sh)")))
-      .toDF("doc_id", "band", "bv")
-    val a = bands.as("a"); val b = bands.as("b")
-    val cands = a.join(b,
-      col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cands = minhashBandCandidates(docs)
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
@@ -232,6 +219,27 @@ object Dedup {
     * plan shape is unit-assertable (the CC loop's localCheckpoints
     * truncate d07's own lineage past recognition).
     */
+  /** d03's raw band-collision candidate stage over a (doc_id, sh)
+    * frame. Band keys only — the shingle arrays do NOT travel through
+    * the band shuffle (they rejoin on the few surviving candidates).
+    * posexplode of the native band-combined signature guarantees one
+    * signature evaluation per document (element_at-style projection
+    * re-evaluated the signature per band: 40 s → 4 s at sf0.1).
+    * Factored out so d14's board can measure the candidate set's
+    * precision/recall directly.
+    */
+  private[graft] def minhashBandCandidates(docs: DataFrame): DataFrame = {
+    val bands = docs
+      .select(col("doc_id"), posexplode(expr("graft_minhash_bands(sh)")))
+      .toDF("doc_id", "band", "bv")
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b,
+      col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   private[graft] def d07CandidatePairs(s: SparkSession, d: String): DataFrame =
     d03MinhashLsh(s, d).select(col("doc_a"), col("doc_b"))
 
@@ -471,7 +479,11 @@ object Dedup {
     * as Σ_buckets (n_b choose 2) — bucket collision mass, not corpus
     * size.
     */
-  def d10SimhashBandPairs(s: SparkSession, d: String): DataFrame = {
+  /** d10's raw band-collision candidates (distinct pairs + their
+    * Hamming distance, BEFORE the ≤3 verify cut) — factored out so
+    * d14's board can measure the candidate set itself.
+    */
+  private[graft] def simhashBandCandidates(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val sig = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -485,9 +497,12 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
-      .filter(col("hamming") <= 3) // in-place verify, before the dedup shuffle
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  def d10SimhashBandPairs(s: SparkSession, d: String): DataFrame =
+    simhashBandCandidates(s, d)
+      .filter(col("hamming") <= 3) // in-place verify, before the dedup shuffle
 
   /** Cross-SOURCE overlap matrix — corpus analytics one level above
     * d02's doc pairs: for every pair of ingest sources, the Jaccard
@@ -693,7 +708,65 @@ object Dedup {
         col("contain_a"), col("contain_b"))
   }
 
+  /** Candidate-quality board — s12's recall board for the DEDUP tiers:
+    * each approximate candidate generator measured against d02's exact
+    * Jaccard ≥ 0.5 truth as (candidates, hits, precision, recall).
+    * This is the number an LSH banding decision is made on (r4's
+    * "9 % → 0.023 % of all pairs" re-band was exactly this
+    * measurement, promoted from a one-off into an oracle-checked
+    * query):
+    *   - minhash_b32 — d03's 32×2 band collisions;
+    *   - simhash_b16 — d10's 4×16-bit band collisions, scored here
+    *     against the JACCARD truth (what a simhash deployment
+    *     substitutes for);
+    *   - pair_domain — every pair sharing ≥1 shingle: the quadratic
+    *     tier's scoring burden, the anchor that motivates banding
+    *     (its precision IS truth/domain).
+    * d13's prefix tier is deliberately absent: its candidate set is
+    * ordered by engine-private xxhash64 tie-breaks (not
+    * SQL-replicable); its completeness has a dedicated planted-subset
+    * spec instead. Tiers build SEQUENTIALLY and each reduces to one
+    * counts row before the next build (the release-on-next-build
+    * registry makes interleaved dedup builds unsafe — see
+    * releaseCaches); truth pairs collect once (tiny by the dedup
+    * premise) and ride a literal `isin` into each tier's aggregate.
+    * At 100 TB the board runs on a fixed-size corpus SAMPLE — the
+    * measurement is per-tier candidate density, which is
+    * scale-invariant by design.
+    */
+  def d14CandidateBoard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val truth = d02JaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+      .collect().map(r => r.getLong(0) * 4294967296L + r.getLong(1)).toSeq
+    val nTrue = truth.size.toLong
+    def measure(name: String, cands: DataFrame): (String, Long, Long) = {
+      val key = col("doc_a") * lit(4294967296L) + col("doc_b")
+      val hit = if (truth.isEmpty) lit(false) else key.isin(truth: _*)
+      val r = cands.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(hit, 1L).otherwise(0L)), lit(0L)).as("hits")).head()
+      (name, r.getLong(0), r.getLong(1))
+    }
+    val rows = Seq(
+      measure("minhash_b32",
+        minhashBandCandidates(shingled(s, d).filter(size(col("sh")) > 0))),
+      measure("simhash_b16", simhashBandCandidates(s, d)),
+      measure("pair_domain", {
+        val sh = hashedShingles(s, d)
+        val a = sh.as("a"); val b = sh.as("b")
+        a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+      }))
+    rows.map { case (tier, n, hits) =>
+      (tier, n, nTrue, hits,
+        if (n == 0) 0.0 else hits.toDouble / n.toDouble,
+        if (nTrue == 0) 0.0 else hits.toDouble / nTrue.toDouble)
+    }.toDF("tier", "n_candidates", "n_true", "hits", "precision", "recall")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_candidate_board" -> d14CandidateBoard,
     "d13_containment_prefix" -> d13ContainmentPrefix,
     "d12_containment_pairs" -> d12ContainmentPairs,
     "d11_source_overlap" -> d11SourceOverlap,
@@ -888,7 +961,95 @@ object Dedup {
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE common / sa.n >= 0.8 OR common / sb.n >= 0.8"""
 
+  /** d14's oracle: every tier's candidate generation replicated in
+    * SQL. The minhash replica folds the SAME poly-31 hash over the
+    * SAME UTF-8 bytes (expanded from code points arithmetically —
+    * DuckDB strings index by code point, the JVM hashes bytes) and
+    * the same 64 affine permutations; bands compare the two
+    * underlying signature rows directly, which is exactly the
+    * engine's sig[2b]·p + sig[2b+1] pairing (injective, both < p).
+    * The simhash replica reuses d10's CTEs (which define `sh`, so
+    * the shingle CTE here is `shg`).
+    */
+  private val d14Sql: String = {
+    val utf8fold =
+      """list_reduce(list_prepend(7::BIGINT, flatten(list_transform(
+           list_transform(regexp_split_to_array(s, ''), ch -> unicode(ch)::BIGINT),
+           cp -> CASE
+             WHEN cp < 128 THEN [cp]
+             WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+             WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
+             ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64]
+           END))),
+           (acc, b) -> (acc * 31 + b) % 1000000007)"""
+    s"""WITH shg AS ($shingleSql),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
+        cp AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT doc_a, doc_b FROM cp
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE common / (sa.n + sb.n - common) >= 0.5),
+        tn AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+        h0 AS (SELECT doc_id, $utf8fold AS h FROM shg),
+        perms AS (
+          SELECT p, ((1103515245 * (p + 1) + 12345) % 1000000006) + 1 AS a,
+                 (69069 * (p + 7) + 362437) % 1000000007 AS c
+          FROM unnest(range(0, 64)) AS t(p)),
+        sig AS (
+          SELECT doc_id, p, min((h * a + c) % 1000000007) AS v
+          FROM h0 CROSS JOIN perms GROUP BY 1, 2),
+        bandsm AS (
+          SELECT e.doc_id, e.p // 2 AS band, e.v AS v1, o.v AS v2
+          FROM sig e JOIN sig o ON e.doc_id = o.doc_id AND o.p = e.p + 1
+          WHERE e.p % 2 = 0),
+        mh AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bandsm a JOIN bandsm b ON a.band = b.band AND a.v1 = b.v1
+            AND a.v2 = b.v2 AND a.doc_id < b.doc_id),
+        ${simhash64Ctes(
+        """SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1])) AS f
+           FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+                 FROM documents)""")},
+        sbands AS (
+          SELECT doc_id, band, (simhash >> (band * 16)) & 65535 AS bv
+          FROM sh, unnest(range(0, 4)) AS u(band)),
+        sc AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sbands a JOIN sbands b ON a.band = b.band AND a.bv = b.bv
+            AND a.doc_id < b.doc_id),
+        dom AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id),
+        mstat AS (SELECT count(*)::BIGINT AS n, count(t.doc_a)::BIGINT AS hits
+                  FROM mh m LEFT JOIN truth t ON m.doc_a = t.doc_a AND m.doc_b = t.doc_b),
+        sstat AS (SELECT count(*)::BIGINT AS n, count(t.doc_a)::BIGINT AS hits
+                  FROM sc c LEFT JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+        dstat AS (SELECT count(*)::BIGINT AS n, count(t.doc_a)::BIGINT AS hits
+                  FROM dom d LEFT JOIN truth t ON d.doc_a = t.doc_a AND d.doc_b = t.doc_b)
+        SELECT 'minhash_b32' AS tier, n AS n_candidates, n_true, hits,
+          CASE WHEN n = 0 THEN 0.0 ELSE hits::DOUBLE / n::DOUBLE END AS "precision",
+          CASE WHEN n_true = 0 THEN 0.0 ELSE hits::DOUBLE / n_true::DOUBLE END AS recall
+        FROM mstat CROSS JOIN tn
+        UNION ALL
+        SELECT 'simhash_b16', n, n_true, hits,
+          CASE WHEN n = 0 THEN 0.0 ELSE hits::DOUBLE / n::DOUBLE END,
+          CASE WHEN n_true = 0 THEN 0.0 ELSE hits::DOUBLE / n_true::DOUBLE END
+        FROM sstat CROSS JOIN tn
+        UNION ALL
+        SELECT 'pair_domain', n, n_true, hits,
+          CASE WHEN n = 0 THEN 0.0 ELSE hits::DOUBLE / n::DOUBLE END,
+          CASE WHEN n_true = 0 THEN 0.0 ELSE hits::DOUBLE / n_true::DOUBLE END
+        FROM dstat CROSS JOIN tn"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "d14_candidate_board" -> d14Sql,
     // d13 is the prefix-filtered path to the same answer — same oracle
     // by design (the d02/d03 twin pattern).
     "d13_containment_prefix" -> containmentSql,
