@@ -680,6 +680,44 @@ object EventStreams {
         col("view_ts"), col("click_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join — st10 plus the half the inner
+    * join can't express: views that never get a click still emit
+    * (with a NULL click) once the watermark proves no matching click
+    * can arrive. The emission rule is pure watermark arithmetic: a
+    * view at T can match clicks in (T, T+1h], clicks below the global
+    * watermark are droppable, so the view's null row is released when
+    * T + 1h < wm, where wm on this finite time-ordered replay
+    * converges to min(max view_ts, max click_ts) − 30 min (the global
+    * watermark is the MIN across both watermarked inputs; the
+    * trailing no-data micro-batch — on by default — lets the final
+    * watermark actually flush the state). Views newer than that stay
+    * unreported: correct streaming semantics, mirrored exactly by the
+    * oracle's cutoff. State sizing is st10's: both sides evict past
+    * join-window + delay.
+    */
+  def st17StreamLeftOuter(s: SparkSession, d: String): DataFrame = {
+    val stream = eventsChunkStream(s, d)
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "30 minutes")
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "30 minutes")
+    val joined = views.join(clicks, expr(
+      """v_user = c_user AND
+         click_ts > view_ts AND click_ts <= view_ts + INTERVAL 1 HOUR"""),
+      "leftOuter")
+    val name = "st17_sink"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** State-partition cap applied to every query that actually STARTS a
     * streaming query (st02 is the batch session_window form — full
     * batch parallelism applies).
@@ -688,6 +726,7 @@ object EventStreams {
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st17_stream_left_outer" -> gated(st17StreamLeftOuter),
     "st16_stream_cms" -> gated(st16StreamCms),
     "st15_stream_mapreduce" -> gated(st15StreamMapReduce),
     "st13_update_upsert" -> gated(st13UpdateUpsert),
@@ -753,6 +792,29 @@ object EventStreams {
            ON v.user_id = c.user_id
           AND v.event_type = 'view' AND c.event_type = 'click'
           AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""",
+    // st17: st10's matches plus null rows for views whose match window
+    // closed under the final watermark = min(max view, max click) - 30m
+    "st17_stream_left_outer" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type,
+             date_trunc('microsecond', ts) AS ts
+           FROM events),
+         v AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'click'),
+         wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+                  - INTERVAL 30 MINUTE AS w)
+         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           v.ts AS view_ts, c.ts AS click_ts
+         FROM v JOIN c
+           ON v.user_id = c.user_id
+          AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+         UNION ALL
+         SELECT v.user_id, v.event_id, NULL, v.ts, NULL
+         FROM v, wm
+         WHERE v.ts + INTERVAL 1 HOUR < wm.w
+           AND NOT EXISTS (
+             SELECT 1 FROM c WHERE c.user_id = v.user_id
+               AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR)""",
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value
