@@ -27,7 +27,8 @@ object Plans {
       "t13_term_scrub",
       "d13_containment_prefix", "p03_mix_to_budget", "s13_pq_refined",
       "s14_ivfpq_ann", "p04_leak_safe_split",
-      "t15_tfidf", "t16_zipf_slope", "s16_rerank_ann", "m06_phash_dedup")
+      "t15_tfidf", "t16_zipf_slope", "s16_rerank_ann", "m06_phash_dedup",
+      "t17_bigram_ppl", "p05_temperature_mix")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries (sf0.01, AQE off for readability)\n\n"
     sb ++= "Regenerate: `sbt \"runMain graft.Plans\"`. What to look for per query\n"
