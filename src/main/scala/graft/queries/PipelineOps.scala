@@ -63,6 +63,50 @@ object PipelineOps {
       .agg(count(lit(1)).as("n"), round(sum(col("dist2")), 4).as("inertia"))
   }
 
+  /** k-NN outlier pruning — the D4-style curation stage after
+    * clustering: a point whose 3rd-nearest neighbour is still far is
+    * isolated (mislabeled, corrupted, off-distribution) and gets
+    * pruned before training. Within each label cell, every vector's
+    * cosine to its 3rd-closest cellmate is its density score; the 5
+    * sparsest vectors per cell are flagged. Both ranks are total
+    * orders (cosine desc/asc, vec_id) so the flags are deterministic
+    * and hash-checked — engines compute identical IEEE folds (s01
+    * discipline, no rounding anywhere).
+    *
+    * Scale shape: the pairwise join is BLOCKED by the label cell
+    * (p02's pattern — fan-out bounded by cell size, never corpus
+    * size), the k-th-NN rank prunes per task via WindowGroupLimit
+    * under its literal k, and at 100 TB the within-cell scan is
+    * replaced by the ANN shortlist (s16) with identical downstream
+    * shape — the density score only needs top-k, which is what the
+    * index serves.
+    */
+  def e02KnnOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_sumsq(v)")))
+    val a = e.as("a"); val b = e.as("b")
+    val wNn = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nb"))
+    val knn3 = a.join(b, col("a.label") === col("b.label") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("nb"),
+        (expr("graft_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(wNn))
+      .filter(col("rk") === 3) // literal -> WindowGroupLimit prunes per task
+      .select(col("vec_id"), col("label"), col("cos").as("knn3_cos"))
+    val wCell = Window.partitionBy(col("label"))
+      .orderBy(col("knn3_cos"), col("vec_id"))
+    knn3.withColumn("sparsity_rank", row_number().over(wCell).cast("long"))
+      .withColumn("is_outlier", col("sparsity_rank") <= 5)
+      .select(col("vec_id"), col("label"), col("knn3_cos"),
+        col("sparsity_rank"), col("is_outlier"))
+  }
+
   /** Deterministic hash sampling — THE reproducible way to subsample
     * training data (rand()-based sampling cannot be replayed or
     * audited). Content-hash modulus keeps ~10%; the same document is
@@ -304,6 +348,7 @@ object PipelineOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e02_knn_outliers" -> e02KnnOutliers,
     "p05_temperature_mix" -> p05TemperatureMix,
     "p04_leak_safe_split" -> p04LeakSafeSplit,
     "p03_mix_to_budget" -> p03MixToBudget,
@@ -336,6 +381,26 @@ object PipelineOps {
        WHERE vec_id NOT IN (SELECT vec_id FROM lab WHERE vec_id <> cluster_id)"""
 
   val oracles: Map[String, String] = Map(
+    "e02_knn_outliers" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(embedding::DOUBLE[], x -> x * x)), (a, x) -> a + x)) AS nrm
+           FROM embeddings),
+         pc AS (
+           SELECT a.vec_id, a.label, b.vec_id AS nb,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (ac, x) -> ac + x)
+               / (a.nrm * b.nrm) AS cos
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         knn3 AS (
+           SELECT vec_id, label, cos AS knn3_cos FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, nb) AS rk FROM pc) WHERE rk = 3)
+         SELECT vec_id, label, knn3_cos,
+           row_number() OVER (PARTITION BY label ORDER BY knn3_cos, vec_id)::BIGINT
+             AS sparsity_rank,
+           row_number() OVER (PARTITION BY label ORDER BY knn3_cos, vec_id) <= 5
+             AS is_outlier
+         FROM knn3""",
     "p05_temperature_mix" ->
       """WITH stats AS (
            SELECT source, count(*)::BIGINT AS n_docs,

@@ -537,6 +537,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("e02 k-th-NN rank prunes per task and flags exactly 5 per cell") {
+    val df = SparkEntry.queries("e02_knn_outliers")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rk = 3 should prune the pair stream per task:\n${p.take(1200)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val perCell = rows.groupBy(_.getAs[Int]("label"))
+    for ((cell, xs) <- perCell) {
+      val flagged = xs.count(_.getAs[Boolean]("is_outlier"))
+      assert(flagged == math.min(5, xs.length),
+        s"cell $cell flagged $flagged of ${xs.length}")
+    }
+  }
+
   test("s17 MMR picks head the exact ranking and scores decay monotonically") {
     val mmr = SparkEntry.queries("s17_mmr_rerank")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
