@@ -216,7 +216,53 @@ object Relational8 {
       .select(col("doc_id"), col("lang"), col("rk"))
   }
 
+  /** SCD2 (type-2 slowly-changing dimension) history merge — the
+    * third sibling next to q43's in-place upsert and q47's delete:
+    * applying an update batch to a dimension while KEEPING history.
+    * Every updated key closes its old row (valid_to stamped,
+    * is_current=false) and appends the new version; untouched keys
+    * keep one open row. The update batch is the q37 md5 idiom (every
+    * 5th customer gets a balance adjustment) so the merge is
+    * reproducible.
+    *
+    * Shape: one equi-join dim⟕updates on the key, then a 1-or-2-row
+    * explode per key — never a window, never a shuffle beyond the
+    * join's own (and the join itself co-partitions on the upsert key
+    * exactly like q43's merge). At 100 TB history tables are
+    * partitioned by is_current so the open-rows scan stays pruned —
+    * the explode adds rows only for the touched fraction.
+    */
+  def q63Scd2History(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    val upd = Tables.customer(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("c_custkey").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .filter(col("h") % 5 === 0)
+      .select(col("c_custkey").as("u_key"),
+        round(col("c_acctbal") + lit(250.0), 2).as("new_bal"))
+    val nullS = lit(null).cast("string")
+    val closedOld = struct(col("c_acctbal").as("acctbal"),
+      lit("1995-01-01").as("valid_from"), lit("1996-06-01").as("valid_to"),
+      lit(false).as("is_current"))
+    val openOld = struct(col("c_acctbal").as("acctbal"),
+      lit("1995-01-01").as("valid_from"), nullS.as("valid_to"),
+      lit(true).as("is_current"))
+    val newCur = struct(col("new_bal").as("acctbal"),
+      lit("1996-06-01").as("valid_from"), nullS.as("valid_to"),
+      lit(true).as("is_current"))
+    dim.join(upd, dim("c_custkey") === upd("u_key"), "left")
+      .select(col("c_custkey"),
+        explode(when(col("new_bal").isNotNull, array(closedOld, newCur))
+          .otherwise(array(openOld))).as("ver"))
+      .select(col("c_custkey"), col("ver.acctbal").as("acctbal"),
+        col("ver.valid_from").as("valid_from"),
+        col("ver.valid_to").as("valid_to"),
+        col("ver.is_current").as("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_scd2_history" -> q63Scd2History,
     "q48_lang_cap" -> q48LangCap,
     "q47_merge_delete" -> q47MergeDelete,
     "q43_merge_upsert" -> q43MergeUpsert,
@@ -226,6 +272,18 @@ object Relational8 {
     "q46_stratified_split" -> q46StratifiedSplit)
 
   val oracles: Map[String, String] = Map(
+    "q63_scd2_history" ->
+      """WITH upd AS (
+           SELECT c_custkey, round(c_acctbal + 250.0, 2) AS new_bal
+           FROM customer
+           WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::BIGINT % 5 = 0)
+         SELECT c.c_custkey, c.c_acctbal AS acctbal,
+           '1995-01-01' AS valid_from,
+           CASE WHEN u.c_custkey IS NULL THEN NULL ELSE '1996-06-01' END AS valid_to,
+           u.c_custkey IS NULL AS is_current
+         FROM customer c LEFT JOIN upd u USING (c_custkey)
+         UNION ALL
+         SELECT c_custkey, new_bal, '1996-06-01', NULL, true FROM upd""",
     "q48_lang_cap" ->
       """SELECT doc_id, lang, rk FROM (
            SELECT doc_id, lang,
