@@ -783,7 +783,38 @@ object Dedup {
     }.toDF("tier", "n_candidates", "n_true", "hits", "precision", "recall")
   }
 
+  /** MinHash estimator calibration — the companion measurement to
+    * d14's candidate board: for every VERIFIED near-dup pair, the
+    * Jaccard estimate the signature itself implies (fraction of the
+    * 64 permutations that agree — the number an LSH-only pipeline
+    * would act on if it skipped exact verification) against the exact
+    * value, with the absolute error. E[est] = J by the MinHash
+    * theorem; this query is the empirical check that the LCG
+    * permutation family actually delivers it on this corpus (a
+    * rank-correlated family — the bug the large-multiplier comment in
+    * MinHashSig records — would show here as systematic bias). All
+    * values are exact rationals (k/64 and the Jaccard fraction):
+    * hash-checked raw, no rounding. One narrow signature pass plus a
+    * broadcast-sized join against the verified pairs; the estimate
+    * costs nothing at 100 TB because the signatures already exist for
+    * banding.
+    */
+  def d15MinhashCalibration(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val pairs = d03MinhashLsh(s, d)
+    val sigs = shingled(s, d).filter(size(col("sh")) > 0)
+      .select(col("doc_id"), expr("graft_minhash(sh)").as("sig"))
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))") / lit(64.0))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("est_jaccard"),
+        abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_minhash_calibration" -> d15MinhashCalibration,
     "d14_candidate_board" -> d14CandidateBoard,
     "d13_containment_prefix" -> d13ContainmentPrefix,
     "d12_containment_pairs" -> d12ContainmentPairs,
@@ -989,7 +1020,10 @@ object Dedup {
     * The simhash replica reuses d10's CTEs (which define `sh`, so
     * the shingle CTE here is `shg`).
     */
-  private val d14Sql: String = {
+  /** The 64-perm minhash signature replicated in SQL, as CTEs over a
+    * shingle CTE named `shg` (doc_id, s) — shared by d14 and d15.
+    */
+  private val minhashSigCtes: String = {
     val utf8fold =
       """list_reduce(list_prepend(7::BIGINT, flatten(list_transform(
            list_transform(regexp_split_to_array(s, ''), ch -> unicode(ch)::BIGINT),
@@ -1000,6 +1034,17 @@ object Dedup {
              ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64]
            END))),
            (acc, b) -> (acc * 31 + b) % 1000000007)"""
+    s"""h0 AS (SELECT doc_id, $utf8fold AS h FROM shg),
+        perms AS (
+          SELECT p, ((1103515245 * (p + 1) + 12345) % 1000000006) + 1 AS a,
+                 (69069 * (p + 7) + 362437) % 1000000007 AS c
+          FROM unnest(range(0, 64)) AS t(p)),
+        sig AS (
+          SELECT doc_id, p, min((h * a + c) % 1000000007) AS v
+          FROM h0 CROSS JOIN perms GROUP BY 1, 2)"""
+  }
+
+  private val d14Sql: String = {
     s"""WITH shg AS ($shingleSql),
         sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
         cp AS (
@@ -1012,14 +1057,7 @@ object Dedup {
           JOIN sizes sb ON doc_b = sb.doc_id
           WHERE common / (sa.n + sb.n - common) >= 0.5),
         tn AS (SELECT count(*)::BIGINT AS n_true FROM truth),
-        h0 AS (SELECT doc_id, $utf8fold AS h FROM shg),
-        perms AS (
-          SELECT p, ((1103515245 * (p + 1) + 12345) % 1000000006) + 1 AS a,
-                 (69069 * (p + 7) + 362437) % 1000000007 AS c
-          FROM unnest(range(0, 64)) AS t(p)),
-        sig AS (
-          SELECT doc_id, p, min((h * a + c) % 1000000007) AS v
-          FROM h0 CROSS JOIN perms GROUP BY 1, 2),
+        $minhashSigCtes,
         bandsm AS (
           SELECT e.doc_id, e.p // 2 AS band, e.v AS v1, o.v AS v2
           FROM sig e JOIN sig o ON e.doc_id = o.doc_id AND o.p = e.p + 1
@@ -1066,7 +1104,33 @@ object Dedup {
         FROM dstat CROSS JOIN tn"""
   }
 
+  private val d15Sql: String =
+    s"""WITH shg AS ($shingleSql),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
+        cp AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT doc_a, doc_b, common / (sa.n + sb.n - common) AS jaccard
+          FROM cp
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE common / (sa.n + sb.n - common) >= 0.5),
+        $minhashSigCtes,
+        est AS (
+          SELECT t.doc_a, t.doc_b, t.jaccard,
+            count(CASE WHEN sa.v = sb.v THEN 1 END) / 64.0 AS est_jaccard
+          FROM truth t
+          JOIN sig sa ON sa.doc_id = t.doc_a
+          JOIN sig sb ON sb.doc_id = t.doc_b AND sb.p = sa.p
+          GROUP BY 1, 2, 3)
+        SELECT doc_a, doc_b, jaccard, est_jaccard,
+          abs(est_jaccard - jaccard) AS abs_err
+        FROM est"""
+
   val oracles: Map[String, String] = Map(
+    "d15_minhash_calibration" -> d15Sql,
     "d14_candidate_board" -> d14Sql,
     // d13 is the prefix-filtered path to the same answer — same oracle
     // by design (the d02/d03 twin pattern).
