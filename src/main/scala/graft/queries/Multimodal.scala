@@ -314,7 +314,53 @@ object Multimodal {
       .toDF()
   }
 
+  /** One audio analysis window. */
+  case class AudioWin(doc_id: Long, win_idx: Long, start_ms: Long,
+      end_ms: Long, win_sig: String)
+
+  /** AUDIO frame-windowing — the audio-modality sibling of m02's video
+    * fan-out: FAKEAUD1 clips (`FAKEAUD1:<n_samples>:<rate>:<md5>`,
+    * 16 kHz, length deterministic per doc) are decoded per-partition
+    * and cut into the standard 25 ms window / 10 ms hop grid
+    * (400/160 samples — what every spectrogram/ASR front-end feeds),
+    * emitting every 50th window as a typed row through an ITERATOR
+    * flatMap (an hour-long clip never materializes its ~360 k windows
+    * in task memory). Window signatures are md5-derived so the oracle
+    * recomputes every emitted row — boundary arithmetic that was off
+    * by one hop, or windows emitted from stale payload bytes, would
+    * hash-mismatch. Same 100 TB shape as m02: codec init once per
+    * partition, streaming emission, columnar typed output.
+    */
+  def m07AudioWindows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat_ws(":", lit("FAKEAUD1"),
+          (lit(16000) + (col("doc_id") % 7919) * 37),
+          lit(16000), md5(col("text").cast("binary"))).cast("binary").as("asset"))
+    assets.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // codec init, once per partition
+        it.flatMap { case (id, bytes) =>
+          val parts = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).split(":")
+          val nSamples = parts(1).toLong; val rate = parts(2).toLong
+          val payload = parts(3)
+          val win = 400L; val hop = 160L // 25 ms / 10 ms at 16 kHz
+          val nWin = if (nSamples < win) 0L else (nSamples - win) / hop + 1
+          (0L until nWin by 50).iterator.map { idx =>
+            md.reset()
+            val sig = md.digest(s"$payload:$idx".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            AudioWin(id, idx, idx * hop * 1000 / rate,
+              (idx * hop + win) * 1000 / rate, sig)
+          }
+        }
+      }
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_audio_windows" -> m07AudioWindows,
     "m06_phash_dedup" -> m06PhashDedup,
     "m04_feature_extract" -> m04FeatureExtract,
     "m03_resize_thumb" -> m03ResizeThumb,
@@ -397,5 +443,13 @@ object Multimodal {
          (idx * 1000) // 24 AS frame_ts_ms,
          md5(md5(text) || ':' || idx) AS frame_sig
          FROM documents,
-              unnest(range(0, 8 + doc_id % 23, 4)) AS u(idx)""")
+              unnest(range(0, 8 + doc_id % 23, 4)) AS u(idx)""",
+    // n_samples >= 16000 > 400 always, so nwin = (n-400)//160 + 1
+    "m07_audio_windows" ->
+      """SELECT doc_id, idx AS win_idx,
+         (idx * 160 * 1000) // 16000 AS start_ms,
+         ((idx * 160 + 400) * 1000) // 16000 AS end_ms,
+         md5(md5(text) || ':' || idx) AS win_sig
+         FROM documents,
+              unnest(range(0, (16000 + (doc_id % 7919) * 37 - 400) // 160 + 1, 50)) AS u(idx)""")
 }
