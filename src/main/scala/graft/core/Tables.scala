@@ -27,15 +27,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf) and convert to a
-    * micros timestamp (Spark's native precision) in-plan.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects — read nanos as long via the
+    * legacy conf, convert to micros in-plan) and plain TIMESTAMP(MICROS)
+    * without a UTC flag (reads as TIMESTAMP_NTZ, which `unix_micros`,
+    * watermarks, and window() reject). Branch on the inferred type and
+    * normalize both to Spark's session-tz TIMESTAMP — the session tz is
+    * pinned to UTC, so the NTZ→LTZ cast is value-preserving and both
+    * generations of the test data load identically.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw // already a session-tz timestamp
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -39,8 +39,10 @@ object EventStreams {
 
   /** Whole-file replay source (st01/st05/st06): the file stream source
     * requires a directory, so stage a symlink to the single
-    * events.parquet in a temp dir (testdata is read-only). `ts` stays
-    * raw nanos-as-long; callers needing event time rebuild micros.
+    * events.parquet in a temp dir (testdata is read-only). `ts` is
+    * normalized to a micros timestamp here, mirroring Tables.events:
+    * the data has shipped both as TIMESTAMP(NANOS) (read nanos-as-long,
+    * rebuild micros in-plan) and TIMESTAMP(MICROS) (native timestamp).
     */
   private def eventsFileStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -52,7 +54,16 @@ object EventStreams {
       graft.core.Staging.tempAtExit("graft_stream_"))
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
-    s.readStream.schema(schema).parquet(dir.toString)
+    val raw = s.readStream.schema(schema).parquet(dir.toString)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session tz is UTC, so the cast is value-preserving; watermarks
+        // and window() require the session-tz TIMESTAMP type
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Chunked replay source (st04/st07/st08/st09): 4 time-ordered
@@ -69,7 +80,6 @@ object EventStreams {
     */
   def st01StreamHourly(s: SparkSession, d: String): DataFrame = {
     val stream = eventsFileStream(s, d)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val agg = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -274,7 +284,6 @@ object EventStreams {
     */
   def st06StreamDedup(s: SparkSession, d: String): DataFrame = {
     val stream = eventsFileStream(s, d)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val agg = stream
       .withWatermark("ts", "2 hours")
       .dropDuplicates("user_id", "event_type")
