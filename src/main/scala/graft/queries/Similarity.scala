@@ -909,7 +909,53 @@ object Similarity {
     }.toDF("probe_id", "sel_rank", "vec_id", "mmr")
   }
 
+  /** Radius (range) similarity search — top-k's sibling: return EVERY
+    * neighbor with cosine ≥ θ rather than the k best ("find all
+    * documents at least this similar", the retrieval form dedup
+    * review queues and policy filters ask). Exact tier: brute-force
+    * against the broadcast probe set, the recall=1 baseline (the s01
+    * relationship). The result SET is threshold-determined, so unlike
+    * top-k there is no rank tie-break hazard at all — the frontier of
+    * queries near θ is decided by the same IEEE fold in both engines.
+    */
+  def s18RadiusExact(s: SparkSession, d: String): DataFrame = {
+    val e = normed(s, d)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Radius search, LSH-bucketed — s18's 100 TB path (the s02⇆s01
+    * relationship): candidates are same-hyperplane-bucket vectors
+    * only, so the scan side shuffles 8 bits + the vector instead of
+    * joining all pairs; the threshold filter then runs on candidates.
+    * Recall < 1 by design (bucket-boundary neighbors are missed —
+    * multiprobe widens exactly like s04); the oracle replays the
+    * identical bucket construction, so the miss set is deterministic
+    * and hash-checked, and s12's recall board is where the quality of
+    * this tier is MEASURED rather than assumed.
+    */
+  def s19RadiusLsh(s: SparkSession, d: String): DataFrame = {
+    val e = normed(s, d)
+    val bucketed = e.selectExpr("vec_id", "v", "nrm",
+      "graft_lsh_bucket(v) AS bucket")
+    val probes = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("bucket").as("pbucket"))
+    bucketed.join(broadcast(probes),
+      col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_radius_lsh" -> s19RadiusLsh,
+    "s18_radius_exact" -> s18RadiusExact,
     "s17_mmr_rerank" -> s17MmrRerank,
     "s16_rerank_ann" -> s16RerankAnn,
     "s15_kcenter_sample" -> s15KcenterSample,
@@ -1309,7 +1355,34 @@ object Similarity {
         $picks"""
   }
 
+  private val s18Sql =
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
+          FROM ev p JOIN ev e ON p.vec_id < 10 AND e.vec_id <> p.vec_id)
+        SELECT probe_id, neighbor_id, cosine FROM scored
+        WHERE cosine >= 0.3"""
+
+  private val s19Sql =
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (
+          SELECT vec_id, v,
+            list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
+              CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), k ->
+                v[k + 1] * (((1103515245::BIGINT * (j * 64 + k) + 12345) % 2147483648)::DOUBLE
+                            / 2147483648.0 - 0.5))), (acc, x) -> acc + x) > 0.0
+              THEN (1::BIGINT << j) ELSE 0 END)), (acc, x) -> acc + x) AS bucket
+          FROM ev),
+        scored AS (
+          SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
+          FROM b p JOIN b e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
+                           AND p.bucket = e.bucket)
+        SELECT probe_id, neighbor_id, cosine FROM scored
+        WHERE cosine >= 0.3"""
+
   val oracles: Map[String, String] = Map(
+    "s19_radius_lsh" -> s19Sql,
+    "s18_radius_exact" -> s18Sql,
     "s17_mmr_rerank" -> s17Sql,
     "s16_rerank_ann" -> s16Sql,
     "s15_kcenter_sample" -> s15Sql,
