@@ -116,13 +116,83 @@ object Relational10 {
         coalesce(element_at(col("m"), "P"), lit(0.0)).as("total_p"),
         array_join(map_keys(col("m")), ",").as("statuses"))
 
+  /** Distribution window functions — percent_rank / cume_dist /
+    * ntile(4), the last window-function family §2.3 names that the
+    * suite hadn't exercised. NOT implemented as
+    * `Window.partitionBy(priority)`: five priority values would put
+    * each priority's entire order stream through ONE task — the exact
+    * unbounded-window liability p03 closed. Instead the p03 two-level
+    * shape: value-range buckets from one min/max scan bound every
+    * window partition (priority × 64 buckets); per-bucket counts roll
+    * into a TINY cumulative-offset frame (≤ 5×64 rows, broadcast); the
+    * global rank is bucket offset + bounded intra-bucket row_number.
+    * Because bucketing is monotone in the order key, offset+intra
+    * reproduces the total (o_totalprice, o_orderkey) order exactly,
+    * and with a unique order key the SQL definitions collapse to
+    * closed forms of (rank, N): percent_rank = (r−1)/(N−1), cume_dist
+    * = r/N, ntile by the standard first-(N mod n)-tiles-get-one-extra
+    * formula — asserted against DuckDB's native window functions.
+    * Output is a deterministic 1% orderkey sample; the ranks are
+    * computed over the FULL table first.
+    */
+  def q64DistributionRank(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val bounds = o.agg(min(col("o_totalprice")).as("lo"),
+      max(col("o_totalprice")).as("hi"))
+    // monotone value→bucket map; ties share a bucket by construction
+    val base = o.crossJoin(broadcast(bounds))
+      .withColumn("bkt", least(lit(63L), floor(
+        (col("o_totalprice") - col("lo")) /
+          ((col("hi") - col("lo")) / 64.0 + lit(1e-9))).cast("long")))
+      .drop("lo", "hi")
+    val wCum = Window.partitionBy(col("o_orderpriority")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    val offs = base.groupBy(col("o_orderpriority"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", sum(col("cnt")).over(wCum) - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(col("o_orderpriority"), col("bkt"), col("off"), col("n"))
+    val wIn = Window.partitionBy(col("o_orderpriority"), col("bkt"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    base.join(broadcast(offs), Seq("o_orderpriority", "bkt"))
+      .withColumn("rnk", col("off") + row_number().over(wIn))
+      .withColumn("pr", when(col("n") > 1,
+        (col("rnk") - 1).cast("double") / (col("n") - 1).cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("cd", col("rnk").cast("double") / col("n").cast("double"))
+      .withColumn("tile4", expr(
+        """CASE WHEN rnk <= (n DIV 4 + 1) * (n % 4)
+                THEN (rnk - 1) DIV (n DIV 4 + 1) + 1
+                ELSE n % 4 + (rnk - (n DIV 4 + 1) * (n % 4) - 1) DIV (n DIV 4) + 1
+           END""").cast("long"))
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("pr"), col("cd"), col("tile4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_distribution_rank" -> q64DistributionRank,
     "q61_map_functions" -> q61MapFunctions,
     "q60_unpivot" -> q60Unpivot,
     "q58_session_funnel" -> q58SessionFunnel,
     "q59_cohort_retention" -> q59CohortRetention)
 
   val oracles: Map[String, String] = Map(
+    // the unique (o_totalprice, o_orderkey) order makes peer groups
+    // singletons, so DuckDB's native window functions are the exact
+    // spec the two-level rewrite must reproduce
+    "q64_distribution_rank" ->
+      """SELECT o_orderkey, o_orderpriority, pr, cd, tile4 FROM (
+           SELECT o_orderkey, o_orderpriority,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             ntile(4) OVER w AS tile4
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey)) r
+         WHERE o_orderkey % 100 = 0""",
     // the map is engine plumbing; the oracle checks the scalar reads
     // (keys sorted, so `statuses` is deterministic in both engines)
     "q61_map_functions" ->

@@ -337,6 +337,19 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the (source, bkt)-partitioned boundary window:\n${p.take(1200)}")
   }
 
+  test("q64 ranks without a per-priority unbounded row window (two-level)") {
+    val p = planOf("q64_distribution_rank")
+    // the naive plan's signature: a row_number window partitioned by
+    // priority alone — the whole priority's orders through one task
+    assert("windowspecdefinition\\(o_orderpriority#\\d+, o_totalprice#"
+      .r.findAllIn(p).isEmpty,
+      s"per-priority row-order window found:\n${p.take(1200)}")
+    // the intra-bucket window partitions by (priority, bkt) — bounded
+    assert("windowspecdefinition\\(o_orderpriority#\\d+, bkt#\\d+L?, o_totalprice#"
+      .r.findAllIn(p).nonEmpty,
+      s"expected the (priority, bkt)-partitioned bounded window:\n${p.take(1200)}")
+  }
+
   test("s13's Lloyd round strictly lowers PQ reconstruction distortion") {
     import org.apache.spark.sql.functions._
     // Lloyd's actual guarantee (what s12's recall gate does NOT
