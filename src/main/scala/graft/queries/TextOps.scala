@@ -453,7 +453,39 @@ object TextOps {
         .when(ntile(3).over(cut) === 2, "middle").otherwise("tail"))
   }
 
+  /** Character-entropy quality signal — the Shannon entropy of each
+    * document's character distribution, the classic gibberish/
+    * binary-spill detector (random bytes ≈ 8 bits, English prose ≈ 4,
+    * "aaaa…" ≈ 0). Shape: explode to a character stream, one
+    * partial-aggable (doc, char) count shuffle, then a per-doc rollup
+    * — identical linear scan shape to token counting, no unbounded
+    * window anywhere. Float determinism is structural (the t17
+    * discipline, not rounding-and-hoping): each distinct count's
+    * c·ln(c) is pinned ONCE to a scaled BIGINT, so the per-doc
+    * accumulation is an exact integer sum in any order; entropy then
+    * comes out of the closed form H = ln(N) − (Σ c·ln c)/N in ONE
+    * final IEEE expression per doc, identical in both engines.
+    */
+  def t18CharEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("term",
+        round(col("c").cast("double") * log(col("c").cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).cast("long").as("n_uniq_chars"),
+        sum(col("term")).as("sterm"))
+      .select(col("doc_id"), col("n_chars"), col("n_uniq_chars"),
+        round((log(col("n_chars").cast("double")) -
+          col("sterm").cast("double") / (col("n_chars").cast("double") * 1e6))
+          / lit(0.6931471805599453), 6).as("entropy_bits"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_char_entropy" -> t18CharEntropy,
     "t17_bigram_ppl" -> t17BigramPpl,
     "t16_zipf_slope" -> t16ZipfSlope,
     "t15_tfidf" -> t15TfIdf,
@@ -491,6 +523,23 @@ object TextOps {
        FROM scored"""
 
   val oracles: Map[String, String] = Map(
+    // same integer-pinned c·ln(c) terms (exact sum, any order), same
+    // closed-form final expression — ln(2) as a shared literal so the
+    // one IEEE division matches bit-for-bit
+    "t18_char_entropy" ->
+      """WITH chars AS (
+           SELECT doc_id, substr(text, i, 1) AS ch
+           FROM documents, unnest(range(1, length(text) + 1)) AS u(i)),
+         counts AS (
+           SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+         terms AS (
+           SELECT doc_id, c, round(c * ln(c) * 1000000)::BIGINT AS term
+           FROM counts)
+         SELECT doc_id, sum(c)::BIGINT AS n_chars,
+           count(*)::BIGINT AS n_uniq_chars,
+           round((ln(sum(c)) - sum(term) / (sum(c) * 1000000.0))
+             / 0.6931471805599453, 6) AS entropy_bits
+         FROM terms GROUP BY 1""",
     "t17_bigram_ppl" ->
       """WITH t AS (
            SELECT doc_id,
