@@ -359,7 +359,55 @@ object Multimodal {
       .toDF()
   }
 
+  /** One ViT-style image patch record. */
+  case class Patch(doc_id: Long, patch_idx: Long, px: Long, py: Long,
+      pw: Long, ph: Long, patch_sig: String)
+
+  /** ViT-style 16×16 patch-grid extraction — the image analogue of
+    * m02's frame fan-out and m07's audio framing: each decoded W×H
+    * image becomes ⌈W/16⌉·⌈H/16⌉ patch rows (row-major patch_idx,
+    * pixel offsets, edge patches clipped to the image bounds), the
+    * tokenization a vision-transformer embedding pipeline starts
+    * from. Same FAKEIMG1 stub codec as m01 (no image libs in this
+    * container); the per-partition iterator flatMap is the real
+    * shape — codec init once per partition, streaming emission, and
+    * at 100 TB the fan-out (≤ 64 rows/asset here) stays inside the
+    * scan tasks with no shuffle at all. Patch signatures are
+    * md5-derived so the oracle recomputes every row arithmetically.
+    */
+  def m08PatchGrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(32) + col("doc_id") % 97).cast("long").as("width"),
+        (lit(32) + (col("doc_id") * 7) % 89).cast("long").as("height"),
+        md5(col("text").cast("binary")).as("payload_md5"))
+      .select(col("doc_id"),
+        concat_ws(":", lit("FAKEIMG1"), col("width"), col("height"),
+          col("payload_md5")).cast("binary").as("asset"))
+    assets.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // codec init, once per partition
+        it.flatMap { case (id, bytes) =>
+          val meta = FakeCodec.decode(id, bytes)
+          val (w, h) = (meta.width, meta.height)
+          val nc = (w + 15) / 16
+          val nr = (h + 15) / 16
+          (0L until nc * nr).iterator.map { idx =>
+            val cx = idx % nc; val ry = idx / nc
+            md.reset()
+            val sig = md.digest(s"${meta.payload_md5}:$idx".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            Patch(id, idx, cx * 16, ry * 16,
+              math.min(16, w - cx * 16), math.min(16, h - ry * 16), sig)
+          }
+        }
+      }
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m08_patch_grid" -> m08PatchGrid,
     "m07_audio_windows" -> m07AudioWindows,
     "m06_phash_dedup" -> m06PhashDedup,
     "m04_feature_extract" -> m04FeatureExtract,
@@ -451,5 +499,21 @@ object Multimodal {
          ((idx * 160 + 400) * 1000) // 16000 AS end_ms,
          md5(md5(text) || ':' || idx) AS win_sig
          FROM documents,
-              unnest(range(0, (16000 + (doc_id % 7919) * 37 - 400) // 160 + 1, 50)) AS u(idx)""")
+              unnest(range(0, (16000 + (doc_id % 7919) * 37 - 400) // 160 + 1, 50)) AS u(idx)""",
+    // m01's dimension arithmetic -> row-major grid enumeration; edge
+    // patches clip to the image bounds; signatures recomputed from the
+    // same md5 chain
+    "m08_patch_grid" ->
+      """WITH dims AS (
+           SELECT doc_id, 32 + doc_id % 97 AS w, 32 + (doc_id * 7) % 89 AS h,
+             md5(text) AS payload,
+             (32 + doc_id % 97 + 15) // 16 AS nc,
+             (32 + (doc_id * 7) % 89 + 15) // 16 AS nr
+           FROM documents)
+         SELECT doc_id, idx AS patch_idx,
+           (idx % nc) * 16 AS px, (idx // nc) * 16 AS py,
+           least(16, w - (idx % nc) * 16)::BIGINT AS pw,
+           least(16, h - (idx // nc) * 16)::BIGINT AS ph,
+           md5(payload || ':' || idx) AS patch_sig
+         FROM dims, unnest(range(0, nc * nr)) AS u(idx)""")
 }
