@@ -347,7 +347,47 @@ object PipelineOps {
         col("rank").cast("long").as("rank"), col("quota"))
   }
 
+  /** Distribution drift between two corpus splits — the population
+    * stability index (PSI) over the language marginal, the gate a
+    * training pipeline runs before accepting a refreshed snapshot or
+    * comparing train vs held-out ("did the mix move?"; PSI < 0.1 is
+    * the conventional all-clear). Splits are q37's deterministic
+    * doc_id-hash halves, so the drift being measured is itself
+    * replayable. Shape: ONE conditional-count shuffle on lang (both
+    * split marginals partial-agg in the same pass — no second scan,
+    * no join of two aggregations), totals ride a 1-row broadcast.
+    * Each language's PSI term (p_a−p_b)·ln(p_a/p_b) is pinned to a
+    * scaled BIGINT (the t17/t18 discipline): the corpus-level PSI in
+    * the `_total` row is then an exact integer sum, order-free and
+    * bit-identical in both engines. One-sided languages (present in
+    * a single split) emit NULL terms and are excluded from the total
+    * — flagged, not epsilon-fudged.
+    */
+  def e03DistributionDrift(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .withColumn("split",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2)
+      .groupBy(col("lang"))
+      .agg(sum(when(col("split") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("split") === 1, 1L).otherwise(0L)).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("p_a", col("n_a").cast("double") / col("ta").cast("double"))
+      .withColumn("p_b", col("n_b").cast("double") / col("tb").cast("double"))
+      .withColumn("psi_scaled", when(col("n_a") > 0 && col("n_b") > 0,
+        round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")) * 1e9)
+          .cast("long")))
+      .select(col("lang"), col("n_a"), col("n_b"), col("psi_scaled"))
+    val total = terms.agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"),
+        sum(col("psi_scaled")).as("psi_scaled"))
+      .select(lit("_total").as("lang"), col("n_a"), col("n_b"),
+        col("psi_scaled"))
+    terms.unionByName(total)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e03_distribution_drift" -> e03DistributionDrift,
     "e02_knn_outliers" -> e02KnnOutliers,
     "p05_temperature_mix" -> p05TemperatureMix,
     "p04_leak_safe_split" -> p04LeakSafeSplit,
@@ -381,6 +421,28 @@ object PipelineOps {
        WHERE vec_id NOT IN (SELECT vec_id FROM lab WHERE vec_id <> cluster_id)"""
 
   val oracles: Map[String, String] = Map(
+    // same hash split, same conditional-count pass, same integer-pinned
+    // PSI terms; the _total row's exact integer sum must match too
+    "e03_distribution_drift" ->
+      """WITH counts AS (
+           SELECT lang,
+             sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                      THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 1
+                      THEN 1 ELSE 0 END)::BIGINT AS n_b
+           FROM documents GROUP BY 1),
+         tot AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM counts),
+         terms AS (
+           SELECT lang, n_a, n_b,
+             CASE WHEN n_a > 0 AND n_b > 0 THEN
+               round((n_a / (ta * 1.0) - n_b / (tb * 1.0))
+                 * ln((n_a / (ta * 1.0)) / (n_b / (tb * 1.0))) * 1e9)::BIGINT
+             END AS psi_scaled
+           FROM counts, tot)
+         SELECT lang, n_a, n_b, psi_scaled FROM terms
+         UNION ALL
+         SELECT '_total', sum(n_a)::BIGINT, sum(n_b)::BIGINT,
+           sum(psi_scaled)::BIGINT FROM terms""",
     "e02_knn_outliers" ->
       """WITH e AS (
            SELECT vec_id, label, embedding::DOUBLE[] AS v,
