@@ -406,7 +406,33 @@ object Multimodal {
       .toDF()
   }
 
+  /** Audio-visual temporal alignment — the multimodal join a video
+    * training pipeline needs before it can pair modalities: each
+    * sampled video frame (m02) is matched to the audio analysis
+    * window (m07) whose [start_ms, end_ms) interval contains the
+    * frame timestamp, per asset. This is a range join, but it needs
+    * NONE of q41's bucket machinery: doc_id is the high-cardinality
+    * equi-key, so the hash join distributes on it and the interval
+    * predicate runs inside each key's bounded fan-out (≤ 8 frames ×
+    * ≤ 40 windows here; bounded by clip length generally) — the
+    * per-key-small/key-space-huge shape that is exactly what scales.
+    * All times are exact integer arithmetic — no float anywhere.
+    */
+  def m09AvAlign(s: SparkSession, d: String): DataFrame = {
+    val frames = m02FrameSample(s, d)
+      .select(col("doc_id"), col("frame_idx"), col("frame_ts_ms"))
+    val wins = m07AudioWindows(s, d)
+      .select(col("doc_id"), col("win_idx"), col("start_ms"), col("end_ms"))
+    frames.join(wins, Seq("doc_id"))
+      .filter(col("frame_ts_ms") >= col("start_ms") &&
+        col("frame_ts_ms") < col("end_ms"))
+      .select(col("doc_id"), col("frame_idx"), col("win_idx"),
+        col("frame_ts_ms"), col("start_ms"),
+        (col("frame_ts_ms") - col("start_ms")).as("offset_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_av_align" -> m09AvAlign,
     "m08_patch_grid" -> m08PatchGrid,
     "m07_audio_windows" -> m07AudioWindows,
     "m06_phash_dedup" -> m06PhashDedup,
@@ -515,5 +541,21 @@ object Multimodal {
            least(16, w - (idx % nc) * 16)::BIGINT AS pw,
            least(16, h - (idx // nc) * 16)::BIGINT AS ph,
            md5(payload || ':' || idx) AS patch_sig
-         FROM dims, unnest(range(0, nc * nr)) AS u(idx)""")
+         FROM dims, unnest(range(0, nc * nr)) AS u(idx)""",
+    // m02's frame enumeration x m07's window enumeration, joined on
+    // interval containment — identical integer arithmetic both sides
+    "m09_av_align" ->
+      """WITH frames AS (
+           SELECT doc_id, idx AS frame_idx, (idx * 1000) // 24 AS frame_ts_ms
+           FROM documents, unnest(range(0, 8 + doc_id % 23, 4)) AS u(idx)),
+         wins AS (
+           SELECT doc_id, idx AS win_idx,
+             (idx * 160 * 1000) // 16000 AS start_ms,
+             ((idx * 160 + 400) * 1000) // 16000 AS end_ms
+           FROM documents,
+                unnest(range(0, (16000 + (doc_id % 7919) * 37 - 400) // 160 + 1, 50)) AS u(idx))
+         SELECT f.doc_id AS doc_id, frame_idx, win_idx, frame_ts_ms, start_ms,
+           frame_ts_ms - start_ms AS offset_ms
+         FROM frames f JOIN wins w ON f.doc_id = w.doc_id
+           AND frame_ts_ms >= start_ms AND frame_ts_ms < end_ms""")
 }
