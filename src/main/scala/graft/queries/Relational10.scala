@@ -172,7 +172,63 @@ object Relational10 {
         col("pr"), col("cd"), col("tile4"))
   }
 
+  /** Exact per-group quantiles (percentile_cont) at scale — the exact
+    * sibling of q39's approx-with-rank-tolerance contract. Spark's own
+    * `percentile` aggregate buffers EVERY value of the group in one
+    * task (exact by memory); q64's two-level ranking makes the same
+    * number distributed-exact instead: bounded-bucket ranks locate the
+    * two order statistics each quantile interpolates between, the
+    * broadcast join plucks exactly 2 rows per (group, p) out of the
+    * ranked stream, and the interpolation v_lo + (v_hi−v_lo)·frac is
+    * written EXPLICITLY on both engine and oracle side (identical IEEE
+    * sequence — not each engine's internal percentile, which may
+    * associate the formula differently). Ties need no tie-break: any
+    * order within equal values yields the same value at every rank.
+    * EngineSpec pins the result to Spark's own `percentile` aggregate,
+    * proving the distributed rewrite computes the textbook definition.
+    */
+  def q65ExactQuantiles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val bounds = li.agg(min(col("x")).as("lo_v"), max(col("x")).as("hi_v"))
+    val base = li.crossJoin(broadcast(bounds))
+      .withColumn("bkt", least(lit(63L), floor(
+        (col("x") - col("lo_v")) /
+          ((col("hi_v") - col("lo_v")) / 64.0 + lit(1e-9))).cast("long")))
+      .drop("lo_v", "hi_v")
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val offs = base.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", sum(col("cnt")).over(wCum) - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(col("l_returnflag"), col("bkt"), col("off"), col("n"))
+    // 0-based rank; ties inherit an arbitrary order, harmlessly (the
+    // VALUE at each rank is order-statistic-determined)
+    val wIn = Window.partitionBy(col("l_returnflag"), col("bkt")).orderBy(col("x"))
+    val ranked = base.join(broadcast(offs), Seq("l_returnflag", "bkt"))
+      .withColumn("rk", col("off") + row_number().over(wIn) - 1)
+      .select(col("l_returnflag"), col("x"), col("rk"))
+    val targets = offs.select(col("l_returnflag"), col("n")).distinct()
+      .withColumn("p", explode(array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))))
+      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+    ranked.as("rr").join(broadcast(targets.as("tt")),
+        col("rr.l_returnflag") === col("tt.l_returnflag") &&
+          (col("rk") === col("lo") || col("rk") === col("hi")))
+      .groupBy(col("rr.l_returnflag").as("l_returnflag"),
+        col("p"), col("pos"), col("lo"))
+      .agg(min(when(col("rk") === col("lo"), col("x"))).as("v_lo"),
+        min(when(col("rk") === col("hi"), col("x"))).as("v_hi"))
+      .select(col("l_returnflag"), col("p"),
+        (col("v_lo") + (col("v_hi") - col("v_lo")) *
+          (col("pos") - col("lo").cast("double"))).as("q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_exact_quantiles" -> q65ExactQuantiles,
     "q64_distribution_rank" -> q64DistributionRank,
     "q61_map_functions" -> q61MapFunctions,
     "q60_unpivot" -> q60Unpivot,
@@ -180,6 +236,28 @@ object Relational10 {
     "q59_cohort_retention" -> q59CohortRetention)
 
   val oracles: Map[String, String] = Map(
+    // identical explicit interpolation on both sides (v_lo +
+    // (v_hi−v_lo)·(pos−lo)) — deliberately NOT DuckDB's quantile_cont,
+    // whose internal association may differ in the last bit; p forced
+    // DOUBLE so pos = p·(n−1) is the same IEEE product both engines
+    "q65_exact_quantiles" ->
+      """WITH v AS (SELECT l_returnflag, l_extendedprice AS x FROM lineitem),
+         n AS (SELECT l_returnflag, count(*) AS n FROM v GROUP BY 1),
+         r AS (SELECT l_returnflag, x,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY x) - 1 AS rk
+               FROM v),
+         t AS (SELECT l_returnflag, n, p, p * (n - 1) AS pos,
+                 floor(p * (n - 1))::BIGINT AS lo,
+                 ceil(p * (n - 1))::BIGINT AS hi
+               FROM n, unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 0.9::DOUBLE]) AS u(p)),
+         g AS (SELECT t.l_returnflag, t.p, t.pos, t.lo,
+                 min(CASE WHEN rk = lo THEN x END) AS v_lo,
+                 min(CASE WHEN rk = hi THEN x END) AS v_hi
+               FROM t JOIN r ON r.l_returnflag = t.l_returnflag
+                            AND (rk = lo OR rk = hi)
+               GROUP BY 1, 2, 3, 4)
+         SELECT l_returnflag, p, v_lo + (v_hi - v_lo) * (pos - lo) AS q
+         FROM g""",
     // the unique (o_totalprice, o_orderkey) order makes peer groups
     // singletons, so DuckDB's native window functions are the exact
     // spec the two-level rewrite must reproduce

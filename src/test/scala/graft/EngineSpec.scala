@@ -350,6 +350,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the (priority, bkt)-partitioned bounded window:\n${p.take(1200)}")
   }
 
+  test("q65 two-level quantiles == Spark's own percentile aggregate") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q65_exact_quantiles")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Double]("p")) ->
+        r.getAs[Double]("q")).toMap
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    val exp = graft.core.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D))").as("qs"))
+      .select(col("l_returnflag"), posexplode(col("qs")))
+      .collect()
+      .map(r => (r.getAs[String]("l_returnflag"), ps(r.getAs[Int]("pos"))) ->
+        r.getAs[Double]("col")).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - exp(k)) < 1e-9, s"$k: $v vs ${exp(k)}")
+    }
+  }
+
   test("s13's Lloyd round strictly lowers PQ reconstruction distortion") {
     import org.apache.spark.sql.functions._
     // Lloyd's actual guarantee (what s12's recall gate does NOT
