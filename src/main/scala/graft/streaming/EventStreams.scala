@@ -731,10 +731,84 @@ object EventStreams {
     * streaming query (st02 is the batch session_window form — full
     * batch parallelism applies).
     */
+  /** st18's processor: typed per-key ValueState, the transformWithState
+    * API shape — state lives in the store (RocksDB), NOT in a per-key
+    * object graph, and is read/updated field-wise per batch.
+    */
+  private class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long, Long)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("stats",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      var (n, mn, mx) =
+        if (st.exists()) st.get() else (0L, Long.MaxValue, Long.MinValue)
+      rows.foreach { case (_, t) =>
+        n += 1; mn = math.min(mn, t); mx = math.max(mx, t)
+      }
+      st.update((n, mn, mx))
+      Iterator.single((key, n, mn, mx))
+    }
+  }
+
+  /** Per-user lifetime stats via `transformWithState` — Spark 4's
+    * arbitrary-state API, the successor to the
+    * `[flat]mapGroupsWithState` family st04/st14 exercise: typed
+    * named state cells (ValueState/ListState/MapState, optional TTL,
+    * timers) behind a StatefulProcessor, required to run on the
+    * RocksDB state store (swapped in with st14's conf idiom). The
+    * processor emits each user's RUNNING (count, first, last) on
+    * every batch the user appears in; count is monotone and min/max
+    * are order-free, so the per-user converged value — max(n),
+    * min(first), max(last) over the update stream — must equal the
+    * one-pass batch aggregation. That convergence is the gate: state
+    * lost between micro-batches, a missed batch, or double-counted
+    * rows all break the equality.
+    */
+  def st18TransformWithState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = eventsChunkStream(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+        .as[(Long, Long)]
+      val out = stream.groupByKey(_._1)
+        .transformWithState[(Long, Long, Long, Long)](
+          new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
+      val name = "st18_sink"
+      val q = out.toDF("user_id", "n_events", "first_us", "last_us")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          min(col("first_us")).as("first_us"),
+          max(col("last_us")).as("last_us"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   private def gated(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st18_transform_with_state" -> gated(st18TransformWithState),
     "st17_stream_left_outer" -> gated(st17StreamLeftOuter),
     "st16_stream_cms" -> gated(st16StreamCms),
     "st15_stream_mapreduce" -> gated(st15StreamMapReduce),
@@ -776,6 +850,12 @@ object EventStreams {
        FROM agg, wm WHERE end_us + 1800000000 < w"""
 
   val oracles: Map[String, String] = Map(
+    // st18: the converged per-user update stream == the batch
+    // aggregation (count monotone, min/max order-free)
+    "st18_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+           min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+         FROM events GROUP BY 1""",
     // st16: exact per-key counts; the sketch booleans (bounds + the
     // stream-sketch == batch-sketch merge law) must replay TRUE
     "st16_stream_cms" ->
