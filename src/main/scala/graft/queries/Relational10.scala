@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -135,30 +135,48 @@ object Relational10 {
     * Output is a deterministic 1% orderkey sample; the ranks are
     * computed over the FULL table first.
     */
-  def q64DistributionRank(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-    val bounds = o.agg(min(col("o_totalprice")).as("lo"),
-      max(col("o_totalprice")).as("hi"))
-    // monotone value→bucket map; ties share a bucket by construction
-    val base = o.crossJoin(broadcast(bounds))
+  /** The two-level ranking core shared by q64/q65 (and exercised on
+    * randomized tie-heavy frames by EngineSpec): input must carry
+    * columns `g` (group) and `v` (order value) plus any tie-break
+    * columns; output is the input plus a global per-group 1-based
+    * `rnk` consistent with ORDER BY (v, tie...) and the group size
+    * `n`. Monotone value-range buckets (64) bound every row_number
+    * partition; the per-(g, bkt) offset frame is tiny and broadcast.
+    * With no tie-break, ranks within equal values are arbitrary but
+    * the VALUE at each rank is still the order statistic — exactly
+    * what quantile interpolation needs. An all-equal group degrades
+    * to one bucket (width floor 1e-9), still correct, and at scale
+    * such a group is the same single-task hazard a direct window has
+    * — the bucketing helps exactly when values spread.
+    */
+  private[graft] def twoLevelRank(df: DataFrame, tie: Seq[Column]): DataFrame = {
+    val bounds = df.agg(min(col("v")).as("lo_v"), max(col("v")).as("hi_v"))
+    val base = df.crossJoin(broadcast(bounds))
       .withColumn("bkt", least(lit(63L), floor(
-        (col("o_totalprice") - col("lo")) /
-          ((col("hi") - col("lo")) / 64.0 + lit(1e-9))).cast("long")))
-      .drop("lo", "hi")
-    val wCum = Window.partitionBy(col("o_orderpriority")).orderBy(col("bkt"))
+        (col("v") - col("lo_v")) /
+          ((col("hi_v") - col("lo_v")) / 64.0 + lit(1e-9))).cast("long")))
+      .drop("lo_v", "hi_v")
+    val wCum = Window.partitionBy(col("g")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("o_orderpriority"))
-    val offs = base.groupBy(col("o_orderpriority"), col("bkt"))
+    val wAll = Window.partitionBy(col("g"))
+    val offs = base.groupBy(col("g"), col("bkt"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("off", sum(col("cnt")).over(wCum) - col("cnt"))
       .withColumn("n", sum(col("cnt")).over(wAll))
-      .select(col("o_orderpriority"), col("bkt"), col("off"), col("n"))
-    val wIn = Window.partitionBy(col("o_orderpriority"), col("bkt"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    base.join(broadcast(offs), Seq("o_orderpriority", "bkt"))
+      .select(col("g"), col("bkt"), col("off"), col("n"))
+    val wIn = Window.partitionBy(col("g"), col("bkt"))
+      .orderBy(col("v") +: tie: _*)
+    base.join(broadcast(offs), Seq("g", "bkt"))
       .withColumn("rnk", col("off") + row_number().over(wIn))
-      .withColumn("pr", when(col("n") > 1,
+      .drop("bkt", "off")
+  }
+
+  /** percent_rank/cume_dist/ntile closed forms from (rnk, n) — shared
+    * by q64 and the randomized spec. With a unique tie-break the SQL
+    * peer groups are singletons, so these ARE the standard functions.
+    */
+  private[graft] def distributionCols(df: DataFrame): DataFrame =
+    df.withColumn("pr", when(col("n") > 1,
         (col("rnk") - 1).cast("double") / (col("n") - 1).cast("double"))
         .otherwise(lit(0.0)))
       .withColumn("cd", col("rnk").cast("double") / col("n").cast("double"))
@@ -167,8 +185,14 @@ object Relational10 {
                 THEN (rnk - 1) DIV (n DIV 4 + 1) + 1
                 ELSE n % 4 + (rnk - (n DIV 4 + 1) * (n % 4) - 1) DIV (n DIV 4) + 1
            END""").cast("long"))
+
+  def q64DistributionRank(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"),
+        col("o_orderkey"))
+    distributionCols(twoLevelRank(o, Seq(col("o_orderkey"))))
       .filter(col("o_orderkey") % 100 === 0)
-      .select(col("o_orderkey"), col("o_orderpriority"),
+      .select(col("o_orderkey"), col("g").as("o_orderpriority"),
         col("pr"), col("cd"), col("tile4"))
   }
 
@@ -189,39 +213,23 @@ object Relational10 {
     */
   def q65ExactQuantiles(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
-    val bounds = li.agg(min(col("x")).as("lo_v"), max(col("x")).as("hi_v"))
-    val base = li.crossJoin(broadcast(bounds))
-      .withColumn("bkt", least(lit(63L), floor(
-        (col("x") - col("lo_v")) /
-          ((col("hi_v") - col("lo_v")) / 64.0 + lit(1e-9))).cast("long")))
-      .drop("lo_v", "hi_v")
-    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    val offs = base.groupBy(col("l_returnflag"), col("bkt"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("off", sum(col("cnt")).over(wCum) - col("cnt"))
-      .withColumn("n", sum(col("cnt")).over(wAll))
-      .select(col("l_returnflag"), col("bkt"), col("off"), col("n"))
-    // 0-based rank; ties inherit an arbitrary order, harmlessly (the
-    // VALUE at each rank is order-statistic-determined)
-    val wIn = Window.partitionBy(col("l_returnflag"), col("bkt")).orderBy(col("x"))
-    val ranked = base.join(broadcast(offs), Seq("l_returnflag", "bkt"))
-      .withColumn("rk", col("off") + row_number().over(wIn) - 1)
-      .select(col("l_returnflag"), col("x"), col("rk"))
-    val targets = offs.select(col("l_returnflag"), col("n")).distinct()
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    // 0-based rank; no tie-break needed — ties get an arbitrary order
+    // but the VALUE at each rank is order-statistic-determined
+    val ranked = twoLevelRank(li, Seq.empty)
+      .withColumn("rk", col("rnk") - 1)
+      .select(col("g"), col("v"), col("rk"))
+    val targets = li.groupBy(col("g")).agg(count(lit(1)).as("n"))
       .withColumn("p", explode(array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))))
       .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
       .withColumn("lo", floor(col("pos")).cast("long"))
       .withColumn("hi", ceil(col("pos")).cast("long"))
     ranked.as("rr").join(broadcast(targets.as("tt")),
-        col("rr.l_returnflag") === col("tt.l_returnflag") &&
+        col("rr.g") === col("tt.g") &&
           (col("rk") === col("lo") || col("rk") === col("hi")))
-      .groupBy(col("rr.l_returnflag").as("l_returnflag"),
-        col("p"), col("pos"), col("lo"))
-      .agg(min(when(col("rk") === col("lo"), col("x"))).as("v_lo"),
-        min(when(col("rk") === col("hi"), col("x"))).as("v_hi"))
+      .groupBy(col("rr.g").as("l_returnflag"), col("p"), col("pos"), col("lo"))
+      .agg(min(when(col("rk") === col("lo"), col("v"))).as("v_lo"),
+        min(when(col("rk") === col("hi"), col("v"))).as("v_hi"))
       .select(col("l_returnflag"), col("p"),
         (col("v_lo") + (col("v_hi") - col("v_lo")) *
           (col("pos") - col("lo").cast("double"))).as("q"))

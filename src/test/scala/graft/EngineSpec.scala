@@ -340,14 +340,48 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q64 ranks without a per-priority unbounded row window (two-level)") {
     val p = planOf("q64_distribution_rank")
     // the naive plan's signature: a row_number window partitioned by
-    // priority alone — the whole priority's orders through one task
-    assert("windowspecdefinition\\(o_orderpriority#\\d+, o_totalprice#"
-      .r.findAllIn(p).isEmpty,
+    // the group alone — the whole priority's orders through one task
+    assert("windowspecdefinition\\(g#\\d+, v#".r.findAllIn(p).isEmpty,
       s"per-priority row-order window found:\n${p.take(1200)}")
-    // the intra-bucket window partitions by (priority, bkt) — bounded
-    assert("windowspecdefinition\\(o_orderpriority#\\d+, bkt#\\d+L?, o_totalprice#"
-      .r.findAllIn(p).nonEmpty,
-      s"expected the (priority, bkt)-partitioned bounded window:\n${p.take(1200)}")
+    // the intra-bucket window partitions by (g, bkt) — bounded
+    assert("windowspecdefinition\\(g#\\d+, bkt#\\d+L?, v#".r.findAllIn(p).nonEmpty,
+      s"expected the (g, bkt)-partitioned bounded window:\n${p.take(1200)}")
+  }
+
+  test("two-level ranking == native distribution windows on randomized tie-heavy frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(29)
+    // group sizes hit every ntile edge (1, 2, 3 < 4 tiles; 4; odd;
+    // large); values drawn from 6 distinct doubles → heavy ties,
+    // incl. one ALL-EQUAL group (zero value range → one bucket)
+    val sizes = Seq("a" -> 1, "b" -> 2, "c" -> 3, "d" -> 4, "e" -> 37, "f" -> 200)
+    val dom = Array(-3.5, 0.0, 1.25, 2.5, 7.75, 9.0)
+    val rows = sizes.flatMap { case (g, sz) =>
+      (0 until sz).map { i =>
+        val v = if (g == "d") 5.0 else dom(rnd.nextInt(dom.length))
+        (g, v, (g.hashCode.toLong << 32) | i.toLong)
+      }
+    }
+    val df = rows.toDF("g", "v", "id").repartition(7)
+    val got = graft.queries.Relational10
+      .distributionCols(graft.queries.Relational10.twoLevelRank(df, Seq(col("id"))))
+      .select(col("id"), col("rnk"), col("pr"), col("cd"), col("tile4"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val exp = df
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("tile4", ntile(4).over(w).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rnk"), r.getAs[Double]("pr"), r.getAs[Double]("cd"),
+          r.getAs[Long]("tile4"))).toMap
+    assert(got.keySet == exp.keySet)
+    val diffs = got.collect { case (k, v) if v != exp(k) => s"$k: $v vs ${exp(k)}" }
+    assert(diffs.isEmpty, diffs.take(5).mkString("\n"))
   }
 
   test("q65 two-level quantiles == Spark's own percentile aggregate") {
