@@ -936,8 +936,8 @@ object Similarity {
     * Recall < 1 by design (bucket-boundary neighbors are missed —
     * multiprobe widens exactly like s04); the oracle replays the
     * identical bucket construction, so the miss set is deterministic
-    * and hash-checked, and s12's recall board is where the quality of
-    * this tier is MEASURED rather than assumed.
+    * and hash-checked, and s20 MEASURES the tier's radius recall
+    * against s18's exact result rather than assuming it.
     */
   def s19RadiusLsh(s: SparkSession, d: String): DataFrame = {
     val e = normed(s, d)
@@ -953,7 +953,29 @@ object Similarity {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** Radius recall — the s12 measurement discipline applied to the
+    * radius pair: per probe, how much of s18's exact θ-neighborhood
+    * does s19's bucketed tier retrieve? (s19 ⊆ s18 by construction —
+    * same probes, same threshold, candidates only restricted — so
+    * recall is |s19|/|s18| with no match join needed beyond the
+    * count.) Probes whose exact neighborhood is empty are excluded
+    * (recall undefined); the recall VALUES are hash-checked, the
+    * number a single-table-LSH deployment decides multiprobe on.
+    */
+  def s20RadiusRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = s18RadiusExact(s, d).groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val lsh = s19RadiusLsh(s, d).groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_lsh"))
+    exact.join(lsh, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+        (coalesce(col("n_lsh"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("radius_recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_radius_recall" -> s20RadiusRecall,
     "s19_radius_lsh" -> s19RadiusLsh,
     "s18_radius_exact" -> s18RadiusExact,
     "s17_mmr_rerank" -> s17MmrRerank,
@@ -1380,7 +1402,32 @@ object Similarity {
         SELECT probe_id, neighbor_id, cosine FROM scored
         WHERE cosine >= 0.3"""
 
+  private val s20Sql =
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (
+          SELECT vec_id, v,
+            list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
+              CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), k ->
+                v[k + 1] * (((1103515245::BIGINT * (j * 64 + k) + 12345) % 2147483648)::DOUBLE
+                            / 2147483648.0 - 0.5))), (acc, x) -> acc + x) > 0.0
+              THEN (1::BIGINT << j) ELSE 0 END)), (acc, x) -> acc + x) AS bucket
+          FROM ev),
+        ex AS (
+          SELECT p.vec_id AS probe_id, count(*) AS n_exact
+          FROM ev p JOIN ev e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
+          WHERE $foldCosine >= 0.3 GROUP BY 1),
+        ls AS (
+          SELECT p.vec_id AS probe_id, count(*) AS n_lsh
+          FROM b p JOIN b e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
+                           AND p.bucket = e.bucket
+          WHERE $foldCosine >= 0.3 GROUP BY 1)
+        SELECT ex.probe_id, n_exact,
+          coalesce(n_lsh, 0)::BIGINT AS n_lsh,
+          coalesce(n_lsh, 0) / (n_exact * 1.0) AS radius_recall
+        FROM ex LEFT JOIN ls ON ex.probe_id = ls.probe_id"""
+
   val oracles: Map[String, String] = Map(
+    "s20_radius_recall" -> s20Sql,
     "s19_radius_lsh" -> s19Sql,
     "s18_radius_exact" -> s18Sql,
     "s17_mmr_rerank" -> s17Sql,
