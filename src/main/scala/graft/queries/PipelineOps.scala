@@ -386,7 +386,30 @@ object PipelineOps {
     terms.unionByName(total)
   }
 
+  /** Training-shard manifest — the last-mile packing step a dataloader
+    * reads: documents dealt to 16 shards by size-descending
+    * round-robin (the deterministic greedy that keeps shard byte
+    * totals near-equal without any sequential bin-packing state).
+    * The global size ranking is q64's twoLevelRank core with a single
+    * group — the case a naive window turns into ONE task for the
+    * whole corpus, and exactly where the value-range buckets keep
+    * every window partition bounded. Shard id is then pure arithmetic
+    * on the rank; the output is the per-shard manifest row (count +
+    * byte total) whose spread IS the balance check.
+    */
+  def p06ShardManifest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(lit("all").as("g"),
+        (-col("n_chars")).cast("double").as("v"), // size-DESC via negation
+        col("doc_id"), col("n_chars"))
+    graft.queries.Relational10.twoLevelRank(docs, Seq(col("doc_id")))
+      .withColumn("shard", (col("rnk") - 1) % 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p06_shard_manifest" -> p06ShardManifest,
     "e03_distribution_drift" -> e03DistributionDrift,
     "e02_knn_outliers" -> e02KnnOutliers,
     "p05_temperature_mix" -> p05TemperatureMix,
@@ -421,6 +444,16 @@ object PipelineOps {
        WHERE vec_id NOT IN (SELECT vec_id FROM lab WHERE vec_id <> cluster_id)"""
 
   val oracles: Map[String, String] = Map(
+    // the same size-desc round-robin deal, via the direct window the
+    // distributed two-level ranking must equal
+    "p06_shard_manifest" ->
+      """WITH r AS (
+           SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+           FROM documents)
+         SELECT rk % 16 AS shard, count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+         FROM r GROUP BY 1""",
     // same hash split, same conditional-count pass, same integer-pinned
     // PSI terms; the _total row's exact integer sum must match too
     "e03_distribution_drift" ->
