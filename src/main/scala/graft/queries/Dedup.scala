@@ -813,7 +813,48 @@ object Dedup {
         abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
   }
 
+  /** SimHash estimator calibration — d15's discipline applied to the
+    * OTHER sketch family: for every d10-verified near-dup pair, the
+    * cosine the 64-bit signature IMPLIES (cos(π·hamming/64), the
+    * random-hyperplane estimator an LSH-only pipeline acts on) vs the
+    * EXACT count-weighted bigram cosine of the same feature stream the
+    * signature sketched (dot and norms are integer sums — one IEEE
+    * division per pair at the end). Pairs sharing no bigram keep a
+    * 0 dot via the left join rather than vanishing. Scale shape: the
+    * verified pair set is the tiny post-banding side, and the inner
+    * joins on (doc, gram) restrict the bigram-count stream to exactly
+    * the paired docs — the per-doc norm frame is corpus-sized but
+    * partial-aggable and joins on the doc key.
+    */
+  def d16SimhashCalibration(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val pairs = d10SimhashBandPairs(s, d)
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr("graft_word_bigrams(text)")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val ss = bg.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("ss"))
+    val dots = pairs
+      .join(bg.as("ca"), col("ca.doc_id") === col("doc_a"))
+      .join(bg.as("cb"), col("cb.doc_id") === col("doc_b") &&
+        col("cb.g") === col("ca.g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("ca.c") * col("cb.c")).as("dot"))
+    pairs
+      .join(dots, Seq("doc_a", "doc_b"), "left")
+      .join(broadcast(ss.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("ss", "ssa")), "doc_a")
+      .join(broadcast(ss.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("ss", "ssb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        round(cos(lit(3.141592653589793) * col("hamming").cast("double") / 64.0),
+          6).as("est_cos"),
+        round(coalesce(col("dot"), lit(0L)).cast("double") /
+          (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))),
+          6).as("exact_cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_simhash_calibration" -> d16SimhashCalibration,
     "d15_minhash_calibration" -> d15MinhashCalibration,
     "d14_candidate_board" -> d14CandidateBoard,
     "d13_containment_prefix" -> d13ContainmentPrefix,
@@ -1129,7 +1170,39 @@ object Dedup {
           abs(est_jaccard - jaccard) AS abs_err
         FROM est"""
 
+  // d16: the same bigram SimHash pairs, then est vs exact over the
+  // identical feature stream — dot/norms are integer sums, one IEEE
+  // division per pair; cos() agreed to < 1 ulp, rounded at 6
+  private val d16Sql =
+    s"""WITH ${simhash64Ctes(
+      """SELECT doc_id, unnest(list_transform(range(1, len(t)),
+           i -> t[i] || ' ' || t[i+1])) AS f
+         FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+               FROM documents)""")},
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       bg AS (SELECT doc_id, f AS g, count(*) AS c FROM feat GROUP BY 1, 2),
+       ss AS (SELECT doc_id, sum(c * c)::BIGINT AS ss FROM bg GROUP BY 1),
+       dots AS (
+         SELECT p.doc_a, p.doc_b, sum(ca.c * cb.c)::BIGINT AS dot
+         FROM pairs p
+         JOIN bg ca ON ca.doc_id = p.doc_a
+         JOIN bg cb ON cb.doc_id = p.doc_b AND cb.g = ca.g
+         GROUP BY 1, 2)
+       SELECT p.doc_a, p.doc_b, p.hamming,
+         round(cos(3.141592653589793 * p.hamming / 64.0), 6) AS est_cos,
+         round(coalesce(dot, 0) / (sqrt(sa.ss) * sqrt(sb.ss)), 6) AS exact_cos
+       FROM pairs p
+       LEFT JOIN dots ON dots.doc_a = p.doc_a AND dots.doc_b = p.doc_b
+       JOIN ss sa ON sa.doc_id = p.doc_a
+       JOIN ss sb ON sb.doc_id = p.doc_b"""
+
   val oracles: Map[String, String] = Map(
+    "d16_simhash_calibration" -> d16Sql,
     "d15_minhash_calibration" -> d15Sql,
     "d14_candidate_board" -> d14Sql,
     // d13 is the prefix-filtered path to the same answer — same oracle
