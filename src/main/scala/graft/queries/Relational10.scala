@@ -235,7 +235,35 @@ object Relational10 {
           (col("pos") - col("lo").cast("double"))).as("q"))
   }
 
+  /** Correlated LATERAL subquery — the SQL-surface sibling of q16's
+    * arg-max and q21's top-k: per region, the top-2 customers by
+    * account balance, written as the `, LATERAL (... ORDER BY ...
+    * LIMIT 2)` form users port from DuckDB/Postgres. Catalyst
+    * DECORRELATES it (DecorrelateInnerQuery + RewriteLateralSubquery)
+    * into the same join+window machinery q21 declares directly —
+    * proving the engine accepts the declarative form AND plans it
+    * distributed rather than re-executing the subquery per outer row
+    * (the 100 TB difference between a lateral that works and one
+    * that's a driver loop). Oracle is the definitionally-equal window
+    * form under the unique (acctbal DESC, name) order.
+    */
+  def q66LateralTopk(s: SparkSession, d: String): DataFrame = {
+    Tables.region(s, d).createOrReplaceTempView("region_lv")
+    Tables.nation(s, d).createOrReplaceTempView("nation_lv")
+    Tables.customer(s, d).createOrReplaceTempView("customer_lv")
+    s.sql("""
+      SELECT r.r_name, t.c_name, t.c_acctbal
+      FROM region_lv r,
+      LATERAL (
+        SELECT c.c_name, c.c_acctbal
+        FROM customer_lv c JOIN nation_lv n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        ORDER BY c.c_acctbal DESC, c.c_name
+        LIMIT 2) t""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_lateral_topk" -> q66LateralTopk,
     "q65_exact_quantiles" -> q65ExactQuantiles,
     "q64_distribution_rank" -> q64DistributionRank,
     "q61_map_functions" -> q61MapFunctions,
@@ -244,6 +272,16 @@ object Relational10 {
     "q59_cohort_retention" -> q59CohortRetention)
 
   val oracles: Map[String, String] = Map(
+    // the window form is definitionally equal to the lateral LIMIT
+    // under the unique (acctbal DESC, name) order
+    "q66_lateral_topk" ->
+      """SELECT r_name, c_name, c_acctbal FROM (
+           SELECT r_name, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY r_regionkey
+               ORDER BY c_acctbal DESC, c_name) AS rk
+           FROM region JOIN nation ON n_regionkey = r_regionkey
+                       JOIN customer ON c_nationkey = n_nationkey) t
+         WHERE rk <= 2""",
     // identical explicit interpolation on both sides (v_lo +
     // (v_hi−v_lo)·(pos−lo)) — deliberately NOT DuckDB's quantile_cont,
     // whose internal association may differ in the last bit; p forced

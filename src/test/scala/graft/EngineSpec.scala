@@ -348,6 +348,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the (g, bkt)-partitioned bounded window:\n${p.take(1200)}")
   }
 
+  test("q66 lateral decorrelates to a distributed plan (no per-row re-execution)") {
+    val p = planOf("q66_lateral_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"lateral fell back to a cartesian product:\n${p.take(1200)}")
+    // Catalyst's lateral rewrite lands on the same window/top-k
+    // machinery q21 declares directly
+    assert(p.contains("Window") || p.contains("TakeOrdered"),
+      s"expected decorrelated window/top-k machinery:\n${p.take(1200)}")
+  }
+
   test("two-level ranking == native distribution windows on randomized tie-heavy frames") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
