@@ -30,7 +30,9 @@ object Plans {
       "t15_tfidf", "t16_zipf_slope", "s16_rerank_ann", "m06_phash_dedup",
       "t17_bigram_ppl", "p05_temperature_mix",
       "q64_distribution_rank", "s19_radius_lsh", "t18_char_entropy",
-      "e03_distribution_drift")
+      "e03_distribution_drift",
+      "q65_exact_quantiles", "q66_lateral_topk", "p06_shard_manifest",
+      "d16_simhash_calibration", "m09_av_align")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries (sf0.01, AQE off for readability)\n\n"
     sb ++= "Regenerate: `sbt \"runMain graft.Plans\"`. What to look for per query\n"
