@@ -363,14 +363,20 @@ object PipelineOps {
     * a single split) emit NULL terms and are excluded from the total
     * — flagged, not epsilon-fudged.
     */
-  def e03DistributionDrift(s: SparkSession, d: String): DataFrame = {
-    val counts = Tables.documents(s, d)
+  def e03DistributionDrift(s: SparkSession, d: String): DataFrame =
+    psiFromCounts(Tables.documents(s, d)
       .withColumn("split",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 2)
       .groupBy(col("lang"))
       .agg(sum(when(col("split") === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("split") === 1, 1L).otherwise(0L)).as("n_b"))
+        sum(when(col("split") === 1, 1L).otherwise(0L)).as("n_b")))
+
+  /** e03's PSI tail over any (lang, n_a, n_b) marginal frame —
+    * package-visible so st19 can run the identical arithmetic on
+    * marginals maintained BY A STREAM and share e03's oracle.
+    */
+  private[graft] def psiFromCounts(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
     val terms = counts.crossJoin(broadcast(tot))
       .withColumn("p_a", col("n_a").cast("double") / col("ta").cast("double"))

@@ -804,10 +804,44 @@ object EventStreams {
     }
   }
 
+  /** Streaming PSI drift gate — e03's snapshot-acceptance check run ON
+    * the corpus stream instead of after it lands (the shape a corpus
+    * REFRESH pipeline wants: the drift monitor maintains the marginals
+    * as documents arrive, and the gate reads them at any time). The
+    * stream — the first gate over the `documents` table — maintains
+    * exactly the stateful part (per-language split marginals, a
+    * complete-mode agg whose state is vocabulary-sized, not
+    * stream-sized); the PSI arithmetic is e03's own psiFromCounts tail
+    * applied to the sink, so on the finite replay the converged answer
+    * IS e03's — and shares its oracle by design (the st01/q18
+    * pattern).
+    */
+  def st19StreamDrift(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val dir = java.nio.file.Paths.get(
+      graft.core.Staging.tempAtExit("graft_docstream_"))
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$d/documents.parquet"))
+    val counts = s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("split",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2)
+      .groupBy(col("lang"))
+      .agg(sum(when(col("split") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("split") === 1, 1L).otherwise(0L)).as("n_b"))
+    val name = "st19_sink"
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    graft.queries.PipelineOps.psiFromCounts(s.table(name))
+  }
+
   private def gated(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st19_stream_drift" -> gated(st19StreamDrift),
     "st18_transform_with_state" -> gated(st18TransformWithState),
     "st17_stream_left_outer" -> gated(st17StreamLeftOuter),
     "st16_stream_cms" -> gated(st16StreamCms),
@@ -850,6 +884,29 @@ object EventStreams {
        FROM agg, wm WHERE end_us + 1800000000 < w"""
 
   val oracles: Map[String, String] = Map(
+    // st19: the stream-maintained marginals converge to the batch
+    // marginals on a finite replay, so the PSI gate shares e03's
+    // oracle by design
+    "st19_stream_drift" ->
+      """WITH counts AS (
+           SELECT lang,
+             sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                      THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 1
+                      THEN 1 ELSE 0 END)::BIGINT AS n_b
+           FROM documents GROUP BY 1),
+         tot AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM counts),
+         terms AS (
+           SELECT lang, n_a, n_b,
+             CASE WHEN n_a > 0 AND n_b > 0 THEN
+               round((n_a / (ta * 1.0) - n_b / (tb * 1.0))
+                 * ln((n_a / (ta * 1.0)) / (n_b / (tb * 1.0))) * 1e9)::BIGINT
+             END AS psi_scaled
+           FROM counts, tot)
+         SELECT lang, n_a, n_b, psi_scaled FROM terms
+         UNION ALL
+         SELECT '_total', sum(n_a)::BIGINT, sum(n_b)::BIGINT,
+           sum(psi_scaled)::BIGINT FROM terms""",
     // st18: the converged per-user update stream == the batch
     // aggregation (count monotone, min/max order-free)
     "st18_transform_with_state" ->
