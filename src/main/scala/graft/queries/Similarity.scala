@@ -16,6 +16,20 @@ object Similarity {
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Dedup.registerRelease's contract, mirrored: caches whose lifetime
+    * must outlast the building function (the result is a LAZY plan
+    * over them) register here; the next registering build — or an
+    * explicit [[releaseCaches]] — drops the previous one's blocks.
+    */
+  private val liveReleases =
+    new scala.collection.mutable.ArrayBuffer[() => Unit]
+  private def registerRelease(r: () => Unit): Unit =
+    synchronized { liveReleases += r }
+  def releaseCaches(): Unit = synchronized {
+    liveReleases.foreach(r => r())
+    liveReleases.clear()
+  }
+
   /** Embeddings with the norm precomputed once per vector; cosine in
     * the joins below is then one native `graft_dot` per pair (the
     * codegen'd expression — see VectorExpressions — not an interpreted
@@ -853,20 +867,29 @@ object Similarity {
     * ONE winner PER PROBE in a single partial-aggable `max_by`
     * aggregation, so all probes advance in parallel and the round
     * count is the OUTPUT size k = 5, independent of probe count.
-    * Per-round state (≤ 4 chosen vectors per probe) ships back as one
-    * broadcast literal; candidate-to-selected similarity is an in-row
-    * `array_max(transform(...))` over that broadcast — no join, no
-    * shuffle beyond the shortlist's own.
+    * Selection state NEVER touches the driver: it lives as one
+    * DataFrame row per probe (an array of ≤ k−1 chosen vectors) that
+    * each round joins back against the shortlist on probe_id. Both
+    * sides descend from the shortlist's own probe_id window / groupBy,
+    * so they are already co-hash-partitioned and the per-round join
+    * plans with ZERO exchanges — no broadcast build (a broadcast
+    * would route |probes| rows through the driver each round, the
+    * bottleneck this shape exists to avoid), no shuffle beyond the
+    * shortlist's own; candidate-to-selected similarity is an in-row
+    * `array_max(transform(...))` over the joined array.
     *
     * Both engines fold identical IEEE ops in identical order, so the
     * mmr scores are bit-exact and hash-checked raw (s01 discipline).
     * At 100 TB the shortlist is the ANN tier's output (s16 composes
     * the same way): MMR cost is O(k·shortlist) per probe regardless
-    * of corpus size.
+    * of corpus size and driver traffic is zero regardless of probe
+    * count. State lineage grows one join+agg per round over the
+    * CACHED shortlist; at k beyond tens, localCheckpoint the state
+    * every ~10 rounds (the d07 loop's discipline) — at k = 5 the
+    * linear lineage is the cheaper plan.
     */
   def s17MmrRerank(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    import s.implicits._
     val e = normed(s, d)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
@@ -879,34 +902,51 @@ object Similarity {
       .filter(col("rn") <= 20)
       .select(col("probe_id"), col("vec_id"), col("v"), col("nrm"), col("cosq"))
       .cache()
-    // selected state per probe: (vec_id, v, nrm, mmr), driver-held
-    var sel = Map.empty[Long, List[(Long, Seq[Double], Double, Double)]]
-    def pickRound(scored: DataFrame): Unit =
+    // the result is a LAZY plan over the cached shortlist (nothing is
+    // collected), so the cache outlives this builder — released by the
+    // next registering build or an explicit releaseCaches()
+    releaseCaches()
+    registerRelease(() => cand.unpersist())
+    mmrSelect(cand, k = 5)
+  }
+
+  /** The distributed MMR greedy loop behind s17 over any
+    * (probe_id, vec_id, v, nrm, cosq) shortlist frame —
+    * package-visible so the spec can prove the join-accumulated state
+    * reproduces a driver-side reference greedy round by round. The
+    * caller should cache `cand`; every round is an exchange-free pass
+    * over it (state and shortlist are co-partitioned on probe_id).
+    */
+  private[graft] def mmrSelect(cand: DataFrame, k: Int): DataFrame = {
+    // one winner per probe: max_by over (mmr, -vec_id) == the greedy
+    // (mmr DESC, vec_id ASC) tie-break, partial-aggable
+    def pick(scored: DataFrame): DataFrame =
       scored.groupBy(col("probe_id"))
-        .agg(max_by(struct(col("vec_id"), col("mmr"), col("v"), col("nrm")),
+        .agg(max_by(
+          struct(col("vec_id"), col("mmr"), col("v"), col("nrm")),
           struct(col("mmr"), (-col("vec_id")).as("nv"))).as("p"))
-        .select(col("probe_id"), col("p.*")).collect()
-        .foreach { r =>
-          val p = r.getLong(0)
-          sel += p -> ((r.getLong(1), r.getSeq[Double](3), r.getDouble(4),
-            r.getDouble(2)) :: sel.getOrElse(p, Nil))
-        }
-    pickRound(cand.withColumn("mmr", lit(0.7) * col("cosq")))
-    for (_ <- 2 to 5) {
-      val selF = sel.toSeq.map { case (p, xs) =>
-        (p, xs.map(x => (x._2, x._3)), xs.map(_._1))
-      }.toDF("probe_id", "sels", "sel_ids")
-      val scored = cand.join(broadcast(selF), "probe_id")
-        .filter(!array_contains(col("sel_ids"), col("vec_id")))
+    // state: probe_id, sel = array<struct<vec_id, mmr, v, nrm>> in
+    // selection order — entirely executor-resident, never collected
+    var state = pick(cand.withColumn("mmr", lit(0.7) * col("cosq")))
+      .select(col("probe_id"), array(col("p")).as("sel"))
+    for (_ <- 2 to k) {
+      // shuffle_hash, not broadcast: a BroadcastExchange builds its
+      // relation ON THE DRIVER — |probes| rows through the driver per
+      // round, the exact bottleneck this loop exists to avoid. Both
+      // sides are already hashpartitioned(probe_id) (cand's shortlist
+      // window / pick's groupBy), so the hash join plans with zero
+      // exchanges — per-partition build over the tiny state side.
+      val scored = cand.join(state.hint("shuffle_hash"), "probe_id")
+        .filter(expr("!exists(sel, x -> x.vec_id = vec_id)"))
         .withColumn("msim", expr(
-          "array_max(transform(sels, x -> graft_dot(v, x._1) / (nrm * x._2)))"))
+          "array_max(transform(sel, x -> graft_dot(v, x.v) / (nrm * x.nrm)))"))
         .withColumn("mmr", lit(0.7) * col("cosq") - lit(0.3) * col("msim"))
-      pickRound(scored)
+      state = state.join(pick(scored.drop("sel")).hint("shuffle_hash"), "probe_id")
+        .select(col("probe_id"), concat(col("sel"), array(col("p"))).as("sel"))
     }
-    cand.unpersist(blocking = false)
-    sel.toSeq.flatMap { case (p, xs) =>
-      xs.reverse.zipWithIndex.map { case (x, i) => (p, (i + 1).toLong, x._1, x._4) }
-    }.toDF("probe_id", "sel_rank", "vec_id", "mmr")
+    state.select(col("probe_id"), posexplode(col("sel")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("sel_rank"),
+        col("col.vec_id").as("vec_id"), col("col.mmr").as("mmr"))
   }
 
   /** Radius (range) similarity search — top-k's sibling: return EVERY

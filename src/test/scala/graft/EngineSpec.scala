@@ -655,6 +655,61 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s17 mmrSelect's join-accumulated state equals the reference greedy round by round") {
+    // randomized synthetic shortlist: 4 probes × 9 candidates, 4-dim
+    // vectors — small enough to replay the greedy on the driver, rich
+    // enough that every round's penalty term matters
+    val rnd = new scala.util.Random(20260813)
+    val rows = for (p <- 0L until 4L; c <- 0L until 9L) yield {
+      val v = Seq.fill(4)(rnd.nextDouble() * 2 - 1)
+      (p, 100L + c * 7L + p, v, math.sqrt(v.map(x => x * x).sum), rnd.nextDouble())
+    }
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val cand = rows.toDF("probe_id", "vec_id", "v", "nrm", "cosq").cache()
+    val got = graft.queries.Similarity.mmrSelect(cand, k = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // reference greedy, same IEEE op order (sequential dot fold)
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val byProbe = rows.groupBy(_._1)
+    for ((p, xs) <- byProbe) {
+      var sel = List.empty[(Long, Seq[Double], Double, Double)] // id, v, nrm, mmr
+      for (r <- 1 to 4) {
+        val remaining = xs.filter(x => !sel.exists(_._1 == x._2))
+        val scoredRef = remaining.map { x =>
+          val mmr =
+            if (r == 1) 0.7 * x._5
+            else 0.7 * x._5 - 0.3 * sel.map(s0 => dot(x._3, s0._2) / (x._4 * s0._3)).max
+          (x._2, x._3, x._4, mmr)
+        }
+        val win = scoredRef.maxBy(x => (x._4, -x._1))
+        sel = sel :+ ((win._1, win._2, win._3, win._4))
+        assert(got((p, r.toLong)) == ((win._1, win._4)),
+          s"probe $p round $r: got ${got((p, r.toLong))}, reference $win")
+      }
+    }
+    cand.unpersist()
+  }
+
+  test("s17's selection loop never builds a broadcast (state stays off the driver)") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val df = SparkEntry.queries("s17_mmr_rerank")(spark, sf)
+    // everything up to the cached shortlist (its probe broadcast, its
+    // ranking shuffle) lives INSIDE the InMemoryRelation; the greedy
+    // loop on top must add no exchange of any kind: state joins are
+    // co-partitioned shuffled-hash, winners aggs reuse partitioning
+    val plan = df.queryExecution.sparkPlan
+    val bc = plan.collect { case e: BroadcastExchangeExec => e }
+    val sh = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(bc.isEmpty, s"greedy loop builds a driver-side broadcast:\n$plan")
+    assert(sh.isEmpty, s"greedy loop re-shuffles the co-partitioned state:\n$plan")
+    graft.queries.Similarity.releaseCaches()
+  }
+
   test("m06 asset dedup finds exactly the shared-asset pairs (key-group consistency)") {
     // the asset fixture is many-to-one by construction (payload keyed
     // by doc_id % 350), so the structurally known answer is every pair
