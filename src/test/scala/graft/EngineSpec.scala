@@ -655,6 +655,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("e04 NN-descent density equals the exact e02 tier, with no cell-blocked self-join") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // a "cell-blocked self-join" is the quadratic signature: an
+    // equi-join keyed on label ALONE whose residual condition compares
+    // vec_ids (the all-pairs-within-cell shape)
+    def labelBlocked(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case j: BaseJoinExec
+          if j.leftKeys.length == 1 &&
+            j.leftKeys.head.toString.contains("label") &&
+            j.condition.exists(_.toString.contains("vec_id")) => j
+      }.size
+    val e02df = SparkEntry.queries("e02_knn_outliers")(spark, sf)
+    val e04df = SparkEntry.queries("e04_knn_outliers_ann")(spark, sf)
+    assert(labelBlocked(e02df) >= 1, "positive control: e02 IS label-blocked")
+    assert(labelBlocked(e04df) == 0,
+      "e04 must not contain an all-pairs-within-cell join")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    assert(canon(e04df) sameElements canon(e02df),
+      "NN-descent did not converge to the exact 3-NN density on this fixture")
+    graft.queries.PipelineOps.releaseCaches()
+  }
+
   test("s17 mmrSelect's join-accumulated state equals the reference greedy round by round") {
     // randomized synthetic shortlist: 4 probes × 9 candidates, 4-dim
     // vectors — small enough to replay the greedy on the driver, rich
