@@ -748,30 +748,33 @@ object Similarity {
     * against an unrolled CTE replay of the whole loop.
     *
     * Loop shape — k sequential jobs, each ONE narrow scan: round r
-    * scores dmin = least(...) over the r selected centers' distance
-    * expressions (literal 64-dim arrays carried in the PLAN — the
-    * selected set IS the model, k×64 doubles of driver state by
-    * definition, exactly like broadcast centroids) and takes the
-    * argmax with one partial-aggable max_by over a (dmin, −vec_id)
-    * struct — no shuffle beyond the 1-row partial merge, no per-round
-    * checkpoint, lineage flat BY CONSTRUCTION because every round
-    * re-derives from the cached (vec_id, v, nrm) projection, never
-    * from the previous round's frame (contrast the kmeans loop, whose
-    * per-round state is a full assignment TABLE and must be
-    * checkpointed; here per-round state is one row). least() is
-    * associative-exact over doubles, so the stateless least-of-r
-    * recompute equals the oracle chain's incremental update —
-    * asserted bit-for-bit by the randomized spec against a
-    * brute-force greedy twin.
+    * carries the r selected centers as a single ARRAY literal (the
+    * selected set IS the model, k×64 doubles of plan state by
+    * definition, exactly like broadcast centroids), scores
+    * dmin = array_min(transform(sels, ...)) in-row — s17's idiom, a
+    * CONSTANT-node-count expression whatever r is (see
+    * [[kcenterRound]]; the earlier least-of-r column chain grew the
+    * plan and recompiled it every round) — and takes the argmax with
+    * one partial-aggable max_by over a (dmin, −vec_id) struct: no
+    * shuffle beyond the 1-row partial merge, no per-round checkpoint,
+    * lineage flat BY CONSTRUCTION because every round re-derives from
+    * the cached (vec_id, v, nrm) projection, never from the previous
+    * round's frame (contrast the kmeans loop, whose per-round state
+    * is a full assignment TABLE and must be checkpointed; here
+    * per-round state is one row). min over doubles is
+    * associative-exact, so the stateless min-of-r recompute equals
+    * the oracle chain's incremental update — asserted bit-for-bit by
+    * the randomized spec against a brute-force greedy twin (k = 8 and
+    * k = 64).
     *
     * At 100 TB: k embarrassingly parallel passes over a cached
     * columnar (vec_id, v, nrm) projection, each returning one row —
     * the same sequential-rounds floor as Lloyd (s08) with NO per-round
-    * materialization to pay for. If k grows to where least-of-k
-    * dominates a scan (k ≳ hundreds), switch to a persisted
-    * incremental dmin column with the kmeans loop's checkpoint
-    * discipline — same answers, and the spec's brute-force twin is
-    * the contract either way.
+    * materialization to pay for, and per-round codegen cost constant
+    * in k. If k grows to where the in-row min-of-k dominates a scan
+    * (k ≳ hundreds), switch to a persisted incremental dmin column
+    * with the kmeans loop's checkpoint discipline — same answers, and
+    * the spec's brute-force twin is the contract either way.
     */
   def s15KcenterSample(s: SparkSession, d: String): DataFrame =
     kcenterSelect(normed(s, d), k = 8)
@@ -787,28 +790,41 @@ object Similarity {
     import s.implicits._
     val ev = e.select(col("vec_id"), col("v"), col("nrm")).cache()
     val seed = ev.orderBy(col("vec_id")).limit(1).head()
-    def distTo(sv: Seq[Double], snrm: Double): Column =
-      lit(1.0) - call_function("graft_dot", col("v"), typedLit(sv)) /
-        (col("nrm") * lit(snrm))
     var selIds: List[Long] = List(seed.getLong(0))
-    var dists: List[Column] = List(distTo(seed.getSeq[Double](1), seed.getDouble(2)))
+    var sels: List[(Seq[Double], Double)] =
+      List((seed.getSeq[Double](1), seed.getDouble(2)))
     var out: List[(Long, Long, Double)] = List((0L, seed.getLong(0), 0.0))
     for (r <- 1 until k) {
-      val far = ev.filter(!col("vec_id").isin(selIds: _*))
-        .withColumn("dmin",
-          if (dists.sizeIs == 1) dists.head else least(dists.reverse: _*))
-        .agg(max_by(
-          struct(col("vec_id"), col("dmin"), col("v"), col("nrm")),
-          struct(col("dmin"), (-col("vec_id")).as("nid"))).as("far"))
-        .head().getStruct(0)
+      val far = kcenterRound(ev, selIds, sels).head().getStruct(0)
       out = (r.toLong, far.getLong(0), far.getDouble(1)) :: out
       selIds = far.getLong(0) :: selIds
-      dists = distTo(far.getSeq[Double](2), far.getDouble(3)) :: dists
+      sels = (far.getSeq[Double](2), far.getDouble(3)) :: sels
     }
     // the output is a k-row literal frame — no lineage on ev, release now
     ev.unpersist(blocking = false)
     out.reverse.toDF("sel_rank", "vec_id", "gap")
   }
+
+  /** ONE greedy round's plan over the current selected-center state —
+    * the state rides in as two ARRAY literals (ids; (v, nrm) structs),
+    * so the expression tree is a fixed
+    * array_contains + array_min(transform(...)) + max_by shape whose
+    * NODE COUNT is constant in k (only the literal payloads grow):
+    * no per-round plan growth, no recompilation blow-up at k = 1000.
+    * Package-visible so the spec can assert plan size at |sel| = 1
+    * equals plan size at |sel| = 63. Per-element arithmetic
+    * (1.0 − dot/(nrm·snrm), then min) is the previous least-of-
+    * columns chain's exact op order, so results are bit-unchanged.
+    */
+  private[graft] def kcenterRound(ev: DataFrame,
+      selIds: Seq[Long], sels: Seq[(Seq[Double], Double)]): DataFrame =
+    ev.filter(!array_contains(typedLit(selIds), col("vec_id")))
+      .withColumn("sels", typedLit(sels))
+      .withColumn("dmin", expr(
+        "array_min(transform(sels, x -> 1.0D - graft_dot(v, x._1) / (nrm * x._2)))"))
+      .agg(max_by(
+        struct(col("vec_id"), col("dmin"), col("v"), col("nrm")),
+        struct(col("dmin"), (-col("vec_id")).as("nid"))).as("far"))
 
   /** Recall@5 for EVERY approximate ANN tier — s05's gate extended
     * into the single recall board an ANN deployment reads: the

@@ -511,6 +511,49 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s15 greedy state is one array literal: k=64 stays exact with a constant-size round plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(43)
+    val dim = 5
+    val all = (0 until 90).map { i =>
+      (i.toLong, Vector.fill(dim)(rnd.nextDouble() * 2 - 1))
+    }
+    def cosDist(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      1.0 - dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    var sel = List(all.minBy(_._1))
+    var expected = List((0L, sel.head._1, 0.0))
+    for (r <- 1 until 64) {
+      val rest = all.filterNot(p => sel.exists(_._1 == p._1))
+      val (farPt, farGap) = rest.iterator
+        .map(p => (p, sel.map(c => cosDist(p._2, c._2)).min))
+        .maxBy { case (p, dm) => (dm, -p._1) }
+      expected = (r.toLong, farPt._1, farGap) :: expected
+      sel = farPt :: sel
+    }
+    val df = all.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0.0D, (a, x) -> a + x * x)")))
+    val got = graft.queries.Similarity.kcenterSelect(df, 64)
+      .as[(Long, Long, Double)].collect().toList.sortBy(_._1)
+    got.zip(expected.reverse).foreach { case ((gr, gi, gg), (er, ei, eg)) =>
+      assert(gr == er && gi == ei && math.abs(gg - eg) < 1e-12,
+        s"round $gr: got ($gi, $gg) want ($ei, $eg)")
+    }
+    // the round plan must not grow with the selected set: same node
+    // count with 1 selected center as with 63 (array literals only)
+    val ev = df.select(col("vec_id"), col("v"), col("nrm"))
+    def planNodes(n: Int): Int = {
+      val ids = (0L until n.toLong).toList
+      val ss = ids.map(i => (all(i.toInt)._2: Seq[Double], 1.0))
+      graft.queries.Similarity.kcenterRound(ev, ids, ss)
+        .queryExecution.sparkPlan.collect { case p => p }.size
+    }
+    assert(planNodes(1) == planNodes(63),
+      s"round plan grew with k: ${planNodes(1)} vs ${planNodes(63)} nodes")
+  }
+
   test("d12 containment adds no shuffle beyond d02's pair machinery") {
     val n = (s: String) => "Exchange hashpartitioning".r.findAllIn(s).size
     val d02 = n(planOf("d02_jaccard_pairs"))
