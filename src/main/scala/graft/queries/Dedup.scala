@@ -819,12 +819,16 @@ object Dedup {
     * random-hyperplane estimator an LSH-only pipeline acts on) vs the
     * EXACT count-weighted bigram cosine of the same feature stream the
     * signature sketched (dot and norms are integer sums — one IEEE
-    * division per pair at the end). Pairs sharing no bigram keep a
-    * 0 dot via the left join rather than vanishing. Scale shape: the
-    * verified pair set is the tiny post-banding side, and the inner
-    * joins on (doc, gram) restrict the bigram-count stream to exactly
-    * the paired docs — the per-doc norm frame is corpus-sized but
-    * partial-aggable and joins on the doc key.
+    * division per pair at the end). Pairs sharing no COMMON bigram
+    * keep a 0 dot via the left join rather than vanishing; the norm
+    * joins stay inner, which is safe because d10 membership implies a
+    * non-empty bigram stream (the simhash is derived FROM it), so
+    * every paired doc has an ss row. Scale shape: the verified pair
+    * set is the tiny post-banding side; the per-doc norm frame is
+    * corpus-sized and partial-aggable, so it is first semi-restricted
+    * to the paired docs (pair-set-sized) and only THAT slice
+    * broadcasts — broadcasting the corpus-sized frame itself would
+    * hit the driver at 100 TB.
     */
   def d16SimhashCalibration(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
@@ -832,7 +836,10 @@ object Dedup {
     val bg = Tables.documents(s, d)
       .select(col("doc_id"), explode(expr("graft_word_bigrams(text)")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b"))).distinct()
     val ss = bg.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("ss"))
+      .join(pairDocs, Seq("doc_id"), "left_semi")
     val dots = pairs
       .join(bg.as("ca"), col("ca.doc_id") === col("doc_a"))
       .join(bg.as("cb"), col("cb.doc_id") === col("doc_b") &&

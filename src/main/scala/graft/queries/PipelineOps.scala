@@ -584,6 +584,32 @@ object PipelineOps {
        SELECT vec_id, label FROM embeddings
        WHERE vec_id NOT IN (SELECT vec_id FROM lab WHERE vec_id <> cluster_id)"""
 
+  /** THE PSI oracle — one definition shared by e03 (batch) and
+    * st19 (streaming), which answer to the same converged marginals
+    * by design; a single val so the two gates cannot silently drift
+    * apart on a future edit.
+    */
+  val psiOracleSql: String =
+    """WITH counts AS (
+         SELECT lang,
+           sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_a,
+           sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 1
+                    THEN 1 ELSE 0 END)::BIGINT AS n_b
+         FROM documents GROUP BY 1),
+       tot AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM counts),
+       terms AS (
+         SELECT lang, n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             round((n_a / (ta * 1.0) - n_b / (tb * 1.0))
+               * ln((n_a / (ta * 1.0)) / (n_b / (tb * 1.0))) * 1e9)::BIGINT
+           END AS psi_scaled
+         FROM counts, tot)
+       SELECT lang, n_a, n_b, psi_scaled FROM terms
+       UNION ALL
+       SELECT '_total', sum(n_a)::BIGINT, sum(n_b)::BIGINT,
+         sum(psi_scaled)::BIGINT FROM terms"""
+
   val oracles: Map[String, String] = Map(
     // the same size-desc round-robin deal, via the direct window the
     // distributed two-level ranking must equal
@@ -597,26 +623,7 @@ object PipelineOps {
          FROM r GROUP BY 1""",
     // same hash split, same conditional-count pass, same integer-pinned
     // PSI terms; the _total row's exact integer sum must match too
-    "e03_distribution_drift" ->
-      """WITH counts AS (
-           SELECT lang,
-             sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 0
-                      THEN 1 ELSE 0 END)::BIGINT AS n_a,
-             sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 1
-                      THEN 1 ELSE 0 END)::BIGINT AS n_b
-           FROM documents GROUP BY 1),
-         tot AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM counts),
-         terms AS (
-           SELECT lang, n_a, n_b,
-             CASE WHEN n_a > 0 AND n_b > 0 THEN
-               round((n_a / (ta * 1.0) - n_b / (tb * 1.0))
-                 * ln((n_a / (ta * 1.0)) / (n_b / (tb * 1.0))) * 1e9)::BIGINT
-             END AS psi_scaled
-           FROM counts, tot)
-         SELECT lang, n_a, n_b, psi_scaled FROM terms
-         UNION ALL
-         SELECT '_total', sum(n_a)::BIGINT, sum(n_b)::BIGINT,
-           sum(psi_scaled)::BIGINT FROM terms""",
+    "e03_distribution_drift" -> psiOracleSql,
     // e04 answers to the SAME exact oracle as e02 — the NN-descent
     // tier's contract is convergence to the exact 3-NN on this corpus
     "e04_knn_outliers_ann" ->

@@ -11,6 +11,20 @@ import graft.core.Tables
   */
 object Relational10 {
 
+  /** Dedup.registerRelease's contract, mirrored: twoLevelRank's tiny
+    * offset cache outlives its builder (results are lazy plans over
+    * it); the next registering build or an explicit [[releaseCaches]]
+    * drops the previous blocks.
+    */
+  private val liveReleases =
+    new scala.collection.mutable.ArrayBuffer[() => Unit]
+  private def registerRelease(r: () => Unit): Unit =
+    synchronized { liveReleases += r }
+  def releaseCaches(): Unit = synchronized {
+    liveReleases.foreach(r => r())
+    liveReleases.clear()
+  }
+
   /** Sessionized funnel: q40's ordered-stage logic scoped to st02's
     * 30-minute-gap sessions — "did the user view → click → purchase
     * WITHIN one visit", the form product analytics actually asks (a
@@ -149,7 +163,18 @@ object Relational10 {
     * such a group is the same single-task hazard a direct window has
     * — the bucketing helps exactly when values spread.
     */
-  private[graft] def twoLevelRank(df: DataFrame, tie: Seq[Column]): DataFrame = {
+  private[graft] def twoLevelRank(df: DataFrame, tie: Seq[Column]): DataFrame =
+    twoLevelRankAndSizes(df, tie)._1
+
+  /** twoLevelRank plus its per-group size frame (g, n) — the tiny
+    * per-(g, bkt) offset aggregate is computed ONCE (cached; it is
+    * read by the ranked join and by any caller needing group sizes,
+    * e.g. q65's quantile targets) so consumers do not re-scan the
+    * input for a count the ranking machinery already produced.
+    */
+  private[graft] def twoLevelRankAndSizes(
+      df: DataFrame, tie: Seq[Column]): (DataFrame, DataFrame) = {
+    releaseCaches()
     val bounds = df.agg(min(col("v")).as("lo_v"), max(col("v")).as("hi_v"))
     val base = df.crossJoin(broadcast(bounds))
       .withColumn("bkt", least(lit(63L), floor(
@@ -159,16 +184,22 @@ object Relational10 {
     val wCum = Window.partitionBy(col("g")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("g"))
+    // ≤ groups×64 rows — cached so the second reader costs nothing;
+    // released with the module registry (Verify/harnesses clearCache
+    // between queries anyway)
     val offs = base.groupBy(col("g"), col("bkt"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("off", sum(col("cnt")).over(wCum) - col("cnt"))
       .withColumn("n", sum(col("cnt")).over(wAll))
       .select(col("g"), col("bkt"), col("off"), col("n"))
+      .cache()
+    registerRelease(() => { offs.unpersist(); () })
     val wIn = Window.partitionBy(col("g"), col("bkt"))
       .orderBy(col("v") +: tie: _*)
-    base.join(broadcast(offs), Seq("g", "bkt"))
+    val ranked = base.join(broadcast(offs), Seq("g", "bkt"))
       .withColumn("rnk", col("off") + row_number().over(wIn))
       .drop("bkt", "off")
+    (ranked, offs.groupBy(col("g")).agg(max(col("n")).as("n")))
   }
 
   /** percent_rank/cume_dist/ntile closed forms from (rnk, n) — shared
@@ -215,11 +246,14 @@ object Relational10 {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
     // 0-based rank; no tie-break needed — ties get an arbitrary order
-    // but the VALUE at each rank is order-statistic-determined
-    val ranked = twoLevelRank(li, Seq.empty)
+    // but the VALUE at each rank is order-statistic-determined.
+    // Group sizes come from the ranking machinery's own cached offset
+    // aggregate — no second lineitem scan for a count it already took.
+    val (ranked0, sizes) = twoLevelRankAndSizes(li, Seq.empty)
+    val ranked = ranked0
       .withColumn("rk", col("rnk") - 1)
       .select(col("g"), col("v"), col("rk"))
-    val targets = li.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val targets = sizes
       .withColumn("p", explode(array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))))
       .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
       .withColumn("lo", floor(col("pos")).cast("long"))

@@ -886,27 +886,8 @@ object EventStreams {
   val oracles: Map[String, String] = Map(
     // st19: the stream-maintained marginals converge to the batch
     // marginals on a finite replay, so the PSI gate shares e03's
-    // oracle by design
-    "st19_stream_drift" ->
-      """WITH counts AS (
-           SELECT lang,
-             sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 0
-                      THEN 1 ELSE 0 END)::BIGINT AS n_a,
-             sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 1
-                      THEN 1 ELSE 0 END)::BIGINT AS n_b
-           FROM documents GROUP BY 1),
-         tot AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM counts),
-         terms AS (
-           SELECT lang, n_a, n_b,
-             CASE WHEN n_a > 0 AND n_b > 0 THEN
-               round((n_a / (ta * 1.0) - n_b / (tb * 1.0))
-                 * ln((n_a / (ta * 1.0)) / (n_b / (tb * 1.0))) * 1e9)::BIGINT
-             END AS psi_scaled
-           FROM counts, tot)
-         SELECT lang, n_a, n_b, psi_scaled FROM terms
-         UNION ALL
-         SELECT '_total', sum(n_a)::BIGINT, sum(n_b)::BIGINT,
-           sum(psi_scaled)::BIGINT FROM terms""",
+    // oracle by design — literally the same val, so they cannot drift
+    "st19_stream_drift" -> graft.queries.PipelineOps.psiOracleSql,
     // st18: the converged per-user update stream == the batch
     // aggregation (count monotone, min/max order-free)
     "st18_transform_with_state" ->
