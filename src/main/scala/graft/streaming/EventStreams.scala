@@ -837,10 +837,130 @@ object EventStreams {
     graft.queries.PipelineOps.psiFromCounts(s.table(name))
   }
 
+  /** Stage documents as 4 replay chunks for the corpus-refresh gate:
+    * chunks 0–2 the standing corpus (d08's !is_new slice, md5
+    * tri-split), chunk 3 the arrivals (d08's is_new slice) — modtime
+    * stamped in that order so the file source replays the store build
+    * BEFORE the arrivals batch queries it (st12's staging idiom).
+    */
+  private def stageDocChunks(s: SparkSession, d: String): String =
+    graft.core.Staging.ensure(d, "documents", "docs4") { dirS =>
+      val dir = java.nio.file.Paths.get(dirS)
+      java.nio.file.Files.createDirectories(dir)
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val docs = Tables.documents(s, d)
+      val scratch = java.nio.file.Paths.get(
+        graft.core.Staging.tempAtExit("graft_doc_stage_"))
+      Seq(
+        h % 5 =!= 0 && h % 3 === 0,
+        h % 5 =!= 0 && h % 3 === 1,
+        h % 5 =!= 0 && h % 3 === 2,
+        h % 5 === 0)
+        .zipWithIndex.foreach { case (pred, i) =>
+          val sub = scratch.resolve(s"c$i")
+          docs.filter(pred).coalesce(1)
+            .write.mode("overwrite").parquet(sub.toString)
+          val part = new java.io.File(sub.toString).listFiles()
+            .find(_.getName.startsWith("part-")).get
+          java.nio.file.Files.move(part.toPath,
+            dir.resolve(s"chunk-$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      val base = System.currentTimeMillis()
+      (0 to 3).foreach { i =>
+        val f = dir.resolve(s"chunk-$i.parquet").toFile
+        if (!f.setLastModified(base + (i + 1) * 60000L))
+          throw new IllegalStateException(
+            s"setLastModified failed for $f — replay order not guaranteed")
+      }
+    }
+
+  /** STREAMING INCREMENTAL DEDUP — the corpus-refresh pipeline d08
+    * documents as the 100 TB steady state, actually RUN as a stream:
+    * the standing corpus arrives in micro-batches and each batch
+    * APPENDS its MinHash band keys and shingle sets to a persisted
+    * parquet signature store (the "precomputed and stored" side of
+    * d08's docstring — build cost paid incrementally, never a corpus
+    * rescan); the nightly arrivals batch then band-joins ONLY against
+    * the store accumulated from strictly earlier batches and
+    * exact-verifies its candidates (Jaccard ≥ 0.5, the d03/d08
+    * arithmetic verbatim). Because the staging puts every corpus doc
+    * before the arrivals chunk, the store the arrivals see IS d08's
+    * corpus side, so the final quarantine set answers to d08's
+    * UNCHANGED oracle — the st19/st15 shared-oracle pattern applied
+    * to dedup. State here is the parquet store, not stream-engine
+    * state: per-batch work is bands-over-batch plus one band-key
+    * join, which is exactly the production refresh cost model.
+    */
+  def st20StreamIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val chunks = stageDocChunks(s, d)
+    val bandStore = graft.core.Staging.tempAtExit("graft_st20_bands_")
+    val shStore = graft.core.Staging.tempAtExit("graft_st20_sh_")
+    val outDir = graft.core.Staging.tempAtExit("graft_st20_out_")
+    val docSchema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(chunks)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        graft.functions.VectorExpressions.register(sp)
+        val sigs = batch
+          .withColumn("sh", expr("graft_shingles(text)"))
+          .filter(size(col("sh")) > 0)
+          .withColumn("is_new",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("long") % 5 === 0)
+          .select(col("doc_id"), col("is_new"), col("sh"))
+          .cache()
+        val haveStore = Option(new java.io.File(bandStore).listFiles())
+          .exists(_.exists(_.getName.startsWith("part-")))
+        if (haveStore) {
+          val newDocs = sigs.filter(col("is_new"))
+          val cands = newDocs
+            .select(col("doc_id").as("new_id"),
+              posexplode(expr("graft_minhash_bands(sh)")))
+            .toDF("new_id", "band", "bv")
+            .join(sp.read.parquet(bandStore), Seq("band", "bv"))
+            .select(col("new_id"), col("corpus_id"))
+            .dropDuplicates("new_id", "corpus_id")
+          cands
+            .join(newDocs.select(col("doc_id").as("new_id"),
+              col("sh").as("sha")), "new_id")
+            .join(sp.read.parquet(shStore)
+              .select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
+              "corpus_id")
+            .withColumn("common",
+              size(array_intersect(col("sha"), col("shb"))).cast("long"))
+            .withColumn("jaccard", col("common") /
+              (size(col("sha")) + size(col("shb")) - col("common")).cast("long"))
+            .filter(col("jaccard") >= 0.5)
+            .select(col("new_id"), col("corpus_id"), col("jaccard"))
+            .write.mode("append").parquet(outDir)
+        }
+        val corpus = sigs.filter(!col("is_new"))
+        corpus
+          .select(col("doc_id").as("corpus_id"),
+            posexplode(expr("graft_minhash_bands(sh)")))
+          .toDF("corpus_id", "band", "bv")
+          .write.mode("append").parquet(bandStore)
+        corpus.select(col("doc_id"), col("sh"))
+          .write.mode("append").parquet(shStore)
+        sigs.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.schema("new_id BIGINT, corpus_id BIGINT, jaccard DOUBLE")
+      .parquet(outDir)
+  }
+
   private def gated(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st20_stream_incr_dedup" -> gated(st20StreamIncrementalDedup),
     "st19_stream_drift" -> gated(st19StreamDrift),
     "st18_transform_with_state" -> gated(st18TransformWithState),
     "st17_stream_left_outer" -> gated(st17StreamLeftOuter),
@@ -884,6 +1004,10 @@ object EventStreams {
        FROM agg, wm WHERE end_us + 1800000000 < w"""
 
   val oracles: Map[String, String] = Map(
+    // st20: every corpus doc streams through before the arrivals
+    // batch, so the accumulated signature store IS d08's corpus side
+    // and the quarantine set answers to d08's oracle — same val
+    "st20_stream_incr_dedup" -> graft.queries.Dedup.oracles("d08_incremental_dedup"),
     // st19: the stream-maintained marginals converge to the batch
     // marginals on a finite replay, so the PSI gate shares e03's
     // oracle by design — literally the same val, so they cannot drift
