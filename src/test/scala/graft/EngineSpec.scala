@@ -314,6 +314,79 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"candidate set ${got.size} is not selective vs $allPairs all-pairs")
   }
 
+  test("d13 crossover: on a broad-vocab Zipf corpus the prefix tier's work is ≪ d12's") {
+    import spark.implicits._
+    // d13's docstring derives WHY prefix filtering wins on real text
+    // (df-1-dominated tails; boilerplate cliques blow up the quadratic
+    // tier) but the shared-vocab documents fixture is adverse to it —
+    // this fixture measures the claim. Log-uniform rank sampling gives
+    // p(rank) ∝ 1/rank over a 50k vocabulary: a boilerplate head
+    // (df ≈ corpus size) plus a df-1..3 tail, text's actual shape.
+    val rnd = new scala.util.Random(29)
+    val vocab = 50000.0
+    def draw(): Long =
+      math.max(1, math.exp(rnd.nextDouble() * math.log(vocab)).toInt).toLong
+    val base: Seq[(Long, Set[Long])] = (0 until 300).map { i =>
+      val s = scala.collection.mutable.Set.empty[Long]
+      while (s.size < 60) s += draw()
+      (i.toLong, s.toSet)
+    }
+    // one planted subset pair keeps the fixture honest: completeness
+    // must hold while the work collapses
+    val planted = (9000L, base.head._2.toSeq.sorted.take(48).toSet)
+    val docs = base :+ planted
+    val sh = docs.flatMap { case (id, s) => s.map(t => (id, t)) }.toDF("doc_id", "s")
+    val cands = graft.queries.Dedup.prefixCandidates(sh)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 9000L)), "planted subset pair must be a candidate")
+    val n = docs.size
+    val allPairs = n.toLong * (n - 1) / 2
+    val density = cands.size.toDouble / allPairs
+    assert(density < 0.01,
+      s"candidate density $density (${cands.size} of $allPairs) not < 1%")
+    // join-work twins, computed from the same definitions the plans
+    // execute: d12 probes df·(df−1)/2 pairs per shingle; d13 probes
+    // the full posting list (df) once per df≥2 PREFIX row
+    val df = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val d12Work = df.values.map(d => d.toLong * (d - 1) / 2).sum
+    val d13Work = docs.iterator.map { case (_, s) =>
+      val na = s.size
+      val prefixLen = na - (na * 4 + 4) / 5 + 1
+      s.toSeq.sortBy(t => (df(t), t)).take(prefixLen)
+        .filter(df(_) >= 2).map(df(_).toLong).sum
+    }.sum
+    val ratio = d13Work.toDouble / d12Work
+    assert(ratio < 0.05,
+      s"d13:d12 work ratio $ratio ($d13Work vs $d12Work) not ≪ 1")
+    info(f"candidate density $density%.5f (${cands.size} of $allPairs); " +
+      f"work d13=$d13Work d12=$d12Work ratio=$ratio%.5f")
+  }
+
+  test("d13 candidate quality vs d12's exact containment truth (the d14 board row)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // d14's board excludes the prefix tier because xxhash64 ordering
+    // is not SQL-replicable; measure it ENGINE-side instead, against
+    // d12's truth (which IS oracle-checked). Recall must be exactly 1
+    // — the prefix principle is a theorem, conservatively preserved in
+    // the hash domain — and precision is the measured number.
+    graft.functions.VectorExpressions.register(spark)
+    val sh = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(expr("graft_shingles(text)")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val cands = graft.queries.Dedup.prefixCandidates(sh)
+      .as[(Long, Long)].collect().toSet
+    val truth = SparkEntry.queries("d12_containment_pairs")(spark, sf)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "no qualifying pairs — fixture vacuous")
+    assert((truth -- cands).isEmpty,
+      s"prefix candidates MISSED qualifying pairs: ${truth -- cands}")
+    val prec = (cands & truth).size.toDouble / cands.size
+    info(f"precision $prec%.4f over ${cands.size} candidates; " +
+      s"recall 1.0 over ${truth.size} truth pairs")
+    graft.queries.Dedup.releaseCaches()
+  }
+
   test("d13 candidates come from the prefix window, not a full shingle self-join") {
     val p = planOf("d13_containment_prefix")
     // the df-ordered per-doc rank that defines the prefix must be in
