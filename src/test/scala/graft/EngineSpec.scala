@@ -656,6 +656,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d07 runs green on the reliable-checkpoint path (Verify surface, Staging-enrolled dir)") {
+    // the conf-swap spec above proves label equality for the CC core;
+    // this one runs the actual Verify-surface query under the conf so
+    // the reliable path is exercised end-to-end: same rows as the
+    // (oracle-checked) default path, and round files actually landed
+    // under the configured dir — which is enrolled in the Staging
+    // exit registry, so a double run leaves no orphans
+    def rows() = SparkEntry.queries("d07_dup_clusters")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val default = rows()
+    val dir = graft.core.Staging.tempAtExit("graft_d07_ckpt_")
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val reliable = rows()
+      assert(reliable == default,
+        s"reliable-checkpoint d07 diverged: ${reliable -- default} vs ${default -- reliable}")
+      def fileCount(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(fileCount).sum else 1
+      assert(fileCount(new java.io.File(dir)) > 0,
+        s"no checkpoint files under $dir — reliable path not taken")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("dedup shared caches are bounded and fully releasable in one session") {
     val sc = spark.sparkContext
     graft.queries.Dedup.releaseCaches()
