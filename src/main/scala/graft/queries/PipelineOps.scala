@@ -126,11 +126,14 @@ object PipelineOps {
     * NN-DESCENT (Dong et al., WWW'11), the standard distributed
     * all-points-kNN construction: every vector keeps a working list of
     * its K best neighbors so far, and each round proposes
-    * neighbors-of-neighbors (over the UNDIRECTED current graph) as new
-    * candidates. Per-round work is n·(2K)² candidate pairs — LINEAR in
-    * corpus size — versus the quadratic Σ cell² of the blocked
-    * self-join; no join in this plan is keyed on the label cell alone
-    * (the plan spec asserts exactly that, and that e02 still has one).
+    * neighbors-of-neighbors (forward edges plus a CAPPED reverse
+    * expansion — see the in-loop comment; uncapped reverse lists let
+    * high-dim hub nodes re-quadratize the 2-hop join) as new
+    * candidates. Per-round work is ≤ 2K²·n candidate pairs — LINEAR
+    * in corpus size however skewed the graph — versus the quadratic
+    * Σ cell² of the blocked self-join; no join in this plan is keyed
+    * on the label cell alone (the plan spec asserts exactly that, and
+    * that e02 still has one).
     *
     * Everything is deterministic, so the result is hash-checked
     * against e02's UNCHANGED exact oracle: the warm start routes each
@@ -204,41 +207,76 @@ object PipelineOps {
           "vec_id")
         .join(e.select(col("vec_id").as("nb"), col("v").as("vb"),
           col("nrm").as("nbn")), "nb")
-        .withColumn("cos", expr("graft_dot(va, vb)") / (col("na") * col("nbn")))
+        // score, then DROP both vectors before the ranking shuffle
+        // (e02's own discipline): sorting rows that still carry 2×64
+        // doubles is a ~40× wider exchange for nothing
+        .select(col("vec_id"), col("nb"),
+          (expr("graft_dot(va, vb)") / (col("na") * col("nbn"))).as("cos"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= kDeg) // literal -> WindowGroupLimit per task
         .groupBy(col("vec_id"))
         .agg(expr("transform(array_sort(collect_list(struct(rk, nb, cos)))," +
           " x -> struct(x.nb AS nb, x.cos AS cos))").as("nbrs"))
     }
-    var state = topK(initPairs).cache()
-    var release: () => Unit = { val st = state; () => { st.unpersist(); () } }
-    state.count()
+    // Per-round lineage truncation via the d07 loop's discipline: a
+    // round references its edge frame THREE times (both 2-hop sides +
+    // the 1-hop union), so an untruncated logical plan grows ~3× per
+    // round and ANALYSIS/cache-matching cost goes exponential — the
+    // data is tiny but planning alone reached ~20 s by round 3
+    // (measured). roundCheckpoint (localCheckpoint; reliable files
+    // under spark.graft.checkpointDir) resets the plan to a leaf.
+    def ckRelease(df: DataFrame): () => Unit = {
+      val rdd = graft.core.Checkpoints.checkpointedRdd(df)
+      () => { rdd.foreach(_.unpersist(blocking = false)); () }
+    }
+    var state = graft.core.Checkpoints.roundCheckpoint(topK(initPairs))
+    var release: () => Unit = ckRelease(state)
     for (_ <- 1 to 3) {
       val ed = state.select(col("vec_id").as("src"),
         explode(expr("transform(nbrs, x -> x.nb)")).as("dst"))
-      val und = ed
-        .union(ed.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-      val non = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
+      // CAPPED reverse expansion (the NN-descent paper's reverse
+      // sampling): a refined kNN graph grows hub nodes (high-dim
+      // hubness), and an uncapped symmetrized 2-hop join fans out as
+      // Σ in(m)·out(m) — quadratic in hub degree (measured: round 3
+      // cost 7× round 1 on identical row counts before the cap). Per
+      // node keep the K reverse sources with smallest id
+      // (deterministic), so every node's expansion degree is ≤ 2K
+      // and the join product is ≤ 2K²·n however skewed the graph.
+      val wRev = Window.partitionBy(col("src")).orderBy(col("dst"))
+      val rev = ed.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("rr", row_number().over(wRev))
+        .filter(col("rr") <= kDeg).drop("rr")
+      val out = ed.union(rev).distinct()
+      val non = out.as("x").join(out.as("y"), col("x.dst") === col("y.src"))
         .select(col("x.src").as("vec_id"), col("y.dst").as("nb"))
         .filter(col("vec_id") =!= col("nb"))
-        .union(und.select(col("src").as("vec_id"), col("dst").as("nb")))
+        .union(out.select(col("src").as("vec_id"), col("dst").as("nb")))
         .distinct()
-      state = topK(non).cache()
-      state.count()
+      // roundCheckpoint is eager, so the new state is materialized
+      // before the previous round's blocks release
+      state = graft.core.Checkpoints.roundCheckpoint(topK(non))
       release()
-      release = { val st = state; () => { st.unpersist(); () } }
+      release = ckRelease(state)
     }
-    registerRelease(release)
+    // Fold the small result into an ordinary cache and drop the final
+    // checkpoint blocks NOW (d07's ending): a truncated lineage cannot
+    // recompute, so handing a checkpoint-backed frame to a registry
+    // that releases on the next build would turn later re-evaluation
+    // into a hard "block not found" failure rather than a perf loss.
     val wRank = Window.partitionBy(col("label"))
       .orderBy(col("knn3_cos"), col("vec_id"))
-    state.select(col("vec_id"), expr("nbrs[2].cos").as("knn3_cos"))
+    val result = state
+      .select(col("vec_id"), expr("nbrs[2].cos").as("knn3_cos"))
       .join(e.select(col("vec_id"), col("label")), "vec_id")
       .withColumn("sparsity_rank", row_number().over(wRank).cast("long"))
       .withColumn("is_outlier", col("sparsity_rank") <= 5)
       .select(col("vec_id"), col("label"), col("knn3_cos"),
         col("sparsity_rank"), col("is_outlier"))
+      .cache()
+    result.count()
+    release()
+    registerRelease(() => { result.unpersist(); () })
+    result
   }
 
   /** Deterministic hash sampling — THE reproducible way to subsample

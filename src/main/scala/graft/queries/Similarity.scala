@@ -934,30 +934,34 @@ object Similarity {
     * over it (state and shortlist are co-partitioned on probe_id).
     */
   private[graft] def mmrSelect(cand: DataFrame, k: Int): DataFrame = {
-    // one winner per probe: max_by over (mmr, -vec_id) == the greedy
-    // (mmr DESC, vec_id ASC) tie-break, partial-aggable
-    def pick(scored: DataFrame): DataFrame =
-      scored.groupBy(col("probe_id"))
-        .agg(max_by(
-          struct(col("vec_id"), col("mmr"), col("v"), col("nrm")),
-          struct(col("mmr"), (-col("vec_id")).as("nv"))).as("p"))
+    val winner = max_by(
+      struct(col("vec_id"), col("mmr"), col("v"), col("nrm")),
+      struct(col("mmr"), (-col("vec_id")).as("nv"))) // (mmr DESC, id ASC)
     // state: probe_id, sel = array<struct<vec_id, mmr, v, nrm>> in
-    // selection order — entirely executor-resident, never collected
-    var state = pick(cand.withColumn("mmr", lit(0.7) * col("cosq")))
+    // selection order — entirely executor-resident, never collected.
+    // Each round references the previous state exactly ONCE (the sel
+    // array rides THROUGH the winner aggregation via first(), legal
+    // because sel is constant within a probe group) — a second
+    // reference (e.g. joining winners back against the old state)
+    // would double-evaluate the chain per round: 2^k plan blow-up.
+    var state = cand.withColumn("mmr", lit(0.7) * col("cosq"))
+      .groupBy(col("probe_id")).agg(winner.as("p"))
       .select(col("probe_id"), array(col("p")).as("sel"))
     for (_ <- 2 to k) {
       // shuffle_hash, not broadcast: a BroadcastExchange builds its
       // relation ON THE DRIVER — |probes| rows through the driver per
       // round, the exact bottleneck this loop exists to avoid. Both
       // sides are already hashpartitioned(probe_id) (cand's shortlist
-      // window / pick's groupBy), so the hash join plans with zero
-      // exchanges — per-partition build over the tiny state side.
-      val scored = cand.join(state.hint("shuffle_hash"), "probe_id")
+      // window / the state agg's groupBy), so the hash join plans
+      // with zero exchanges — per-partition build over the tiny
+      // state side.
+      state = cand.join(state.hint("shuffle_hash"), "probe_id")
         .filter(expr("!exists(sel, x -> x.vec_id = vec_id)"))
         .withColumn("msim", expr(
           "array_max(transform(sel, x -> graft_dot(v, x.v) / (nrm * x.nrm)))"))
         .withColumn("mmr", lit(0.7) * col("cosq") - lit(0.3) * col("msim"))
-      state = state.join(pick(scored.drop("sel")).hint("shuffle_hash"), "probe_id")
+        .groupBy(col("probe_id"))
+        .agg(winner.as("p"), first(col("sel")).as("sel"))
         .select(col("probe_id"), concat(col("sel"), array(col("p"))).as("sel"))
     }
     state.select(col("probe_id"), posexplode(col("sel")))
