@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -586,7 +586,111 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
   }
 
+  /** Z-order (Morton) layout board — the 2-D data-skipping layout a
+    * 100 TB lake clusters files by. A single sort key (ship-day) makes
+    * parquet row-group min/max stats selective for ONE dimension and
+    * useless for every other; interleaving the bits of two normalized
+    * dimensions (ship-day × partkey here) gives a 1-D key whose ranges
+    * are small 2-D tiles, so min/max footer stats prune scans for
+    * predicates on EITHER column. At 100 TB the layout write is
+    * `repartitionByRange(zval).sortWithinPartitions(zval)` — a single
+    * range shuffle at ingest, amortized over every later scan.
+    *
+    * This board quantifies the claim with exact integer arithmetic:
+    * both dims normalized to 8-bit grids via bounds from one 1-row
+    * aggregate (broadcast back — the scalar-stats idiom), bits
+    * interleaved into a 16-bit Morton code, the curve cut into 64
+    * equal z-ranges (the stand-ins for row groups), and each range's
+    * min/max extent per dimension reported — the footer stats a reader
+    * would prune on. `ZorderLayoutSpec` turns the extents into the
+    * decision number: buckets prunable for a partkey predicate under
+    * z-order vs under the 1-D ship-day sort (where partkey extents
+    * span the whole axis). Everything is integer or exactly-
+    * representable double arithmetic — hash-identical cross-engine.
+    */
+  def p07ZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.lineitem(s, d).select(
+      datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d1"),
+      col("l_partkey").as("d2"))
+    val bounds = src.agg(
+      min(col("d1")).as("lo1"), max(col("d1")).as("hi1"),
+      min(col("d2")).as("lo2"), max(col("d2")).as("hi2"))
+    // (d-lo)*256 ≤ ~1.5e8 and the divisor ≤ ~2e5: both ≪ 2^53, so the
+    // double divide + floor is exact in every IEEE engine.
+    def grid(v: Column, lo: Column, hi: Column): Column =
+      floor((v - lo).cast("double") * lit(256.0) /
+        (hi - lo + lit(1L)).cast("double")).cast("long")
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright(col("b1"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(col("b2"), i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+    src.crossJoin(broadcast(bounds))
+      .withColumn("b1", grid(col("d1"), col("lo1"), col("hi1")))
+      .withColumn("b2", grid(col("d2"), col("lo2"), col("hi2")))
+      .withColumn("zbucket", floor(z.cast("double") / lit(1024.0)).cast("long"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("b1")).as("b1_lo"), max(col("b1")).as("b1_hi"),
+        min(col("b2")).as("b2_lo"), max(col("b2")).as("b2_hi"))
+  }
+
+  /** Distributed quality-classifier training — full-batch logistic
+    * regression by gradient descent in the aggregate-broadcast shape
+    * the k-means loop (s08) established: per round, every document
+    * contributes three integer-pinned gradient terms to ONE partial
+    * aggregate (map-side combine → a single 1-row result), the weight
+    * update is exact integer arithmetic on that row, and the new
+    * weights re-enter the plan as three literals. Documents never
+    * shuffle; per-round cluster traffic is one row regardless of
+    * corpus size — the shape that trains a fastText-style quality
+    * gate over 100 TB without moving the corpus.
+    *
+    * Cross-engine exactness is t17's discipline: each per-document
+    * gradient/loss term is pinned to a scaled BIGINT BEFORE the sum,
+    * so accumulation is order-free and the weight trajectory is a
+    * deterministic function of exact integer sums (the one double
+    * step, lr·S/n, has both operands ≪ 2^53). The DuckDB oracle
+    * replays the identical three iterations as chained 1-row CTEs.
+    * Features: bias, n_chars/1000, whitespace-token count/100;
+    * target: lang == 'en'. Output: per-iteration scaled weights and
+    * pinned training loss — the trajectory a training job monitors.
+    */
+  def e05LrQualityTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val feats = Tables.documents(s, d).select(
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      (col("n_chars").cast("double") / lit(1000.0)).as("x1"),
+      (size(toks).cast("double") / lit(100.0)).as("x2")).cache()
+    def halfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var w = Array(0L, 0L, 0L) // scaled 1e6
+    val trajectory = (1 to 3).map { it =>
+      val m = lit(w(0).toDouble / 1e6) +
+        lit(w(1).toDouble / 1e6) * col("x1") +
+        lit(w(2).toDouble / 1e6) * col("x2")
+      val p = lit(1.0) / (lit(1.0) + exp(-m))
+      def g(x: Column) = sum(round((p - col("y")) * x * lit(1e6)).cast("long"))
+      val r = feats.agg(g(lit(1.0)).as("s0"), g(col("x1")).as("s1"),
+        g(col("x2")).as("s2"),
+        sum(round(-(col("y") * log(p) +
+          (lit(1.0) - col("y")) * log(lit(1.0) - p)) * lit(1e6))
+          .cast("long")).as("sl"),
+        count(lit(1)).as("n")).head()
+      val n = r.getLong(4)
+      w = Array(w(0) - halfUp(0.5 * r.getLong(0) / n),
+        w(1) - halfUp(0.5 * r.getLong(1) / n),
+        w(2) - halfUp(0.5 * r.getLong(2) / n))
+      (it, w(0), w(1), w(2), r.getLong(3))
+    }
+    feats.unpersist()
+    trajectory.toDF("iter", "w0", "w1", "w2", "loss_scaled")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e05_lr_quality_train" -> e05LrQualityTrain,
+    "p07_zorder_layout" -> p07ZorderLayout,
     "p06_shard_manifest" -> p06ShardManifest,
     "e03_distribution_drift" -> e03DistributionDrift,
     "e02_knn_outliers" -> e02KnnOutliers,
@@ -649,6 +753,70 @@ object PipelineOps {
          sum(psi_scaled)::BIGINT FROM terms"""
 
   val oracles: Map[String, String] = Map(
+    // the same three GD iterations, replayed as chained 1-row CTEs:
+    // per-doc gradient/loss terms pinned to scaled BIGINTs before the
+    // sum (order-free), weight updates exact integer arithmetic
+    "e05_lr_quality_train" -> {
+      // one iteration's aggregate over f given the entering weights
+      // (join = the previous update CTE carrying them, aliased u)
+      def it(w0: String, w1: String, w2: String, join: String) =
+        s"""SELECT sum(round((p - y) * 1.0 * 1e6))::BIGINT AS s0,
+              sum(round((p - y) * x1 * 1e6))::BIGINT AS s1,
+              sum(round((p - y) * x2 * 1e6))::BIGINT AS s2,
+              sum(round(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)) * 1e6))::BIGINT AS sl,
+              count(*)::BIGINT AS n
+            FROM (SELECT y, x1, x2,
+              1.0 / (1.0 + exp(-(($w0) / 1e6 + ($w1) / 1e6 * x1 + ($w2) / 1e6 * x2))) AS p
+              FROM f$join)"""
+      def upd(prev0: String, prev1: String, prev2: String, iter: String, join: String) =
+        s"""SELECT ($prev0 - round(0.5 * s0::DOUBLE / n))::BIGINT AS w0,
+                   ($prev1 - round(0.5 * s1::DOUBLE / n))::BIGINT AS w1,
+                   ($prev2 - round(0.5 * s2::DOUBLE / n))::BIGINT AS w2,
+                   $iter.sl AS sl FROM $iter$join"""
+      s"""WITH f AS (
+           SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END::DOUBLE AS y,
+             n_chars::DOUBLE / 1000.0 AS x1,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))::DOUBLE / 100.0 AS x2
+           FROM documents),
+         i1 AS (${it("0", "0", "0", "")}),
+         u1 AS (${upd("0", "0", "0", "i1", "")}),
+         i2 AS (${it("u.w0", "u.w1", "u.w2", ", u1 u")}),
+         u2 AS (${upd("u.w0", "u.w1", "u.w2", "i2", ", u1 u")}),
+         i3 AS (${it("u.w0", "u.w1", "u.w2", ", u2 u")}),
+         u3 AS (${upd("u.w0", "u.w1", "u.w2", "i3", ", u2 u")})
+         SELECT 1 AS iter, w0, w1, w2, sl AS loss_scaled FROM u1
+         UNION ALL SELECT 2, w0, w1, w2, sl FROM u2
+         UNION ALL SELECT 3, w0, w1, w2, sl FROM u3"""
+    },
+    // identical grid normalization, bit interleave, and 64-way z-range
+    // cut — all integer / exactly-representable double arithmetic
+    "p07_zorder_layout" ->
+      """WITH src AS (
+           SELECT date_diff('day', DATE '1970-01-01', l_shipdate::DATE)::BIGINT AS d1,
+                  l_partkey AS d2
+           FROM lineitem),
+         b AS (SELECT min(d1) AS lo1, max(d1) AS hi1,
+                      min(d2) AS lo2, max(d2) AS hi2 FROM src),
+         g AS (
+           SELECT CAST(floor(((d1 - lo1) * 256)::DOUBLE / ((hi1 - lo1 + 1))::DOUBLE) AS BIGINT) AS b1,
+                  CAST(floor(((d2 - lo2) * 256)::DOUBLE / ((hi2 - lo2 + 1))::DOUBLE) AS BIGINT) AS b2
+           FROM src, b),
+         z AS (
+           SELECT b1, b2,
+             (((b1 >> 0) & 1) << 1) + (((b2 >> 0) & 1) << 0)
+           + (((b1 >> 1) & 1) << 3) + (((b2 >> 1) & 1) << 2)
+           + (((b1 >> 2) & 1) << 5) + (((b2 >> 2) & 1) << 4)
+           + (((b1 >> 3) & 1) << 7) + (((b2 >> 3) & 1) << 6)
+           + (((b1 >> 4) & 1) << 9) + (((b2 >> 4) & 1) << 8)
+           + (((b1 >> 5) & 1) << 11) + (((b2 >> 5) & 1) << 10)
+           + (((b1 >> 6) & 1) << 13) + (((b2 >> 6) & 1) << 12)
+           + (((b1 >> 7) & 1) << 15) + (((b2 >> 7) & 1) << 14) AS zv
+           FROM g)
+         SELECT CAST(floor(zv::DOUBLE / 1024.0) AS BIGINT) AS zbucket,
+           count(*)::BIGINT AS n_rows,
+           min(b1) AS b1_lo, max(b1) AS b1_hi,
+           min(b2) AS b2_lo, max(b2) AS b2_hi
+         FROM z GROUP BY 1""",
     // the same size-desc round-robin deal, via the direct window the
     // distributed two-level ranking must equal
     "p06_shard_manifest" ->

@@ -1113,6 +1113,68 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n > 1 && written == n, s"expected $n part files, found $written")
   }
 
+  test("p07 z-order tiles prune 2-D predicates the 1-D sort layout cannot") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val z = graft.queries.PipelineOps.p07ZorderLayout(spark, sf).collect()
+    // the layout z-order replaces: same rows sorted by ship-day alone,
+    // cut into 64 equal-count buckets (row groups of a 1-D sorted file)
+    val src = graft.core.Tables.lineitem(spark, sf).select(
+      datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d1"),
+      col("l_partkey").as("d2"))
+    val b = src.agg(min("d1"), max("d1"), min("d2"), max("d2")).head()
+    val (lo1, hi1, lo2, hi2) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val oneD = src
+      .withColumn("b1", floor((col("d1") - lo1).cast("double") * 256.0 /
+        (hi1 - lo1 + 1).toDouble).cast("long"))
+      .withColumn("b2", floor((col("d2") - lo2).cast("double") * 256.0 /
+        (hi2 - lo2 + 1).toDouble).cast("long"))
+      .withColumn("bkt", ntile(64).over(Window.orderBy(col("d1"), col("d2"))))
+      .groupBy("bkt").agg(min("b1").as("b1_lo"), max("b1").as("b1_hi"),
+        min("b2").as("b2_lo"), max("b2").as("b2_hi"))
+      .collect()
+    // buckets a min/max-stats reader must scan for a range predicate
+    def reads(rows: Array[org.apache.spark.sql.Row], c: String, lo: Long, hi: Long) =
+      rows.count(r => r.getAs[Long](c + "_lo") <= hi && r.getAs[Long](c + "_hi") >= lo)
+    val zPart = reads(z, "b2", 96, 127)      // partkey slice: 1/8 of the grid
+    val oneDPart = reads(oneD, "b2", 96, 127)
+    val zDay = reads(z, "b1", 96, 127)       // ship-day slice
+    assert(zPart * 4 <= oneDPart,
+      s"z-order reads $zPart buckets for a partkey slice; 1-D sort reads $oneDPart")
+    assert(zDay <= 16, s"z-order reads $zDay buckets for a ship-day slice")
+  }
+
+  test("e05 training loss decreases and iteration 1 matches the closed form") {
+    val rows = graft.queries.PipelineOps.e05LrQualityTrain(spark, sf)
+      .orderBy("iter").collect()
+    val n = graft.core.Tables.documents(spark, sf).count()
+    // w=0 ⇒ p=0.5 for every doc ⇒ per-doc CE pins to round(ln 2 · 1e6)
+    assert(rows(0).getLong(4) == 693147L * n)
+    val losses = rows.map(_.getLong(4))
+    assert(losses(0) > losses(1) && losses(1) > losses(2),
+      s"loss trajectory not decreasing: ${losses.mkString(",")}")
+  }
+
+  test("d17 CDC chunks meet across alignment shift (planted shared span)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(100000)).mkString(" ")
+    val shared = words(40) // ~270 chars of verbatim span
+    // same span at very different offsets: doc-level fixed-stride
+    // shingle windows shift, content-defined boundaries do not
+    val rows = Seq(
+      (1L, words(3) + " " + shared + " " + words(5)),
+      (2L, words(17) + " " + shared + " " + words(2)),
+      (3L, words(60))).toDF("doc_id", "text")
+    val got = graft.queries.Dedup.cdcOverlap(rows)
+      .select("doc_a", "doc_b", "shared_chars")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"expected exactly the planted pair, got $got")
+    assert(got.head._3 >= 100, s"shared span under-detected: ${got.head._3}")
+  }
+
   test("connected components resolve transitive dup clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
