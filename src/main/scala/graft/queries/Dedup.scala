@@ -865,7 +865,71 @@ object Dedup {
           6).as("exact_cos"))
   }
 
+  /** d17: content-defined chunking (CDC) overlap — SUB-document
+    * duplicate-span detection, the storage-dedup/plagiarism tier the
+    * doc-level signatures (d03/d04) cannot see: two documents that
+    * share a long verbatim span but differ elsewhere chunk that span
+    * IDENTICALLY because boundaries depend only on local content (a
+    * Rabin-style rolling hash over the last 8 chars, breakpoint where
+    * h % 64 == 0 — the LBFS design), so shared spans meet at equal
+    * chunk hashes however the surrounding text shifts alignment.
+    *
+    * Pipeline shape, all codegen'd higher-order functions (zero UDFs):
+    * per doc, ONE narrow pass materializes char codes → breakpoint
+    * positions → chunk substrings (transform/filter/sequence); chunks
+    * ≥ 24 chars hash to md5 keys; one distinct + one equi-join on the
+    * chunk hash yields pairs. Boilerplate guard: chunk hashes seen in
+    * > 64 documents are dropped BEFORE the self-join (d09's df-cap
+    * lesson) — at 100 TB a ubiquitous header would otherwise square
+    * into |df|² pairs; a 64-doc cap bounds per-key fan-out at 64²
+    * while keeping every genuine near-dup span (true overlap pairs
+    * share RARE chunks). The rolling hash is exact 64-bit integer
+    * arithmetic (13^j weights, max term ≈ 7e13 ≪ 2^63) — identical in
+    * every engine, no floats anywhere.
+    */
+  def d17CdcChunkOverlap(s: SparkSession, d: String): DataFrame =
+    cdcOverlap(Tables.documents(s, d))
+
+  /** d17's core over any (doc_id, text) frame — package-visible so the
+    * spec can assert the property that justifies CDC: a shared span
+    * found at DIFFERENT offsets in two documents still meets at equal
+    * chunk hashes, because breakpoints depend only on local content.
+    */
+  private[graft] def cdcOverlap(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .filter(length(col("text")) >= 9)
+      .selectExpr("doc_id", "text",
+        "transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))) AS c")
+      .selectExpr("doc_id", "text",
+        """concat(array(0),
+             filter(sequence(8, length(text) - 1), i ->
+               (element_at(c, i) * 1L + element_at(c, i-1) * 13L
+                + element_at(c, i-2) * 169L + element_at(c, i-3) * 2197L
+                + element_at(c, i-4) * 28561L + element_at(c, i-5) * 371293L
+                + element_at(c, i-6) * 4826809L + element_at(c, i-7) * 62748517L)
+               % 64 = 0),
+             array(length(text))) AS bps""")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(bps) - 1), k ->
+             substr(text, element_at(bps, k) + 1,
+               element_at(bps, k + 1) - element_at(bps, k)))) AS chunk""")
+      .filter(length(col("chunk")) >= 24)
+      .select(col("doc_id"), md5(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("clen"))
+      .distinct()
+    val keep = chunks.groupBy(col("h"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= 64).select(col("h"))
+    val rare = chunks.join(keep, "h")
+    rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.clen"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"), sum(col("clen")).as("shared_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_cdc_chunk_overlap" -> d17CdcChunkOverlap,
     "d16_simhash_calibration" -> d16SimhashCalibration,
     "d15_minhash_calibration" -> d15MinhashCalibration,
     "d14_candidate_board" -> d14CandidateBoard,
@@ -1214,6 +1278,35 @@ object Dedup {
        JOIN ss sb ON sb.doc_id = p.doc_b"""
 
   val oracles: Map[String, String] = Map(
+    // identical rolling-hash breakpoints, chunking, df cap, and pair
+    // aggregation — exact integer arithmetic end to end
+    "d17_cdc_chunk_overlap" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 9),
+         cs AS (SELECT doc_id, text,
+            list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS c
+          FROM docs),
+         bp AS (SELECT doc_id, text,
+            list_concat(list_concat([0::BIGINT],
+              list_filter(range(8, length(text)), i ->
+                (c[i] * 1::BIGINT + c[i-1] * 13::BIGINT + c[i-2] * 169::BIGINT
+                 + c[i-3] * 2197::BIGINT + c[i-4] * 28561::BIGINT
+                 + c[i-5] * 371293::BIGINT + c[i-6] * 4826809::BIGINT
+                 + c[i-7] * 62748517::BIGINT) % 64 = 0)),
+              [length(text)::BIGINT]) AS bps
+          FROM cs),
+         ck AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(bps)), k ->
+              substr(text, (bps[k] + 1)::INT, (bps[k+1] - bps[k])::INT))) AS chunk
+          FROM bp),
+         cf AS (SELECT DISTINCT doc_id, md5(chunk) AS h, length(chunk)::BIGINT AS clen
+                FROM ck WHERE length(chunk) >= 24),
+         keep AS (SELECT h FROM cf GROUP BY h HAVING count(*) <= 64),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.clen
+               FROM cf a JOIN cf b USING (h) JOIN keep USING (h)
+               WHERE a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, count(*)::BIGINT AS n_shared_chunks,
+           sum(clen)::BIGINT AS shared_chars
+         FROM p GROUP BY 1, 2""",
     "d16_simhash_calibration" -> d16Sql,
     "d15_minhash_calibration" -> d15Sql,
     "d14_candidate_board" -> d14Sql,

@@ -1160,7 +1160,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(100000)).mkString(" ")
-    val shared = words(40) // ~270 chars of verbatim span
+    val shared = words(80) // ~540 chars of verbatim span
     // same span at very different offsets: doc-level fixed-stride
     // shingle windows shift, content-defined boundaries do not
     val rows = Seq(
