@@ -296,7 +296,49 @@ object Relational10 {
         LIMIT 2) t""")
   }
 
+  /** TPC-H Q8-shaped market share: of all PROMO-part revenue sold to
+    * EUROPE customers, the fraction supplied from one nation, by order
+    * year — the conditional-share aggregation (numerator and
+    * denominator in ONE pass, no second scan or self-join) over the
+    * engine's deepest join tree: lineitem joined to part, supplier,
+    * orders, customer, and nation TWICE (customer-side for the region
+    * filter, supplier-side for the share condition).
+    *
+    * Scale shape: every dimension is broadcast (nation/region/part/
+    * supplier are tiny; customer rides q04's documented choice), so
+    * the only exchange in the plan is lineitem↔orders on orderkey —
+    * one big-to-big hash join, with the part filter applied BEFORE
+    * that shuffle (the broadcast semi-reduction prunes ~5/6 of
+    * lineitem first). Sums round at 6dp — numerator/denominator are
+    * each ~1e7, so partition-order float noise (≤1e-9 relative) never
+    * reaches the compared digits.
+    */
+  def q67MarketShare(s: SparkSession, d: String): DataFrame = {
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).as("n1")),
+        col("c_nationkey") === col("n1.n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n1.n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.nation(s, d).as("n2")),
+        col("s_nationkey") === col("n2.n_nationkey"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        vol.as("vol"), col("n2.n_name").as("supp_nation"))
+      .groupBy(col("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", col("vol")).otherwise(0.0)) /
+          sum(col("vol")), 6).as("mkt_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_market_share" -> q67MarketShare,
     "q66_lateral_topk" -> q66LateralTopk,
     "q65_exact_quantiles" -> q65ExactQuantiles,
     "q64_distribution_rank" -> q64DistributionRank,
@@ -306,6 +348,22 @@ object Relational10 {
     "q59_cohort_retention" -> q59CohortRetention)
 
   val oracles: Map[String, String] = Map(
+    // same one-pass conditional share; 6dp rounding absorbs
+    // partition-order float noise in the two ~1e7 sums
+    "q67_market_share" ->
+      """SELECT year(o_orderdate)::BIGINT AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         GROUP BY 1""",
     // the window form is definitionally equal to the lateral LIMIT
     // under the unique (acctbal DESC, name) order
     "q66_lateral_topk" ->

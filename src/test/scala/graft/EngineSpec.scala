@@ -1175,6 +1175,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.head._3 >= 100, s"shared span under-detected: ${got.head._3}")
   }
 
+  test("q67 broadcasts every dimension; lineitem-orders is the only join exchange") {
+    val p = planOf("q67_market_share")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    val bigJoins = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    // at sf0.001 even orders broadcasts (size-based); at scale it is
+    // the one shuffled join — either way all 7 joins plan, ≤1 shuffled
+    assert(bhj + bigJoins == 7, s"expected 7 joins, found $bhj+$bigJoins:\n${p.take(800)}")
+    assert(bigJoins <= 1, s"expected at most one shuffled join, found $bigJoins")
+  }
+
   test("connected components resolve transitive dup clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
