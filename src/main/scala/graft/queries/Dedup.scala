@@ -917,13 +917,21 @@ object Dedup {
       .select(col("doc_id"), md5(col("chunk")).as("h"),
         length(col("chunk")).cast("long").as("clen"))
       .distinct()
-    val keep = chunks.groupBy(col("h"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= 64).select(col("h"))
-    val rare = chunks.join(keep, "h")
+    // df cap via count-over-window on h: ONE pass over the chunk
+    // stream and ONE shuffle — the self-join below joins on the same
+    // key, so both its sides reuse this exchange (no rescan of
+    // documents, no second chunk materialization)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val rare = chunks.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= 64).drop("df")
+    // least(a.clen, b.clen) is degenerate (equal h ⇒ equal chunk ⇒
+    // equal length) — it exists to keep BOTH join inputs column-
+    // identical so the planner reuses the window's h-exchange instead
+    // of re-deriving the pruned probe side from a second document scan
     rare.as("a").join(rare.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.clen"))
+        least(col("a.clen"), col("b.clen")).as("clen"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_chunks"), sum(col("clen")).as("shared_chars"))
   }

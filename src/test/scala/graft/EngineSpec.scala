@@ -1173,6 +1173,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)),
       s"expected exactly the planted pair, got $got")
     assert(got.head._3 >= 100, s"shared span under-detected: ${got.head._3}")
+    // the df-cap window and the self-join share one exchange on h, so
+    // the chunk stream is materialized and shuffled exactly once. At
+    // sf0.001 the build side fits the broadcast threshold and Catalyst
+    // rebuilds it instead (fine when tiny); disable broadcast to see
+    // the at-scale shape and assert the reuse.
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = SparkEntry.queries("d17_cdc_chunk_overlap")(spark, sf)
+      q.collect() // AQE materializes stage reuse at runtime
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        s"self-join should reuse the window's h-exchange:\n${p.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
   test("q67 broadcasts every dimension; lineitem-orders is the only join exchange") {
