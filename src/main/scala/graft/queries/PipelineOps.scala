@@ -658,19 +658,41 @@ object PipelineOps {
     */
   def e05LrQualityTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val feats = lrFeatures(s, d).cache()
+    val trajectory = lrTrain(feats)._1
+    feats.unpersist()
+    trajectory.toDF("iter", "w0", "w1", "w2", "loss_scaled")
+  }
+
+  /** (doc_id, y, x1, x2) — the classifier's feature frame, shared by
+    * the training loop (e05) and the inference gate (e06).
+    */
+  private def lrFeatures(s: SparkSession, d: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
-    val feats = Tables.documents(s, d).select(
+    Tables.documents(s, d).select(
+      col("doc_id"),
       when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
       (col("n_chars").cast("double") / lit(1000.0)).as("x1"),
-      (size(toks).cast("double") / lit(100.0)).as("x2")).cache()
+      (size(toks).cast("double") / lit(100.0)).as("x2"))
+  }
+
+  /** The sigmoid under the scaled-integer weights. */
+  private def lrSigmoid(w: Array[Long]): Column = {
+    val m = lit(w(0).toDouble / 1e6) +
+      lit(w(1).toDouble / 1e6) * col("x1") +
+      lit(w(2).toDouble / 1e6) * col("x2")
+    lit(1.0) / (lit(1.0) + exp(-m))
+  }
+
+  /** Three GD rounds over the feature frame; returns the per-round
+    * (iter, w0, w1, w2, loss) trajectory and the final weights.
+    */
+  private def lrTrain(feats: DataFrame): (Seq[(Int, Long, Long, Long, Long)], Array[Long]) = {
     def halfUp(x: Double): Long =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     var w = Array(0L, 0L, 0L) // scaled 1e6
     val trajectory = (1 to 3).map { it =>
-      val m = lit(w(0).toDouble / 1e6) +
-        lit(w(1).toDouble / 1e6) * col("x1") +
-        lit(w(2).toDouble / 1e6) * col("x2")
-      val p = lit(1.0) / (lit(1.0) + exp(-m))
+      val p = lrSigmoid(w)
       def g(x: Column) = sum(round((p - col("y")) * x * lit(1e6)).cast("long"))
       val r = feats.agg(g(lit(1.0)).as("s0"), g(col("x1")).as("s1"),
         g(col("x2")).as("s2"),
@@ -684,11 +706,33 @@ object PipelineOps {
         w(2) - halfUp(0.5 * r.getLong(2) / n))
       (it, w(0), w(1), w(2), r.getLong(3))
     }
-    feats.unpersist()
-    trajectory.toDF("iter", "w0", "w1", "w2", "loss_scaled")
+    (trajectory, w)
+  }
+
+  /** The inference gate e05's weights exist FOR: score every document
+    * with the trained classifier and emit the keep/drop decision —
+    * train-then-deploy as one composed pipeline. Training runs its
+    * three 1-row aggregates; scoring is then a PURE MAP with the
+    * weights as three literals (no join, no shuffle, no driver state
+    * beyond 24 bytes of weights) — at 100 TB the gate streams through
+    * the corpus at scan speed. Scores pin to scaled BIGINTs for the
+    * cross-engine hash; the oracle re-derives the identical weights
+    * via e05's CTE chain and scores in one extra SELECT.
+    */
+  def e06LrQualityScore(s: SparkSession, d: String): DataFrame = {
+    val feats = lrFeatures(s, d).cache()
+    val w = lrTrain(feats)._2
+    feats.unpersist() // scoring below re-derives features in its own single scan
+    feats
+      .withColumn("p", lrSigmoid(w))
+      .select(col("doc_id"),
+        round(col("p") * lit(1e6)).cast("long").as("p_scaled"),
+        (col("p") >= lit(0.5)).as("pred_en"),
+        (col("y") === lit(1.0)).as("is_en"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e06_lr_quality_score" -> e06LrQualityScore,
     "e05_lr_quality_train" -> e05LrQualityTrain,
     "p07_zorder_layout" -> p07ZorderLayout,
     "p06_shard_manifest" -> p06ShardManifest,
@@ -752,42 +796,59 @@ object PipelineOps {
        SELECT '_total', sum(n_a)::BIGINT, sum(n_b)::BIGINT,
          sum(psi_scaled)::BIGINT FROM terms"""
 
+  /** THE LR training replay — e05's three GD iterations as chained
+    * 1-row CTEs, shared verbatim by e05 (trajectory) and e06
+    * (inference under the final weights) so the two oracles cannot
+    * drift apart. Per-doc gradient/loss terms pin to scaled BIGINTs
+    * before the sum (order-free); weight updates are exact integer
+    * arithmetic.
+    */
+  private val lrTrainCtes: String = {
+    // one iteration's aggregate over f given the entering weights
+    // (join = the previous update CTE carrying them, aliased u)
+    def it(w0: String, w1: String, w2: String, join: String) =
+      s"""SELECT sum(round((p - y) * 1.0 * 1e6))::BIGINT AS s0,
+            sum(round((p - y) * x1 * 1e6))::BIGINT AS s1,
+            sum(round((p - y) * x2 * 1e6))::BIGINT AS s2,
+            sum(round(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)) * 1e6))::BIGINT AS sl,
+            count(*)::BIGINT AS n
+          FROM (SELECT y, x1, x2,
+            1.0 / (1.0 + exp(-(($w0) / 1e6 + ($w1) / 1e6 * x1 + ($w2) / 1e6 * x2))) AS p
+            FROM f$join)"""
+    def upd(prev0: String, prev1: String, prev2: String, iter: String, join: String) =
+      s"""SELECT ($prev0 - round(0.5 * s0::DOUBLE / n))::BIGINT AS w0,
+                 ($prev1 - round(0.5 * s1::DOUBLE / n))::BIGINT AS w1,
+                 ($prev2 - round(0.5 * s2::DOUBLE / n))::BIGINT AS w2,
+                 $iter.sl AS sl FROM $iter$join"""
+    s"""f AS (
+         SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END::DOUBLE AS y,
+           n_chars::DOUBLE / 1000.0 AS x1,
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))::DOUBLE / 100.0 AS x2
+         FROM documents),
+       i1 AS (${it("0", "0", "0", "")}),
+       u1 AS (${upd("0", "0", "0", "i1", "")}),
+       i2 AS (${it("u.w0", "u.w1", "u.w2", ", u1 u")}),
+       u2 AS (${upd("u.w0", "u.w1", "u.w2", "i2", ", u1 u")}),
+       i3 AS (${it("u.w0", "u.w1", "u.w2", ", u2 u")}),
+       u3 AS (${upd("u.w0", "u.w1", "u.w2", "i3", ", u2 u")})"""
+  }
+
   val oracles: Map[String, String] = Map(
-    // the same three GD iterations, replayed as chained 1-row CTEs:
-    // per-doc gradient/loss terms pinned to scaled BIGINTs before the
-    // sum (order-free), weight updates exact integer arithmetic
-    "e05_lr_quality_train" -> {
-      // one iteration's aggregate over f given the entering weights
-      // (join = the previous update CTE carrying them, aliased u)
-      def it(w0: String, w1: String, w2: String, join: String) =
-        s"""SELECT sum(round((p - y) * 1.0 * 1e6))::BIGINT AS s0,
-              sum(round((p - y) * x1 * 1e6))::BIGINT AS s1,
-              sum(round((p - y) * x2 * 1e6))::BIGINT AS s2,
-              sum(round(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)) * 1e6))::BIGINT AS sl,
-              count(*)::BIGINT AS n
-            FROM (SELECT y, x1, x2,
-              1.0 / (1.0 + exp(-(($w0) / 1e6 + ($w1) / 1e6 * x1 + ($w2) / 1e6 * x2))) AS p
-              FROM f$join)"""
-      def upd(prev0: String, prev1: String, prev2: String, iter: String, join: String) =
-        s"""SELECT ($prev0 - round(0.5 * s0::DOUBLE / n))::BIGINT AS w0,
-                   ($prev1 - round(0.5 * s1::DOUBLE / n))::BIGINT AS w1,
-                   ($prev2 - round(0.5 * s2::DOUBLE / n))::BIGINT AS w2,
-                   $iter.sl AS sl FROM $iter$join"""
-      s"""WITH f AS (
-           SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END::DOUBLE AS y,
-             n_chars::DOUBLE / 1000.0 AS x1,
-             len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))::DOUBLE / 100.0 AS x2
-           FROM documents),
-         i1 AS (${it("0", "0", "0", "")}),
-         u1 AS (${upd("0", "0", "0", "i1", "")}),
-         i2 AS (${it("u.w0", "u.w1", "u.w2", ", u1 u")}),
-         u2 AS (${upd("u.w0", "u.w1", "u.w2", "i2", ", u1 u")}),
-         i3 AS (${it("u.w0", "u.w1", "u.w2", ", u2 u")}),
-         u3 AS (${upd("u.w0", "u.w1", "u.w2", "i3", ", u2 u")})
+    "e05_lr_quality_train" ->
+      s"""WITH $lrTrainCtes
          SELECT 1 AS iter, w0, w1, w2, sl AS loss_scaled FROM u1
          UNION ALL SELECT 2, w0, w1, w2, sl FROM u2
-         UNION ALL SELECT 3, w0, w1, w2, sl FROM u3"""
-    },
+         UNION ALL SELECT 3, w0, w1, w2, sl FROM u3""",
+    // identical weight derivation, then one scoring SELECT — the same
+    // literal-weights map the engine runs
+    "e06_lr_quality_score" ->
+      s"""WITH $lrTrainCtes
+         SELECT doc_id, round(p * 1e6)::BIGINT AS p_scaled,
+           p >= 0.5 AS pred_en, y = 1.0 AS is_en
+         FROM (SELECT doc_id, y,
+             1.0 / (1.0 + exp(-((u.w0) / 1e6 + (u.w1) / 1e6 * x1 + (u.w2) / 1e6 * x2))) AS p
+           FROM f, u3 u)""",
     // identical grid normalization, bit interleave, and 64-way z-range
     // cut — all integer / exactly-representable double arithmetic
     "p07_zorder_layout" ->

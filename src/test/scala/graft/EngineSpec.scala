@@ -1200,6 +1200,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bigJoins <= 1, s"expected at most one shuffled join, found $bigJoins")
   }
 
+  test("e06 scoring is a pure map: trained weights enter as literals, zero exchanges") {
+    val q = SparkEntry.queries("e06_lr_quality_score")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"scoring should not shuffle:\n${p.take(800)}")
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // decision boundary consistent with the emitted pinned score
+    // (one-sided: rounding can lift a just-below-0.5 score to 500000)
+    assert(rows.forall(r => !r.getBoolean(2) || r.getLong(1) >= 500000L))
+  }
+
   test("connected components resolve transitive dup clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
