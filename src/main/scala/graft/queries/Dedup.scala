@@ -895,8 +895,13 @@ object Dedup {
     * found at DIFFERENT offsets in two documents still meets at equal
     * chunk hashes, because breakpoints depend only on local content.
     */
-  private[graft] def cdcOverlap(docs: DataFrame): DataFrame = {
-    val chunks = docs
+  /** The chunking stage alone: (doc_id, idx, chunk) with idx the
+    * in-document chunk position. Boundaries partition [0, n] exactly,
+    * so chunks concatenate back to the text verbatim — the lossless
+    * invariant `EngineSpec` property-checks on randomized strings.
+    */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame =
+    docs
       .filter(length(col("text")) >= 9)
       .selectExpr("doc_id", "text",
         "transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))) AS c")
@@ -910,9 +915,12 @@ object Dedup {
                % 64 = 0),
              array(length(text))) AS bps""")
       .selectExpr("doc_id",
-        """explode(transform(sequence(1, size(bps) - 1), k ->
+        """posexplode(transform(sequence(1, size(bps) - 1), k ->
              substr(text, element_at(bps, k) + 1,
-               element_at(bps, k + 1) - element_at(bps, k)))) AS chunk""")
+               element_at(bps, k + 1) - element_at(bps, k)))) AS (idx, chunk)""")
+
+  private[graft] def cdcOverlap(docs: DataFrame): DataFrame = {
+    val chunks = cdcChunks(docs)
       .filter(length(col("chunk")) >= 24)
       .select(col("doc_id"), md5(col("chunk")).as("h"),
         length(col("chunk")).cast("long").as("clen"))

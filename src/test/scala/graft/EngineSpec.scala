@@ -1211,6 +1211,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => !r.getBoolean(2) || r.getLong(1) >= 500000L))
   }
 
+  test("CDC chunking is lossless: chunks concatenate back to the text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 60).map { i =>
+      val len = 9 + rnd.nextInt(400)
+      (i.toLong, (0 until len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    }.toDF("doc_id", "text")
+    val rebuilt = graft.queries.Dedup.cdcChunks(docs)
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), '')").as("re"))
+    val bad = docs.join(rebuilt, "doc_id")
+      .filter(col("re") =!= col("text")).count()
+    assert(bad == 0, s"$bad documents did not reconstruct from their chunks")
+  }
+
   test("connected components resolve transitive dup clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
