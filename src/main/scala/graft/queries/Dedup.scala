@@ -265,6 +265,40 @@ object Dedup {
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         (col("node") === col("label")).as("is_canonical"))
 
+  /** q68: d07's cluster resolution written DECLARATIVELY as a Spark 4
+    * recursive CTE (`WITH RECURSIVE`) — the SQL surface users port
+    * from DuckDB/Postgres, answering to the oracle's own recursive
+    * formulation verbatim. Spark's recursion supports UNION ALL only
+    * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), which diverges on the
+    * cyclic near-dup graph, so the walk carries a visited-path array
+    * and extends only to unvisited nodes: simple paths terminate by
+    * construction, and a final DISTINCT restores set semantics. Path
+    * count is factorial in CLUSTER size, not corpus size — fine for
+    * near-dup clusters (couples/triples here; dedup clusters are
+    * small by nature). For clusters that aren't small, d07's
+    * pointer-jumping loop (log-diameter rounds, linear work per
+    * round) is the 100 TB design; q68 exists to prove the engine
+    * takes the declarative form and plans the recursion distributed
+    * (UnionLoop over the joined step, not a driver loop).
+    */
+  def q68RecursiveClusters(s: SparkSession, d: String): DataFrame = {
+    d07CandidatePairs(s, d).createOrReplaceTempView("dup_pairs_rv")
+    s.sql("""
+      WITH RECURSIVE
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup_pairs_rv
+                UNION SELECT doc_b, doc_a FROM dup_pairs_rv),
+      walk(src, dst, path) AS (
+        SELECT src, dst, array(src, dst) FROM edges
+        UNION ALL
+        SELECT w.src, e.dst, array_append(w.path, e.dst)
+        FROM walk w JOIN edges e ON w.dst = e.src
+        WHERE NOT array_contains(w.path, e.dst)),
+      reach AS (SELECT DISTINCT src, dst FROM walk)
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
+        src = least(src, min(dst)) AS is_canonical
+      FROM reach GROUP BY src""")
+  }
+
   /** Min-label propagation over an undirected pair list (doc_a, doc_b)
     * → (node, label) with label = the component's minimum node id.
     * Public so the loop is unit-testable on synthetic graphs.
@@ -974,6 +1008,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_recursive_clusters" -> q68RecursiveClusters,
     "d18_cdc_quality" -> d18CdcQuality,
     "d17_cdc_chunk_overlap" -> d17CdcChunkOverlap,
     "d16_simhash_calibration" -> d16SimhashCalibration,
@@ -1355,6 +1390,10 @@ object Dedup {
          FROM p GROUP BY 1, 2"""
 
   val oracles: Map[String, String] = Map(
+    // the oracle's own recursive-CTE formulation — q68 answers to it
+    // directly (same contract as d07, whose loop computes the same
+    // labels imperatively)
+    "q68_recursive_clusters" -> clusterSql,
     "d17_cdc_chunk_overlap" -> d17Sql,
     // truth = d02's exact jaccard>=0.5 pairs; candidates = d17's CDC
     // pairs; the three counts and both pinned ratios in one row

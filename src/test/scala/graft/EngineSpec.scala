@@ -1227,6 +1227,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0, s"$bad documents did not reconstruct from their chunks")
   }
 
+  test("q68 recursive CTE equals d07's pointer-jumping labels exactly") {
+    import spark.implicits._
+    val rec = SparkEntry.queries("q68_recursive_clusters")(spark, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    val loop = SparkEntry.queries("d07_dup_clusters")(spark, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(rec == loop, s"recursive=${rec.size} loop=${loop.size}")
+    assert(rec.nonEmpty)
+  }
+
   test("connected components resolve transitive dup clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
