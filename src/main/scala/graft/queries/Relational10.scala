@@ -337,7 +337,26 @@ object Relational10 {
           sum(col("vol")), 6).as("mkt_share"))
   }
 
+  /** VARIANT ingestion — Spark 4's binary-encoded semi-structured
+    * type, the at-scale successor to q19/q28's per-query JSON string
+    * parsing: parse ONCE into VARIANT (a self-describing binary a
+    * 100 TB pipeline would persist in parquet), then typed
+    * variant_get path extraction at read time — no re-tokenizing the
+    * JSON text per access, and shredded columnar storage when
+    * written. The aggregation itself is the standard partial-agg
+    * shuffle. Oracle: DuckDB's JSON extraction over the same props
+    * strings produces the same typed values.
+    */
+  def q69VariantJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_variant_json" -> q69VariantJson,
     "q67_market_share" -> q67MarketShare,
     "q66_lateral_topk" -> q66LateralTopk,
     "q65_exact_quantiles" -> q65ExactQuantiles,
@@ -348,6 +367,12 @@ object Relational10 {
     "q59_cohort_retention" -> q59CohortRetention)
 
   val oracles: Map[String, String] = Map(
+    // same typed path extraction via DuckDB's JSON operators
+    "q69_variant_json" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+           sum((props::JSON ->> 'k')::BIGINT)::BIGINT AS sum_k,
+           max((props::JSON ->> 'k')::BIGINT)::BIGINT AS max_k
+         FROM events GROUP BY 1""",
     // same one-pass conditional share; 6dp rounding absorbs
     // partition-order float noise in the two ~1e7 sums
     "q67_market_share" ->
