@@ -34,7 +34,8 @@ object Plans {
       "q65_exact_quantiles", "q66_lateral_topk", "p06_shard_manifest",
       "d16_simhash_calibration", "m09_av_align",
       "p07_zorder_layout", "e05_lr_quality_train", "e06_lr_quality_score",
-      "d17_cdc_chunk_overlap", "q67_market_share")
+      "d17_cdc_chunk_overlap", "q67_market_share",
+      "q68_recursive_clusters", "q69_variant_json")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries (sf0.01, AQE off for readability)\n\n"
     sb ++= "Regenerate: `sbt \"runMain graft.Plans\"`. What to look for per query\n"
