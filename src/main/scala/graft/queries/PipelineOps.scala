@@ -652,20 +652,30 @@ object PipelineOps {
     * deterministic function of exact integer sums (the one double
     * step, lr·S/n, has both operands ≪ 2^53). The DuckDB oracle
     * replays the identical three iterations as chained 1-row CTEs.
-    * Features: bias, n_chars/1000, whitespace-token count/100;
-    * target: lang == 'en'. Output: per-iteration scaled weights and
-    * pinned training loss — the trajectory a training job monitors.
+    * Features: bias, n_chars/1000, whitespace-token count/100, and
+    * the t02 English-stopword intersect/10 (the one carrying the
+    * signal); target: lang == 'en'. Output: per-iteration scaled
+    * weights and pinned training loss — the trajectory a training
+    * job monitors.
     */
   def e05LrQualityTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val feats = lrFeatures(s, d).cache()
     val trajectory = lrTrain(feats)._1
     feats.unpersist()
-    trajectory.toDF("iter", "w0", "w1", "w2", "loss_scaled")
+    trajectory.toDF("iter", "w0", "w1", "w2", "w3", "loss_scaled")
   }
 
-  /** (doc_id, y, x1, x2) — the classifier's feature frame, shared by
-    * the training loop (e05) and the inference gate (e06).
+  /** (doc_id, y, x1, x2, x3) — the classifier's feature frame, shared
+    * by the training loop (e05) and the inference gate (e06). x3 is
+    * the t02 English-stopword intersect — the feature that separates
+    * languages on real text. Honest fixture note: this synthetic
+    * corpus draws text independently of the lang label (measured:
+    * mean stopword hits 1.50 for en vs 1.62 for non-en), so
+    * majority-class IS the Bayes optimum here and the trained gate
+    * converges to it; what the oracle certifies is the TRAINING
+    * MACHINERY (exact distributed gradients, deterministic weight
+    * trajectory, calibrated loss descent), not fixture separability.
     */
   private def lrFeatures(s: SparkSession, d: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
@@ -673,38 +683,43 @@ object PipelineOps {
       col("doc_id"),
       when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
       (col("n_chars").cast("double") / lit(1000.0)).as("x1"),
-      (size(toks).cast("double") / lit(100.0)).as("x2"))
+      (size(toks).cast("double") / lit(100.0)).as("x2"),
+      (size(array_intersect(array_distinct(toks),
+        array(lit("the"), lit("a"), lit("and"), lit("of"), lit("to"))))
+        .cast("double") / lit(10.0)).as("x3"))
   }
 
   /** The sigmoid under the scaled-integer weights. */
   private def lrSigmoid(w: Array[Long]): Column = {
     val m = lit(w(0).toDouble / 1e6) +
       lit(w(1).toDouble / 1e6) * col("x1") +
-      lit(w(2).toDouble / 1e6) * col("x2")
+      lit(w(2).toDouble / 1e6) * col("x2") +
+      lit(w(3).toDouble / 1e6) * col("x3")
     lit(1.0) / (lit(1.0) + exp(-m))
   }
 
   /** Three GD rounds over the feature frame; returns the per-round
     * (iter, w0, w1, w2, loss) trajectory and the final weights.
     */
-  private def lrTrain(feats: DataFrame): (Seq[(Int, Long, Long, Long, Long)], Array[Long]) = {
+  private def lrTrain(feats: DataFrame): (Seq[(Int, Long, Long, Long, Long, Long)], Array[Long]) = {
     def halfUp(x: Double): Long =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    var w = Array(0L, 0L, 0L) // scaled 1e6
+    var w = Array(0L, 0L, 0L, 0L) // scaled 1e6
     val trajectory = (1 to 3).map { it =>
       val p = lrSigmoid(w)
       def g(x: Column) = sum(round((p - col("y")) * x * lit(1e6)).cast("long"))
       val r = feats.agg(g(lit(1.0)).as("s0"), g(col("x1")).as("s1"),
-        g(col("x2")).as("s2"),
+        g(col("x2")).as("s2"), g(col("x3")).as("s3"),
         sum(round(-(col("y") * log(p) +
           (lit(1.0) - col("y")) * log(lit(1.0) - p)) * lit(1e6))
           .cast("long")).as("sl"),
         count(lit(1)).as("n")).head()
-      val n = r.getLong(4)
+      val n = r.getLong(5)
       w = Array(w(0) - halfUp(0.5 * r.getLong(0) / n),
         w(1) - halfUp(0.5 * r.getLong(1) / n),
-        w(2) - halfUp(0.5 * r.getLong(2) / n))
-      (it, w(0), w(1), w(2), r.getLong(3))
+        w(2) - halfUp(0.5 * r.getLong(2) / n),
+        w(3) - halfUp(0.5 * r.getLong(3) / n))
+      (it, w(0), w(1), w(2), w(3), r.getLong(4))
     }
     (trajectory, w)
   }
@@ -806,40 +821,44 @@ object PipelineOps {
   private val lrTrainCtes: String = {
     // one iteration's aggregate over f given the entering weights
     // (join = the previous update CTE carrying them, aliased u)
-    def it(w0: String, w1: String, w2: String, join: String) =
+    def it(w0: String, w1: String, w2: String, w3: String, join: String) =
       s"""SELECT sum(round((p - y) * 1.0 * 1e6))::BIGINT AS s0,
             sum(round((p - y) * x1 * 1e6))::BIGINT AS s1,
             sum(round((p - y) * x2 * 1e6))::BIGINT AS s2,
+            sum(round((p - y) * x3 * 1e6))::BIGINT AS s3,
             sum(round(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)) * 1e6))::BIGINT AS sl,
             count(*)::BIGINT AS n
-          FROM (SELECT y, x1, x2,
-            1.0 / (1.0 + exp(-(($w0) / 1e6 + ($w1) / 1e6 * x1 + ($w2) / 1e6 * x2))) AS p
+          FROM (SELECT y, x1, x2, x3,
+            1.0 / (1.0 + exp(-(($w0) / 1e6 + ($w1) / 1e6 * x1 + ($w2) / 1e6 * x2 + ($w3) / 1e6 * x3))) AS p
             FROM f$join)"""
-    def upd(prev0: String, prev1: String, prev2: String, iter: String, join: String) =
+    def upd(prev0: String, prev1: String, prev2: String, prev3: String, iter: String, join: String) =
       s"""SELECT ($prev0 - round(0.5 * s0::DOUBLE / n))::BIGINT AS w0,
                  ($prev1 - round(0.5 * s1::DOUBLE / n))::BIGINT AS w1,
                  ($prev2 - round(0.5 * s2::DOUBLE / n))::BIGINT AS w2,
+                 ($prev3 - round(0.5 * s3::DOUBLE / n))::BIGINT AS w3,
                  $iter.sl AS sl FROM $iter$join"""
     s"""f AS (
          SELECT doc_id,
            CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END::DOUBLE AS y,
            n_chars::DOUBLE / 1000.0 AS x1,
-           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))::DOUBLE / 100.0 AS x2
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))::DOUBLE / 100.0 AS x2,
+           len(list_intersect(list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')),
+             ['the', 'a', 'and', 'of', 'to']))::DOUBLE / 10.0 AS x3
          FROM documents),
-       i1 AS (${it("0", "0", "0", "")}),
-       u1 AS (${upd("0", "0", "0", "i1", "")}),
-       i2 AS (${it("u.w0", "u.w1", "u.w2", ", u1 u")}),
-       u2 AS (${upd("u.w0", "u.w1", "u.w2", "i2", ", u1 u")}),
-       i3 AS (${it("u.w0", "u.w1", "u.w2", ", u2 u")}),
-       u3 AS (${upd("u.w0", "u.w1", "u.w2", "i3", ", u2 u")})"""
+       i1 AS (${it("0", "0", "0", "0", "")}),
+       u1 AS (${upd("0", "0", "0", "0", "i1", "")}),
+       i2 AS (${it("u.w0", "u.w1", "u.w2", "u.w3", ", u1 u")}),
+       u2 AS (${upd("u.w0", "u.w1", "u.w2", "u.w3", "i2", ", u1 u")}),
+       i3 AS (${it("u.w0", "u.w1", "u.w2", "u.w3", ", u2 u")}),
+       u3 AS (${upd("u.w0", "u.w1", "u.w2", "u.w3", "i3", ", u2 u")})"""
   }
 
   val oracles: Map[String, String] = Map(
     "e05_lr_quality_train" ->
       s"""WITH $lrTrainCtes
-         SELECT 1 AS iter, w0, w1, w2, sl AS loss_scaled FROM u1
-         UNION ALL SELECT 2, w0, w1, w2, sl FROM u2
-         UNION ALL SELECT 3, w0, w1, w2, sl FROM u3""",
+         SELECT 1 AS iter, w0, w1, w2, w3, sl AS loss_scaled FROM u1
+         UNION ALL SELECT 2, w0, w1, w2, w3, sl FROM u2
+         UNION ALL SELECT 3, w0, w1, w2, w3, sl FROM u3""",
     // identical weight derivation, then one scoring SELECT — the same
     // literal-weights map the engine runs
     "e06_lr_quality_score" ->
@@ -847,7 +866,7 @@ object PipelineOps {
          SELECT doc_id, round(p * 1e6)::BIGINT AS p_scaled,
            p >= 0.5 AS pred_en, y = 1.0 AS is_en
          FROM (SELECT doc_id, y,
-             1.0 / (1.0 + exp(-((u.w0) / 1e6 + (u.w1) / 1e6 * x1 + (u.w2) / 1e6 * x2))) AS p
+             1.0 / (1.0 + exp(-((u.w0) / 1e6 + (u.w1) / 1e6 * x1 + (u.w2) / 1e6 * x2 + (u.w3) / 1e6 * x3))) AS p
            FROM f, u3 u)""",
     // identical grid normalization, bit interleave, and 64-way z-range
     // cut — all integer / exactly-representable double arithmetic

@@ -1150,8 +1150,8 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("iter").collect()
     val n = graft.core.Tables.documents(spark, sf).count()
     // w=0 ⇒ p=0.5 for every doc ⇒ per-doc CE pins to round(ln 2 · 1e6)
-    assert(rows(0).getLong(4) == 693147L * n)
-    val losses = rows.map(_.getLong(4))
+    assert(rows(0).getLong(5) == 693147L * n)
+    val losses = rows.map(_.getLong(5))
     assert(losses(0) > losses(1) && losses(1) > losses(2),
       s"loss trajectory not decreasing: ${losses.mkString(",")}")
   }
