@@ -924,11 +924,6 @@ object Dedup {
   def d17CdcChunkOverlap(s: SparkSession, d: String): DataFrame =
     cdcOverlap(Tables.documents(s, d))
 
-  /** d17's core over any (doc_id, text) frame — package-visible so the
-    * spec can assert the property that justifies CDC: a shared span
-    * found at DIFFERENT offsets in two documents still meets at equal
-    * chunk hashes, because breakpoints depend only on local content.
-    */
   /** The chunking stage alone: (doc_id, idx, chunk) with idx the
     * in-document chunk position. Boundaries partition [0, n] exactly,
     * so chunks concatenate back to the text verbatim — the lossless
@@ -953,6 +948,11 @@ object Dedup {
              substr(text, element_at(bps, k) + 1,
                element_at(bps, k + 1) - element_at(bps, k)))) AS (idx, chunk)""")
 
+  /** d17's core over any (doc_id, text) frame — package-visible so the
+    * spec can assert the property that justifies CDC: a shared span
+    * found at DIFFERENT offsets in two documents still meets at equal
+    * chunk hashes, because breakpoints depend only on local content.
+    */
   private[graft] def cdcOverlap(docs: DataFrame): DataFrame = {
     val chunks = cdcChunks(docs)
       .filter(length(col("chunk")) >= 24)

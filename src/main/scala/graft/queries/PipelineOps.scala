@@ -698,8 +698,12 @@ object PipelineOps {
     lit(1.0) / (lit(1.0) + exp(-m))
   }
 
-  /** Three GD rounds over the feature frame; returns the per-round
-    * (iter, w0, w1, w2, loss) trajectory and the final weights.
+  /** Three GD rounds over the feature frame; returns the trajectory
+    * rows (iter, w0, w1, w2, w3, loss_scaled) and the final weights.
+    * Pairing convention, mirrored exactly by the oracle CTEs: row i
+    * carries the weights AFTER update i next to the loss evaluated
+    * under the weights ENTERING iteration i (so row 1's loss is the
+    * w=0 closed form n·round(ln 2·1e6) — the spec pins this).
     */
   private def lrTrain(feats: DataFrame): (Seq[(Int, Long, Long, Long, Long, Long)], Array[Long]) = {
     def halfUp(x: Double): Long =

@@ -1222,8 +1222,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rebuilt = graft.queries.Dedup.cdcChunks(docs)
       .groupBy("doc_id")
       .agg(expr("array_join(transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), '')").as("re"))
-    val bad = docs.join(rebuilt, "doc_id")
-      .filter(col("re") =!= col("text")).count()
+    // left join + null check: a doc dropped from the chunk stream
+    // entirely must FAIL, not vanish from the comparison
+    val bad = docs.join(rebuilt, Seq("doc_id"), "left")
+      .filter(col("re").isNull || col("re") =!= col("text")).count()
     assert(bad == 0, s"$bad documents did not reconstruct from their chunks")
   }
 
