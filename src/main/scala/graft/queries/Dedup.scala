@@ -282,7 +282,19 @@ object Dedup {
     * (UnionLoop over the joined step, not a driver loop).
     */
   def q68RecursiveClusters(s: SparkSession, d: String): DataFrame = {
-    d07CandidatePairs(s, d).createOrReplaceTempView("dup_pairs_rv")
+    releaseCaches()
+    // materialize the pair list before recursing: every UnionLoop
+    // iteration re-reads the anchor view, and uncached that re-runs
+    // the whole minhash-LSH pipeline per round (measured 9.7 s → 6.7 s
+    // at sf0.1 from the cache alone). The pair graph is tiny (≤ ~1k
+    // rows — near-dup evidence, not the corpus), so one partition
+    // spares each recursion round its 32-task scheduling overhead;
+    // a 100 TB corpus still only changes the EDGE count, and d07's
+    // pointer-jumping loop is the design for graphs that aren't tiny.
+    val pairs = d07CandidatePairs(s, d).coalesce(1).cache()
+    registerRelease(() => { pairs.unpersist(); () })
+    pairs.count()
+    pairs.createOrReplaceTempView("dup_pairs_rv")
     s.sql("""
       WITH RECURSIVE
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup_pairs_rv
