@@ -971,13 +971,21 @@ object Dedup {
       .select(col("doc_id"), md5(col("chunk")).as("h"),
         length(col("chunk")).cast("long").as("clen"))
       .distinct()
-    // df cap via count-over-window on h: ONE pass over the chunk
-    // stream and ONE shuffle — the self-join below joins on the same
-    // key, so both its sides reuse this exchange (no rescan of
-    // documents, no second chunk materialization)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val rare = chunks.withColumn("df", count(lit(1)).over(w))
-      .filter(col("df") <= 64).drop("df")
+    // df cap as a partial-aggregated hot set + broadcast anti-join:
+    // the hot side map-combines to (h, count) partials (tiny shuffle,
+    // skew-immune) and only over-cap hashes — a handful of boilerplate
+    // chunks — broadcast back to prune map-side. A count-over-window
+    // formulation was tried first (one documents scan instead of two)
+    // and rejected: it buffers each h-group in ONE task's sorter, and
+    // a boilerplate chunk shared by 10⁹ documents — the exact case the
+    // cap exists for — becomes a single-task spill-sort. The extra
+    // chunking scan is narrow, parallel map work; everything heavy
+    // stays hot-key-safe, and the self-join below still shuffles the
+    // chunk stream exactly once (its two sides are column-identical,
+    // so the exchange is reused).
+    val hot = chunks.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 64).select(col("h"))
+    val rare = chunks.join(broadcast(hot), Seq("h"), "left_anti")
     // least(a.clen, b.clen) is degenerate (equal h ⇒ equal chunk ⇒
     // equal length) — it exists to keep BOTH join inputs column-
     // identical so the planner reuses the window's h-exchange instead
