@@ -960,17 +960,42 @@ object Dedup {
              substr(text, element_at(bps, k) + 1,
                element_at(bps, k + 1) - element_at(bps, k)))) AS (idx, chunk)""")
 
+  /** Per-doc distinct chunk signatures (doc_id, h, clen) for chunks
+    * ≥ 24 chars — the unit the batch tier joins on and the streaming
+    * gate (st21) accumulates in its persisted store. Docs never span
+    * batches, so per-batch distinct equals global distinct.
+    */
+  private[graft] def cdcSigs(docs: DataFrame): DataFrame =
+    cdcChunks(docs)
+      .filter(length(col("chunk")) >= 24)
+      .select(col("doc_id"), md5(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("clen"))
+      .distinct()
+
+  /** st21's closing step: apply the GLOBAL df cap to an accumulated
+    * per-shared-chunk pair list and aggregate to d17's output shape.
+    * The cap must see the final document frequencies — a chunk can
+    * stay under 64 docs for early batches and cross later, so the
+    * incremental tier emits (pair, h, clen) rows uncapped and this
+    * step drops capped chunks exactly once, at the end. Equal to
+    * cdcOverlap's cap-before-join by construction (either way, pairs
+    * through capped chunks are excluded).
+    */
+  private[graft] def cdcPairsFinal(shared: DataFrame, allSigs: DataFrame): DataFrame = {
+    val hot = allSigs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 64).select(col("h"))
+    shared.join(broadcast(hot), Seq("h"), "left_anti")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"), sum(col("clen")).as("shared_chars"))
+  }
+
   /** d17's core over any (doc_id, text) frame — package-visible so the
     * spec can assert the property that justifies CDC: a shared span
     * found at DIFFERENT offsets in two documents still meets at equal
     * chunk hashes, because breakpoints depend only on local content.
     */
   private[graft] def cdcOverlap(docs: DataFrame): DataFrame = {
-    val chunks = cdcChunks(docs)
-      .filter(length(col("chunk")) >= 24)
-      .select(col("doc_id"), md5(col("chunk")).as("h"),
-        length(col("chunk")).cast("long").as("clen"))
-      .distinct()
+    val chunks = cdcSigs(docs)
     // df cap as a partial-aggregated hot set + broadcast anti-join:
     // the hot side map-combines to (h, count) partials (tiny shuffle,
     // skew-immune) and only over-cap hashes — a handful of boilerplate

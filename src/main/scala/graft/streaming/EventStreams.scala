@@ -956,10 +956,67 @@ object EventStreams {
       .parquet(outDir)
   }
 
+  /** st21: the CDC sub-document dedup tier (d17) as a corpus-refresh
+    * STREAM — the st20 pattern applied to chunk signatures. Documents
+    * replay as the same 4 modtime-ordered chunks; each foreachBatch
+    * computes the batch's chunk signatures (Dedup.cdcSigs — the exact
+    * batch arithmetic), emits shared-chunk pair rows new×store and
+    * within-batch (docs never span batches, so every unordered pair
+    * surfaces exactly once across the replay), and appends the batch's
+    * signatures to the persisted store. The global df cap CANNOT be
+    * applied incrementally — a chunk can cross 64 docs mid-replay —
+    * so pair rows carry (h, clen) uncapped and Dedup.cdcPairsFinal
+    * caps once against the converged store. Final output answers to
+    * d17's UNCHANGED oracle. At 100 TB the store is the persisted
+    * chunk index a dedup service maintains; per batch the work is one
+    * equi-join of the arrivals' signatures against it.
+    */
+  def st21StreamCdcDedup(s: SparkSession, d: String): DataFrame = {
+    val chunks = stageDocChunks(s, d)
+    val sigStore = graft.core.Staging.tempAtExit("graft_st21_sigs_")
+    val pairDir = graft.core.Staging.tempAtExit("graft_st21_pairs_")
+    val docSchema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(chunks)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val sigs = graft.queries.Dedup
+          .cdcSigs(batch.select(col("doc_id"), col("text"))).cache()
+        val haveStore = Option(new java.io.File(sigStore).listFiles())
+          .exists(_.exists(_.getName.startsWith("part-")))
+        val within = sigs.as("a").join(sigs.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.h").as("h"), col("a.clen").as("clen"))
+        val pairs = if (haveStore) {
+          val cross = sigs
+            .select(col("doc_id").as("nid"), col("h"), col("clen"))
+            .join(sp.read.parquet(sigStore)
+              .select(col("doc_id").as("cid"), col("h")), "h")
+            .select(least(col("nid"), col("cid")).as("doc_a"),
+              greatest(col("nid"), col("cid")).as("doc_b"),
+              col("h"), col("clen"))
+          within.unionByName(cross)
+        } else within
+        pairs.write.mode("append").parquet(pairDir)
+        sigs.write.mode("append").parquet(sigStore)
+        sigs.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val shared = s.read
+      .schema("doc_a BIGINT, doc_b BIGINT, h STRING, clen BIGINT")
+      .parquet(pairDir)
+    graft.queries.Dedup.cdcPairsFinal(shared, s.read.parquet(sigStore))
+  }
+
   private def gated(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st21_stream_cdc_dedup" -> gated(st21StreamCdcDedup),
     "st20_stream_incr_dedup" -> gated(st20StreamIncrementalDedup),
     "st19_stream_drift" -> gated(st19StreamDrift),
     "st18_transform_with_state" -> gated(st18TransformWithState),
@@ -1004,6 +1061,10 @@ object EventStreams {
        FROM agg, wm WHERE end_us + 1800000000 < w"""
 
   val oracles: Map[String, String] = Map(
+    // st21: every unordered doc pair surfaces exactly once across the
+    // replay (within-batch or new×store) and the df cap applies once
+    // against the converged store, so the result IS d17's — same val
+    "st21_stream_cdc_dedup" -> graft.queries.Dedup.oracles("d17_cdc_chunk_overlap"),
     // st20: every corpus doc streams through before the arrivals
     // batch, so the accumulated signature store IS d08's corpus side
     // and the quarantine set answers to d08's oracle — same val
