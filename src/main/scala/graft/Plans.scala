@@ -33,7 +33,10 @@ object Plans {
       "e03_distribution_drift",
       "q65_exact_quantiles", "q66_lateral_topk", "p06_shard_manifest",
       "d16_simhash_calibration", "m09_av_align",
-      "p07_zorder_layout", "e05_lr_quality_train", "e06_lr_quality_score",
+      // e05 is deliberately absent: its returned frame is a driver-
+      // local trajectory (LocalTableScan — nothing to audit) and the
+      // dump would pay the full training loop; e06 shows the shape
+      "p07_zorder_layout", "e06_lr_quality_score",
       "d17_cdc_chunk_overlap", "q67_market_share",
       "q68_recursive_clusters", "q69_variant_json")
     val sb = new StringBuilder

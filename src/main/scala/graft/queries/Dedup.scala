@@ -1013,8 +1013,10 @@ object Dedup {
     val rare = chunks.join(broadcast(hot), Seq("h"), "left_anti")
     // least(a.clen, b.clen) is degenerate (equal h ⇒ equal chunk ⇒
     // equal length) — it exists to keep BOTH join inputs column-
-    // identical so the planner reuses the window's h-exchange instead
-    // of re-deriving the pruned probe side from a second document scan
+    // identical so the two sides of this self-join share ONE shuffled
+    // exchange of the chunk stream (column pruning would otherwise
+    // fork the subplans and re-derive the probe side from a second
+    // document scan)
     rare.as("a").join(rare.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -1041,8 +1043,12 @@ object Dedup {
     * and CDC is not. The two tiers are complements, not substitutes.
     */
   def d18CdcQuality(s: SparkSession, d: String): DataFrame = {
-    val truth = d02JaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-    val cand = d17CdcChunkOverlap(s, d).select(col("doc_a"), col("doc_b"))
+    releaseCaches()
+    // each generator feeds two consumers (its own count + the hit
+    // join) — cache so the expensive pipelines run once, not twice
+    val truth = d02JaccardPairs(s, d).select(col("doc_a"), col("doc_b")).cache()
+    val cand = d17CdcChunkOverlap(s, d).select(col("doc_a"), col("doc_b")).cache()
+    registerRelease(() => { truth.unpersist(); cand.unpersist(); () })
     val hit = truth.join(cand, Seq("doc_a", "doc_b"))
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))

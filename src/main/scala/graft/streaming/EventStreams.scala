@@ -962,11 +962,13 @@ object EventStreams {
     * computes the batch's chunk signatures (Dedup.cdcSigs — the exact
     * batch arithmetic), emits shared-chunk pair rows new×store and
     * within-batch (docs never span batches, so every unordered pair
-    * surfaces exactly once across the replay), and appends the batch's
-    * signatures to the persisted store. The global df cap CANNOT be
-    * applied incrementally — a chunk can cross 64 docs mid-replay —
-    * so pair rows carry (h, clen) uncapped and Dedup.cdcPairsFinal
-    * caps once against the converged store. Final output answers to
+    * that can survive the cap surfaces exactly once across the
+    * replay), and appends the batch's signatures to the persisted
+    * store. The global df cap CANNOT be applied incrementally — a
+    * chunk can cross 64 docs mid-replay — so pair rows carry
+    * (h, clen) and Dedup.cdcPairsFinal caps once against the
+    * converged store; chunks ALREADY over the cap in the store stop
+    * emitting doomed pairs immediately (frequency is monotone). Final output answers to
     * d17's UNCHANGED oracle. At 100 TB the store is the persisted
     * chunk index a dedup service maintains; per batch the work is one
     * equi-join of the arrivals' signatures against it.
@@ -985,15 +987,30 @@ object EventStreams {
           .cdcSigs(batch.select(col("doc_id"), col("text"))).cache()
         val haveStore = Option(new java.io.File(sigStore).listFiles())
           .exists(_.exists(_.getName.startsWith("part-")))
-        val within = sigs.as("a").join(sigs.as("b"),
+        // document frequency is monotone, so a chunk already over the
+        // cap in the store can never re-enter the final result — stop
+        // emitting its (doomed) pairs NOW. Without this, a boilerplate
+        // chunk would keep writing O(df²) pair rows that cdcPairsFinal
+        // is certain to discard; with it, waste per chunk is bounded
+        // near cap². The store itself still receives EVERY signature
+        // (the final cap must count true frequencies).
+        val store = if (haveStore)
+          sp.read.schema("doc_id BIGINT, h STRING, clen BIGINT")
+            .parquet(sigStore) else null
+        val pairSigs = if (haveStore) {
+          val storeHot = store.groupBy(col("h"))
+            .agg(count(lit(1)).as("df")).filter(col("df") > 64)
+            .select(col("h"))
+          sigs.join(broadcast(storeHot), Seq("h"), "left_anti")
+        } else sigs
+        val within = pairSigs.as("a").join(pairSigs.as("b"),
             col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             col("a.h").as("h"), col("a.clen").as("clen"))
         val pairs = if (haveStore) {
-          val cross = sigs
+          val cross = pairSigs
             .select(col("doc_id").as("nid"), col("h"), col("clen"))
-            .join(sp.read.parquet(sigStore)
-              .select(col("doc_id").as("cid"), col("h")), "h")
+            .join(store.select(col("doc_id").as("cid"), col("h")), "h")
             .select(least(col("nid"), col("cid")).as("doc_a"),
               greatest(col("nid"), col("cid")).as("doc_b"),
               col("h"), col("clen"))
@@ -1009,7 +1026,11 @@ object EventStreams {
     val shared = s.read
       .schema("doc_a BIGINT, doc_b BIGINT, h STRING, clen BIGINT")
       .parquet(pairDir)
-    graft.queries.Dedup.cdcPairsFinal(shared, s.read.parquet(sigStore))
+    // explicit schema: a corpus yielding zero chunk signatures leaves
+    // the store empty, and inference on a part-file-less dir throws
+    val allSigs = s.read
+      .schema("doc_id BIGINT, h STRING, clen BIGINT").parquet(sigStore)
+    graft.queries.Dedup.cdcPairsFinal(shared, allSigs)
   }
 
   private def gated(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =

@@ -1173,11 +1173,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)),
       s"expected exactly the planted pair, got $got")
     assert(got.head._3 >= 100, s"shared span under-detected: ${got.head._3}")
-    // the df-cap window and the self-join share one exchange on h, so
-    // the chunk stream is materialized and shuffled exactly once. At
-    // sf0.001 the build side fits the broadcast threshold and Catalyst
-    // rebuilds it instead (fine when tiny); disable broadcast to see
-    // the at-scale shape and assert the reuse.
+    // the self-join's two sides are column-identical, so they share
+    // ONE shuffled exchange of the chunk stream (the df-cap hot set is
+    // its own tiny partial aggregate). At sf0.001 the build side fits
+    // the broadcast threshold and Catalyst rebuilds it instead (fine
+    // when tiny); disable broadcast to see the at-scale shape and
+    // assert the reuse.
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
