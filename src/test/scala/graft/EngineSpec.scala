@@ -1290,6 +1290,41 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rec.nonEmpty)
   }
 
+  test("CDC cap-after equals cap-before, incl. an over-cap boilerplate chunk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(13)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(100000)).mkString(" ")
+    val boiler = words(60) // shared verbatim by all 70 → df 70 > 64 cap
+    val span = words(80)   // shared by exactly docs 1001/1002 → kept
+    val docs = ((1 to 70).map(i => (i.toLong, s"p$i " + boiler)) ++ Seq(
+      (1001L, words(5) + " " + span),
+      (1002L, words(9) + " " + span))).toDF("doc_id", "text")
+    // st21's shape: pair rows from signatures, global cap applied last
+    val sigs = graft.queries.Dedup.cdcSigs(docs)
+    val shared = sigs.as("a").join(sigs.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.h").as("h"), col("a.clen").as("clen"))
+    val capAfter = graft.queries.Dedup.cdcPairsFinal(shared, sigs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val capBefore = graft.queries.Dedup.cdcOverlap(docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(capAfter == capBefore,
+      s"cap-after ${capAfter.size} pairs != cap-before ${capBefore.size}")
+    assert(capAfter.exists(p => p._1 == 1001L && p._2 == 1002L),
+      "the rare planted pair must survive the cap")
+    // the four df=70 chunks would alone produce 70·69/2 = 2415 pairs;
+    // the cap drops them all. The pairs that remain inside the
+    // boilerplate group ride RARE chunks (different prefix lengths
+    // shift an early breakpoint to the same boiler offset in a couple
+    // of docs — CDC's alignment property, correctly uncapped): a
+    // handful, not thousands.
+    val boilerPairs = capAfter.count(p => p._1 <= 70L && p._2 <= 70L)
+    assert(boilerPairs <= 5,
+      s"df cap failed: $boilerPairs boilerplate-group pairs survived")
+  }
+
   test("connected components resolve transitive dup clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
