@@ -750,7 +750,32 @@ object PipelineOps {
         (col("y") === lit(1.0)).as("is_en"))
   }
 
+  /** Weighted sampling WITHOUT replacement in one pass — the
+    * Efraimidis–Spirakis A-ES design: each doc draws a deterministic
+    * uniform u from its md5 (the q37/e03 hash-split idiom) and ranks
+    * by key u^(1/w) with w = n_chars; the global top-k IS an exact
+    * weighted sample without replacement. Ranking uses the monotone
+    * log form ln(u)/w, pinned to a scaled BIGINT so the cross-engine
+    * comparison is exact, with doc_id breaking boundary ties.
+    *
+    * Scale shape: a pure map then TakeOrderedAndProject — per-task
+    * top-k before one tiny final merge, never a global sort; p05's
+    * quota mix needs a per-source pass, this needs none. The sample
+    * provably skews toward heavy docs (spec asserts the sample's mean
+    * n_chars exceeds the corpus mean).
+    */
+  def p08WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("double") + lit(1.0)) / lit(16777217.0)
+    val key = round(log(u) / col("n_chars").cast("double") * lit(1e9)).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("key_scaled"))
+      .orderBy(col("key_scaled").desc, col("doc_id"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p08_weighted_sample" -> p08WeightedSample,
     "e06_lr_quality_score" -> e06LrQualityScore,
     "e05_lr_quality_train" -> e05LrQualityTrain,
     "p07_zorder_layout" -> p07ZorderLayout,
@@ -858,6 +883,12 @@ object PipelineOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // same md5 uniform, same pinned log-form A-ES key, same tie-break
+    "p08_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars,
+           round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT + 1.0)
+             / 16777217.0) / n_chars::DOUBLE * 1e9)::BIGINT AS key_scaled
+         FROM documents ORDER BY key_scaled DESC, doc_id LIMIT 100""",
     "e05_lr_quality_train" ->
       s"""WITH $lrTrainCtes
          SELECT 1 AS iter, w0, w1, w2, w3, sl AS loss_scaled FROM u1

@@ -1325,6 +1325,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"df cap failed: $boilerPairs boilerplate-group pairs survived")
   }
 
+  test("p08 weighted sample plans as TakeOrdered and skews toward heavy docs") {
+    val q = SparkEntry.queries("p08_weighted_sample")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample must be a distributed top-k, not a global sort:\n${p.take(500)}")
+    val sampleMean = q.collect().map(_.getLong(2)).sum.toDouble / 100
+    val corpusMean = graft.core.Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weight ∝ n_chars must skew the sample: $sampleMean vs corpus $corpusMean")
+  }
+
   test("connected components resolve transitive dup clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
