@@ -104,6 +104,53 @@ object Aggregators {
     def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
   }
 
+  /** Misra–Gries frequent-items summary: at most k live counters.
+    * Per item: increment if tracked, insert if room, else decrement
+    * EVERY counter (dropping zeros). Merge (Agarwal et al., mergeable
+    * summaries): add counters, then subtract the (k+1)-th largest
+    * count and drop non-positives. Deterministic GUARANTEE regardless
+    * of stream/partition order: true − n/(k+1) ≤ est ≤ true — the
+    * summary's CONTENTS may differ by order (hence the a05 gate
+    * reports exact counts + replayed contract booleans, a03's
+    * pattern), the bound never does. Distinct role from CMS: fixed k
+    * counters, deterministic under-count (CMS over-counts), no
+    * hashing at all.
+    */
+  class MisraGries[I](key: I => String, val k: Int)
+    extends Aggregator[I, mutable.Map[String, Long], Map[String, Long]] {
+    def zero: mutable.Map[String, Long] = mutable.Map.empty
+    def reduce(b: mutable.Map[String, Long], in: I): mutable.Map[String, Long] = {
+      val x = key(in)
+      if (b.contains(x)) b(x) += 1L
+      else if (b.size < k) b(x) = 1L
+      else {
+        // snapshot before rewriting: mutating a map mid-iteration is
+        // undefined for mutable.HashMap
+        val kept = b.toList.map { case (kk, v) => (kk, v - 1L) }
+          .filter(_._2 > 0L)
+        b.clear()
+        kept.foreach { case (kk, v) => b(kk) = v }
+      }
+      b
+    }
+    def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
+      b.foreach { case (kk, v) => a(kk) = a.getOrElse(kk, 0L) + v }
+      if (a.size > k) {
+        val cut = a.values.toArray.sorted(Ordering.Long.reverse).apply(k)
+        val kept = a.toList.map { case (kk, v) => (kk, v - cut) }
+          .filter(_._2 > 0L)
+        a.clear()
+        kept.foreach { case (kk, v) => a(kk) = v }
+      }
+      a
+    }
+    def finish(b: mutable.Map[String, Long]): Map[String, Long] = b.toMap
+    def bufferEncoder: Encoder[mutable.Map[String, Long]] =
+      Encoders.kryo[mutable.Map[String, Long]]
+    def outputEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+  }
+
   object CountMinSketch {
     /** splitmix64 finalizer (public-domain constants), row-seeded. */
     def bucket(k: Long, row: Int, width: Int): Int = {

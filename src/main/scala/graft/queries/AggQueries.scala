@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.Aggregators.{CounterMerge, CountMinSketch, TopKByCount}
+import graft.functions.Aggregators.{CounterMerge, CountMinSketch, MisraGries, TopKByCount}
 
 /** The typed-Aggregator library exercised through the oracle gate:
   * each query computes an answer Spark could also get declaratively,
@@ -121,13 +121,51 @@ object AggQueries {
         (abs(col("est") - col("n_exact")).cast("double") <=
           col("n_exact").cast("double") * 0.05).as("within_5pct"))
 
+  /** Misra–Gries frequent items under the a03 contract-gate pattern —
+    * the DETERMINISTIC heavy-hitter summary: k=15 counters, no
+    * hashing, guaranteed under-count of at most n/(k+1) whatever the
+    * partition order (CMS gives the mirror-image over-count). The
+    * summary's contents depend on merge order, so the gate outputs
+    * the exact counts plus the two replayed contract booleans
+    * (est ≤ exact; exact − est ≤ n/16) — TRUE for every key at every
+    * sf by the MG theorem, which is what makes the gate hashable.
+    * With 70 % of mass on one key and k=15, the heavy key provably
+    * survives every decrement (0.7n − n/16 > 0): the summary a
+    * 100 TB pipeline keeps per partition is 15 counters, merged
+    * map-side — no shuffle of the key domain at all.
+    */
+  def a05MgHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kCounters = 15
+    val items = Tables.lineitem(s, d)
+      .select(when(col("l_orderkey") % 10 < 7, lit(0L))
+        .otherwise(col("l_orderkey") % 100).cast("string").as("kk"))
+      .as[String]
+    val mg = new MisraGries[String](identity, kCounters)
+    val summary = items.select(mg.toColumn.name("mg")).head()
+    val bound = items.count() / (kCounters + 1)
+    items.groupByKey(identity).count().map { case (key, cnt) =>
+      val est = summary.getOrElse(key, 0L)
+      (key.toLong, cnt, est <= cnt, cnt - est <= bound)
+    }.toDF("k", "n_exact", "est_le_exact", "within_bound")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a05_mg_heavy_hitters" -> a05MgHeavyHitters,
     "a04_hll_distinct" -> a04HllDistinct,
     "a03_cms_heavy_hitters" -> a03CmsHeavyHitters,
     "a01_counter_merge" -> a01CounterMerge,
     "a02_topk_per_key" -> a02TopKPerKey)
 
   val oracles: Map[String, String] = Map(
+    // exact side of the MG contract; both booleans replay TRUE for
+    // every key by the Misra–Gries theorem (a03's pattern)
+    "a05_mg_heavy_hitters" ->
+      """SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                     ELSE l_orderkey % 100 END AS k,
+           count(*) AS n_exact,
+           TRUE AS est_le_exact, TRUE AS within_bound
+         FROM lineitem GROUP BY 1""",
     // exact side of the HLL contract; the bound boolean must replay
     // TRUE for every source
     "a04_hll_distinct" ->

@@ -57,4 +57,31 @@ class SketchLawsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Misra-Gries bound survives every split/merge order (a05's contract)") {
+    import graft.functions.Aggregators.MisraGries
+    val k = 7
+    val mg = new MisraGries[String](identity, k)
+    def summarize(xs: Seq[String]) =
+      xs.foldLeft(mg.zero)((b, x) => mg.reduce(b, x))
+    (1 to 100).foreach { _ =>
+      // skewed keys so some survive and some are evicted
+      val xs = List.fill(50 + rnd.nextInt(300))(
+        "k" + (if (rnd.nextInt(10) < 6) 0 else rnd.nextInt(20)))
+      // arbitrary 3-way split, merged in a random order
+      val i = rnd.nextInt(xs.length + 1); val j = i + rnd.nextInt(xs.length - i + 1)
+      val parts = new scala.util.Random(rnd.nextLong())
+        .shuffle(List(xs.slice(0, i), xs.slice(i, j), xs.slice(j, xs.length)))
+      val merged = mg.finish(parts.map(summarize)
+        .reduce((a, b) => mg.merge(a, b)))
+      assert(merged.size <= k, "summary exceeded its k counters")
+      val bound = xs.length.toLong / (k + 1)
+      xs.groupBy(identity).foreach { case (key, occ) =>
+        val est = merged.getOrElse(key, 0L)
+        assert(est <= occ.size.toLong, s"over-count for $key")
+        assert(occ.size.toLong - est <= bound,
+          s"bound violated for $key: exact ${occ.size}, est $est, n/(k+1) $bound")
+      }
+    }
+  }
 }
