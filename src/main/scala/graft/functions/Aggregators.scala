@@ -70,10 +70,10 @@ object Aggregators {
   /** Count-Min sketch over long keys: a depth×width counter matrix;
     * `reduce` adds 1 to one bucket per row, `merge` is an elementwise
     * sum. Merges are COMMUTATIVE AND ASSOCIATIVE, so the final sketch —
-    * and every estimate read from it — is partition-order independent;
-    * that is what lets a sketch be correctness-GATED (contrast
-    * Misra-Gries/space-saving, whose surviving candidate set depends
-    * on merge order and can't face a deterministic oracle). Buffer is
+    * and every estimate read from it — is partition-order independent
+    * and can be value-gated directly (contrast Misra-Gries below,
+    * whose surviving candidate SET depends on merge order — a05 gates
+    * it through its order-independent error bound instead). Buffer is
     * depth×width longs regardless of input size: the shuffle carries
     * one ~4 KB array per task — the sketch point at 100 TB.
     *
@@ -147,8 +147,10 @@ object Aggregators {
     def finish(b: mutable.Map[String, Long]): Map[String, Long] = b.toMap
     def bufferEncoder: Encoder[mutable.Map[String, Long]] =
       Encoders.kryo[mutable.Map[String, Long]]
+    // file convention: kryo for buffers, ExpressionEncoder for outputs
+    // (a typed MapType column, not an opaque binary blob)
     def outputEncoder: Encoder[Map[String, Long]] =
-      Encoders.kryo[Map[String, Long]]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
   object CountMinSketch {

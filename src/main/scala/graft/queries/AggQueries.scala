@@ -56,8 +56,9 @@ object AggQueries {
     * here: ~70 % of lineitem on k = 0.
     *
     * Scale shape: the sketch pass shuffles ONE ~2 KB buffer per task
-    * (commutative merges — see CountMinSketch for why that, and not
-    * merge-order-dependent Misra-Gries, is gate-able); estimates are
+    * (commutative merges let the estimate VALUES face the oracle
+    * directly; merge-order-dependent Misra-Gries gates through its
+    * bound instead — a05); estimates are
     * then read per candidate key against the broadcast sketch in a
     * narrow typed map. The exact per-key counts here double as the
     * contract's ground truth — at 100 TB that exact pass is the thing
@@ -143,8 +144,11 @@ object AggQueries {
       .as[String]
     val mg = new MisraGries[String](identity, kCounters)
     val summary = items.select(mg.toColumn.name("mg")).head()
-    val bound = items.count() / (kCounters + 1)
-    items.groupByKey(identity).count().map { case (key, cnt) =>
+    // the exact counts already carry n = Σ counts — derive the bound
+    // from the (tiny, cached) per-key frame instead of a third scan
+    val exact = items.groupByKey(identity).count().cache()
+    val bound = exact.map(_._2).reduce(_ + _) / (kCounters + 1)
+    exact.map { case (key, cnt) =>
       val est = summary.getOrElse(key, 0L)
       (key.toLong, cnt, est <= cnt, cnt - est <= bound)
     }.toDF("k", "n_exact", "est_le_exact", "within_bound")

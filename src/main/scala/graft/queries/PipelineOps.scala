@@ -769,6 +769,9 @@ object PipelineOps {
       .cast("double") + lit(1.0)) / lit(16777217.0)
     val key = round(log(u) / col("n_chars").cast("double") * lit(1e9)).cast("long")
     Tables.documents(s, d)
+      // w = 0 means "never sample", and ln(u)/0 diverges between
+      // engines (Spark -Inf, DuckDB NULL) — exclude zero weights
+      .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("lang"), col("n_chars"), key.as("key_scaled"))
       .orderBy(col("key_scaled").desc, col("doc_id"))
       .limit(100)
@@ -888,7 +891,8 @@ object PipelineOps {
       """SELECT doc_id, lang, n_chars,
            round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT + 1.0)
              / 16777217.0) / n_chars::DOUBLE * 1e9)::BIGINT AS key_scaled
-         FROM documents ORDER BY key_scaled DESC, doc_id LIMIT 100""",
+         FROM documents WHERE n_chars > 0
+         ORDER BY key_scaled DESC, doc_id LIMIT 100""",
     "e05_lr_quality_train" ->
       s"""WITH $lrTrainCtes
          SELECT 1 AS iter, w0, w1, w2, w3, sl AS loss_scaled FROM u1
