@@ -777,7 +777,35 @@ object PipelineOps {
       .limit(100)
   }
 
+  /** Calibration board for the trained gate — the reliability curve
+    * an ML-ops deployment monitors: scores bucketed into deciles,
+    * each bucket reporting exact member count, exact positive count,
+    * and the exact integer sum of per-doc pinned scores (avg = sum/n
+    * is then derivable without any order-dependent float aggregate).
+    * On this no-signal corpus the model converges to the class prior,
+    * so scores concentrate in one or two deciles whose observed
+    * positive rate ≈ the predicted score — the well-calibrated
+    * outcome for a prior-fitted model, replayed as exact integers.
+    * Same pure-map scoring plan as e06 plus one partial-agg shuffle
+    * over ≤ 10 groups.
+    */
+  def e07LrCalibration(s: SparkSession, d: String): DataFrame = {
+    val feats = lrFeatures(s, d).cache()
+    val w = lrTrain(feats)._2
+    feats.unpersist()
+    feats
+      .withColumn("p", lrSigmoid(w))
+      .select(least(floor(col("p") * lit(10.0)), lit(9L)).cast("long").as("decile"),
+        col("y"),
+        round(col("p") * lit(1e6)).cast("long").as("ps"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y").cast("long")).as("n_pos"),
+        sum(col("ps")).as("sum_p_scaled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e07_lr_calibration" -> e07LrCalibration,
     "p08_weighted_sample" -> p08WeightedSample,
     "e06_lr_quality_score" -> e06LrQualityScore,
     "e05_lr_quality_train" -> e05LrQualityTrain,
@@ -886,6 +914,18 @@ object PipelineOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // same weight derivation, same decile bucketing, exact integer
+    // aggregates only (n, positives, pinned score sums)
+    "e07_lr_calibration" ->
+      s"""WITH $lrTrainCtes
+         SELECT least(floor(p * 10.0), 9)::BIGINT AS decile,
+           count(*)::BIGINT AS n_docs,
+           sum(y)::BIGINT AS n_pos,
+           sum(round(p * 1e6))::BIGINT AS sum_p_scaled
+         FROM (SELECT y,
+             1.0 / (1.0 + exp(-((u.w0) / 1e6 + (u.w1) / 1e6 * x1 + (u.w2) / 1e6 * x2 + (u.w3) / 1e6 * x3))) AS p
+           FROM f, u3 u)
+         GROUP BY 1""",
     // same md5 uniform, same pinned log-form A-ES key, same tie-break
     "p08_weighted_sample" ->
       """SELECT doc_id, lang, n_chars,

@@ -1337,6 +1337,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"weight ∝ n_chars must skew the sample: $sampleMean vs corpus $corpusMean")
   }
 
+  test("e07 calibration: mean predicted rate tracks the observed rate") {
+    val rows = SparkEntry.queries("e07_lr_calibration")(spark, sf).collect()
+    val n = rows.map(_.getLong(1)).sum
+    val pos = rows.map(_.getLong(2)).sum
+    val meanP = rows.map(_.getLong(3)).sum.toDouble / 1e6 / n
+    // after three GD rounds on a no-signal corpus the model sits near
+    // the class prior; the reliability gap should already be small
+    assert(math.abs(meanP - pos.toDouble / n) < 0.1,
+      s"calibration gap: predicted $meanP vs observed ${pos.toDouble / n}")
+  }
+
   test("connected components resolve transitive dup clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
