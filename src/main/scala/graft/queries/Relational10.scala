@@ -355,7 +355,29 @@ object Relational10 {
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
         max(col("k")).as("max_k"))
 
+  /** SQL pipe syntax (`|>`) — Spark 4's linear query form (the
+    * GoogleSQL pipe-operator surface), q66/q68/q69's sibling in the
+    * modern-SQL family: scan |> filter |> aggregate |> post-filter |>
+    * order, each stage reading top-to-bottom. Catalyst plans it
+    * identically to the nested form — the pipes are pure surface —
+    * so filters still push to the scan and the aggregate still
+    * partial-aggregates; the oracle is the equivalent ANSI nesting.
+    */
+  def q70PipeSyntax(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_pv")
+    s.sql("""
+      FROM lineitem_pv
+      |> WHERE l_shipdate < TIMESTAMP '1998-09-01'
+      |> AGGREGATE round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+         GROUP BY l_returnflag, l_linestatus
+      |> WHERE n_items > 10
+      |> ORDER BY l_returnflag, l_linestatus""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_pipe_syntax" -> q70PipeSyntax,
     "q69_variant_json" -> q69VariantJson,
     "q67_market_share" -> q67MarketShare,
     "q66_lateral_topk" -> q66LateralTopk,
@@ -367,6 +389,16 @@ object Relational10 {
     "q59_cohort_retention" -> q59CohortRetention)
 
   val oracles: Map[String, String] = Map(
+    // the equivalent ANSI nesting of the pipe chain
+    "q70_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1998-09-01'
+         GROUP BY 1, 2
+         HAVING count(*) > 10""",
     // same typed path extraction via DuckDB's JSON operators
     "q69_variant_json" ->
       """SELECT event_type, count(*)::BIGINT AS n_events,

@@ -1348,6 +1348,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"calibration gap: predicted $meanP vs observed ${pos.toDouble / n}")
   }
 
+  test("q70 pipe syntax is pure surface: the filter still reaches the scan") {
+    val p = planOf("q70_pipe_syntax")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"pipe-form WHERE must push down like the nested form:\n${p.take(600)}")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "aggregate must partial-aggregate")
+  }
+
   test("connected components resolve transitive dup clusters") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
