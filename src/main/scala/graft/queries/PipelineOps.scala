@@ -738,16 +738,24 @@ object PipelineOps {
     * cross-engine hash; the oracle re-derives the identical weights
     * via e05's CTE chain and scores in one extra SELECT.
     */
-  def e06LrQualityScore(s: SparkSession, d: String): DataFrame = {
-    val feats = lrFeatures(s, d).cache()
-    val w = lrTrain(feats)._2
-    feats.unpersist() // scoring below re-derives features in its own single scan
-    feats
-      .withColumn("p", lrSigmoid(w))
+  def e06LrQualityScore(s: SparkSession, d: String): DataFrame =
+    lrScored(s, d)
       .select(col("doc_id"),
         round(col("p") * lit(1e6)).cast("long").as("p_scaled"),
         (col("p") >= lit(0.5)).as("pred_en"),
         (col("y") === lit(1.0)).as("is_en"))
+
+  /** Train (cached feature frame), then score every document under
+    * the final weights — the shared preamble of the inference gate
+    * (e06) and the calibration board (e07), factored so the scoring
+    * expression cannot drift between them (the lrTrainCtes rationale,
+    * on the engine side).
+    */
+  private def lrScored(s: SparkSession, d: String): DataFrame = {
+    val feats = lrFeatures(s, d).cache()
+    val w = lrTrain(feats)._2
+    feats.unpersist() // scoring below re-derives features in its own single scan
+    feats.withColumn("p", lrSigmoid(w))
   }
 
   /** Weighted sampling WITHOUT replacement in one pass — the
@@ -790,11 +798,7 @@ object PipelineOps {
     * over ≤ 10 groups.
     */
   def e07LrCalibration(s: SparkSession, d: String): DataFrame = {
-    val feats = lrFeatures(s, d).cache()
-    val w = lrTrain(feats)._2
-    feats.unpersist()
-    feats
-      .withColumn("p", lrSigmoid(w))
+    lrScored(s, d)
       .select(least(floor(col("p") * lit(10.0)), lit(9L)).cast("long").as("decile"),
         col("y"),
         round(col("p") * lit(1e6)).cast("long").as("ps"))
@@ -913,6 +917,14 @@ object PipelineOps {
        u3 AS (${upd("u.w0", "u.w1", "u.w2", "u.w3", "i3", ", u2 u")})"""
   }
 
+  /** The scored-documents subquery under the final weights — shared
+    * by the e06 and e07 oracles (one copy, like lrTrainCtes).
+    */
+  private val lrScoredSql: String =
+    """SELECT doc_id, y,
+         1.0 / (1.0 + exp(-((u.w0) / 1e6 + (u.w1) / 1e6 * x1 + (u.w2) / 1e6 * x2 + (u.w3) / 1e6 * x3))) AS p
+       FROM f, u3 u"""
+
   val oracles: Map[String, String] = Map(
     // same weight derivation, same decile bucketing, exact integer
     // aggregates only (n, positives, pinned score sums)
@@ -922,9 +934,7 @@ object PipelineOps {
            count(*)::BIGINT AS n_docs,
            sum(y)::BIGINT AS n_pos,
            sum(round(p * 1e6))::BIGINT AS sum_p_scaled
-         FROM (SELECT y,
-             1.0 / (1.0 + exp(-((u.w0) / 1e6 + (u.w1) / 1e6 * x1 + (u.w2) / 1e6 * x2 + (u.w3) / 1e6 * x3))) AS p
-           FROM f, u3 u)
+         FROM ($lrScoredSql)
          GROUP BY 1""",
     // same md5 uniform, same pinned log-form A-ES key, same tie-break
     "p08_weighted_sample" ->
@@ -944,9 +954,7 @@ object PipelineOps {
       s"""WITH $lrTrainCtes
          SELECT doc_id, round(p * 1e6)::BIGINT AS p_scaled,
            p >= 0.5 AS pred_en, y = 1.0 AS is_en
-         FROM (SELECT doc_id, y,
-             1.0 / (1.0 + exp(-((u.w0) / 1e6 + (u.w1) / 1e6 * x1 + (u.w2) / 1e6 * x2 + (u.w3) / 1e6 * x3))) AS p
-           FROM f, u3 u)""",
+         FROM ($lrScoredSql)""",
     // identical grid normalization, bit interleave, and 64-way z-range
     // cut — all integer / exactly-representable double arithmetic
     "p07_zorder_layout" ->

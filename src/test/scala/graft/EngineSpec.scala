@@ -1352,8 +1352,8 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = planOf("q70_pipe_syntax")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
       s"pipe-form WHERE must push down like the nested form:\n${p.take(600)}")
-    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
-      "aggregate must partial-aggregate")
+    assert(p.contains("partial_sum"),
+      "aggregate must partial-aggregate (map-side partial_sum)")
   }
 
   test("connected components resolve transitive dup clusters") {
