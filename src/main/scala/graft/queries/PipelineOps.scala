@@ -772,18 +772,26 @@ object PipelineOps {
     * provably skews toward heavy docs (spec asserts the sample's mean
     * n_chars exceeds the corpus mean).
     */
-  def p08WeightedSample(s: SparkSession, d: String): DataFrame = {
+  def p08WeightedSample(s: SparkSession, d: String): DataFrame =
+    aesTop100(aesKeyed(Tables.documents(s, d)))
+
+  /** The A-ES key over any documents frame — package-visible so the
+    * streaming gate (st22) computes the IDENTICAL key per batch.
+    */
+  private[graft] def aesKeyed(docs: DataFrame): DataFrame = {
     val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
       .cast("double") + lit(1.0)) / lit(16777217.0)
     val key = round(log(u) / col("n_chars").cast("double") * lit(1e9)).cast("long")
-    Tables.documents(s, d)
+    docs
       // w = 0 means "never sample", and ln(u)/0 diverges between
       // engines (Spark -Inf, DuckDB NULL) — exclude zero weights
       .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("lang"), col("n_chars"), key.as("key_scaled"))
-      .orderBy(col("key_scaled").desc, col("doc_id"))
-      .limit(100)
   }
+
+  /** The global sample = top-100 by (key desc, doc_id). */
+  private[graft] def aesTop100(keyed: DataFrame): DataFrame =
+    keyed.orderBy(col("key_scaled").desc, col("doc_id")).limit(100)
 
   /** Calibration board for the trained gate — the reliability curve
     * an ML-ops deployment monitors: scores bucketed into deciles,

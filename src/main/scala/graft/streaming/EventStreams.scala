@@ -1033,10 +1033,39 @@ object EventStreams {
     graft.queries.Dedup.cdcPairsFinal(shared, allSigs)
   }
 
+  /** st22: p08's weighted sample maintained BY A STREAM — per batch,
+    * the batch-local top-100 by the identical A-ES key appends to a
+    * candidate store (any member of the global top-100 is in its own
+    * batch's top-100, so the union provably contains the answer); the
+    * final merge ranks ≤ 100·batches candidate rows. The state a
+    * 100 TB ingest keeps is 100 rows per batch — never the corpus —
+    * and the result answers p08's UNCHANGED oracle.
+    */
+  def st22StreamWeightedSample(s: SparkSession, d: String): DataFrame = {
+    val chunks = stageDocChunks(s, d)
+    val candStore = graft.core.Staging.tempAtExit("graft_st22_cands_")
+    val docSchema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(chunks)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.PipelineOps.aesTop100(
+          graft.queries.PipelineOps.aesKeyed(batch))
+          .write.mode("append").parquet(candStore)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.queries.PipelineOps.aesTop100(
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT, key_scaled BIGINT")
+        .parquet(candStore))
+  }
+
   private def gated(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st22_stream_weighted_sample" -> gated(st22StreamWeightedSample),
     "st21_stream_cdc_dedup" -> gated(st21StreamCdcDedup),
     "st20_stream_incr_dedup" -> gated(st20StreamIncrementalDedup),
     "st19_stream_drift" -> gated(st19StreamDrift),
@@ -1082,6 +1111,10 @@ object EventStreams {
        FROM agg, wm WHERE end_us + 1800000000 < w"""
 
   val oracles: Map[String, String] = Map(
+    // st22: the union of batch-local top-100s provably contains the
+    // global top-100, so the final merge IS p08's answer — same val
+    "st22_stream_weighted_sample" ->
+      graft.queries.PipelineOps.oracles("p08_weighted_sample"),
     // st21: every unordered doc pair surfaces exactly once across the
     // replay (within-batch or new×store) and the df cap applies once
     // against the converged store, so the result IS d17's — same val
