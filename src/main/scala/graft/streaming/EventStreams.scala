@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -876,6 +876,44 @@ object EventStreams {
       }
     }
 
+  /** The persisted dedup stores (st20/st21) are laid out hash-bucketed
+    * on their probe key: rows are written `partitionBy("bucket")` with
+    * bucket = pmod(hash(key), StoreBuckets), so a micro-batch's probe
+    * reads ONLY the directories holding its own keys — static
+    * partition pruning, with the batch's bucket set (≤ StoreBuckets
+    * small ints) collected driver-side in the aggregate-broadcast
+    * shape. Per-batch scanned volume is then proportional to the
+    * batch's key diversity, not the corpus — the O(batch) steady
+    * state d08's cost model promises, now delivered by the physical
+    * plan. 64 buckets suits the local fixtures; production at 100 TB
+    * raises this to O(10⁴) so one bucket ≈ one scan split. (A catalog
+    * `bucketBy` table would only save the join shuffle, not the scan;
+    * directory partitioning is what prunes I/O, and the store side of
+    * each probe is the BIG side — the batch side broadcasts.)
+    */
+  private[graft] val StoreBuckets = 64
+
+  private[graft] def bucketOf(keys: Column*): Column =
+    pmod(hash(keys: _*), lit(StoreBuckets))
+
+  /** Read a bucketed store pruned to `buckets`: the IN-list lands in
+    * the scan's PartitionFilters, so unprobed bucket directories are
+    * never even listed into the scan (the economics spec measures
+    * this via the scan's numFiles metric). */
+  private[graft] def prunedStore(
+      sp: SparkSession, dir: String, buckets: Seq[Int]): DataFrame =
+    sp.read.parquet(dir).filter(col("bucket").isin(buckets: _*))
+
+  /** True iff the store dir holds any part file, at any nesting — the
+    * flat `listFiles` check would miss bucket=…/part-… layouts. */
+  private[graft] def storeNonEmpty(dir: String): Boolean = {
+    def any(f: java.io.File): Boolean =
+      Option(f.listFiles()).exists(_.exists(c =>
+        (c.isFile && c.getName.startsWith("part-")) ||
+          (c.isDirectory && any(c))))
+    any(new java.io.File(dir))
+  }
+
   /** STREAMING INCREMENTAL DEDUP — the corpus-refresh pipeline d08
     * documents as the 100 TB steady state, actually RUN as a stream:
     * the standing corpus arrives in micro-batches and each batch
@@ -890,8 +928,12 @@ object EventStreams {
     * corpus side, so the final quarantine set answers to d08's
     * UNCHANGED oracle — the st19/st15 shared-oracle pattern applied
     * to dedup. State here is the parquet store, not stream-engine
-    * state: per-batch work is bands-over-batch plus one band-key
-    * join, which is exactly the production refresh cost model.
+    * state, and BOTH stores are hash-bucketed on their probe key
+    * (band store on (band, bv); shingle store on doc_id) so each
+    * batch's probes partition-prune to the batch's own buckets:
+    * per-batch work is bands-over-batch plus one PRUNED band-key
+    * join plus one PRUNED shingle fetch for the verified candidates —
+    * the production refresh cost model, O(batch) not O(corpus).
     */
   def st20StreamIncrementalDedup(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
@@ -914,21 +956,28 @@ object EventStreams {
               .cast("long") % 5 === 0)
           .select(col("doc_id"), col("is_new"), col("sh"))
           .cache()
-        val haveStore = Option(new java.io.File(bandStore).listFiles())
-          .exists(_.exists(_.getName.startsWith("part-")))
-        if (haveStore) {
+        if (storeNonEmpty(bandStore)) {
           val newDocs = sigs.filter(col("is_new"))
-          val cands = newDocs
+          val newBands = newDocs
             .select(col("doc_id").as("new_id"),
               posexplode(expr("graft_minhash_bands(sh)")))
             .toDF("new_id", "band", "bv")
-            .join(sp.read.parquet(bandStore), Seq("band", "bv"))
+            .withColumn("bucket", bucketOf(col("band"), col("bv")))
+            .cache()
+          // ≤ StoreBuckets small ints — the aggregate-broadcast shape
+          val kbs = newBands.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val cands = newBands
+            .join(prunedStore(sp, bandStore, kbs), Seq("bucket", "band", "bv"))
             .select(col("new_id"), col("corpus_id"))
             .dropDuplicates("new_id", "corpus_id")
+            .cache()
+          val dbs = cands.select(bucketOf(col("corpus_id")).as("bucket"))
+            .distinct().collect().map(_.getInt(0)).toSeq
           cands
             .join(newDocs.select(col("doc_id").as("new_id"),
               col("sh").as("sha")), "new_id")
-            .join(sp.read.parquet(shStore)
+            .join(prunedStore(sp, shStore, dbs)
               .select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
               "corpus_id")
             .withColumn("common",
@@ -938,15 +987,18 @@ object EventStreams {
             .filter(col("jaccard") >= 0.5)
             .select(col("new_id"), col("corpus_id"), col("jaccard"))
             .write.mode("append").parquet(outDir)
+          cands.unpersist(); newBands.unpersist()
         }
         val corpus = sigs.filter(!col("is_new"))
         corpus
           .select(col("doc_id").as("corpus_id"),
             posexplode(expr("graft_minhash_bands(sh)")))
           .toDF("corpus_id", "band", "bv")
-          .write.mode("append").parquet(bandStore)
+          .withColumn("bucket", bucketOf(col("band"), col("bv")))
+          .write.partitionBy("bucket").mode("append").parquet(bandStore)
         corpus.select(col("doc_id"), col("sh"))
-          .write.mode("append").parquet(shStore)
+          .withColumn("bucket", bucketOf(col("doc_id")))
+          .write.partitionBy("bucket").mode("append").parquet(shStore)
         sigs.unpersist()
         ()
       }
@@ -967,70 +1019,112 @@ object EventStreams {
     * store. The global df cap CANNOT be applied incrementally — a
     * chunk can cross 64 docs mid-replay — so pair rows carry
     * (h, clen) and Dedup.cdcPairsFinal caps once against the
-    * converged store; chunks ALREADY over the cap in the store stop
-    * emitting doomed pairs immediately (frequency is monotone). Final output answers to
-    * d17's UNCHANGED oracle. At 100 TB the store is the persisted
-    * chunk index a dedup service maintains; per batch the work is one
-    * equi-join of the arrivals' signatures against it.
+    * converged store. Doomed pairs stop flowing the moment a chunk's
+    * COMBINED store+batch frequency crosses the cap (see st21Batch).
+    * Final output answers to d17's UNCHANGED oracle. At 100 TB the
+    * store is the persisted chunk index a dedup service maintains,
+    * bucketed on the chunk hash; per batch the work is one
+    * bucket-pruned equi-join of the arrivals' signatures against it.
     */
   def st21StreamCdcDedup(s: SparkSession, d: String): DataFrame = {
     val chunks = stageDocChunks(s, d)
     val sigStore = graft.core.Staging.tempAtExit("graft_st21_sigs_")
     val pairDir = graft.core.Staging.tempAtExit("graft_st21_pairs_")
+    val dfDir = graft.core.Staging.tempAtExit("graft_st21_df_")
+    val hotDir = graft.core.Staging.tempAtExit("graft_st21_hot_")
     val docSchema = s.read.parquet(s"$d/documents.parquet").schema
     val stream = s.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1").parquet(chunks)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sp = batch.sparkSession
-        val sigs = graft.queries.Dedup
-          .cdcSigs(batch.select(col("doc_id"), col("text"))).cache()
-        val haveStore = Option(new java.io.File(sigStore).listFiles())
-          .exists(_.exists(_.getName.startsWith("part-")))
-        // document frequency is monotone, so a chunk already over the
-        // cap in the store can never re-enter the final result — stop
-        // emitting its (doomed) pairs NOW. Without this, a boilerplate
-        // chunk would keep writing O(df²) pair rows that cdcPairsFinal
-        // is certain to discard; with it, waste per chunk is bounded
-        // near cap². The store itself still receives EVERY signature
-        // (the final cap must count true frequencies).
-        val store = if (haveStore)
-          sp.read.schema("doc_id BIGINT, h STRING, clen BIGINT")
-            .parquet(sigStore) else null
-        val pairSigs = if (haveStore) {
-          val storeHot = store.groupBy(col("h"))
-            .agg(count(lit(1)).as("df")).filter(col("df") > 64)
-            .select(col("h"))
-          sigs.join(broadcast(storeHot), Seq("h"), "left_anti")
-        } else sigs
-        val within = pairSigs.as("a").join(pairSigs.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.h").as("h"), col("a.clen").as("clen"))
-        val pairs = if (haveStore) {
-          val cross = pairSigs
-            .select(col("doc_id").as("nid"), col("h"), col("clen"))
-            .join(store.select(col("doc_id").as("cid"), col("h")), "h")
-            .select(least(col("nid"), col("cid")).as("doc_a"),
-              greatest(col("nid"), col("cid")).as("doc_b"),
-              col("h"), col("clen"))
-          within.unionByName(cross)
-        } else within
-        pairs.write.mode("append").parquet(pairDir)
-        sigs.write.mode("append").parquet(sigStore)
-        sigs.unpersist()
+        st21Batch(batch, sigStore, pairDir, dfDir, hotDir)
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    // explicit schemas: a corpus yielding zero chunk signatures leaves
+    // the stores empty, and inference on a part-file-less dir throws
     val shared = s.read
       .schema("doc_a BIGINT, doc_b BIGINT, h STRING, clen BIGINT")
       .parquet(pairDir)
-    // explicit schema: a corpus yielding zero chunk signatures leaves
-    // the store empty, and inference on a part-file-less dir throws
     val allSigs = s.read
       .schema("doc_id BIGINT, h STRING, clen BIGINT").parquet(sigStore)
     graft.queries.Dedup.cdcPairsFinal(shared, allSigs)
+  }
+
+  /** One st21 micro-batch against the persisted stores — factored so
+    * the spec can drive batches directly and measure the store
+    * economics. Every step is proportional to the BATCH (plus reads
+    * pruned to the batch's own buckets), never the corpus:
+    *
+    *  1. chunk-signature the batch (Dedup.cdcSigs — the exact batch
+    *     arithmetic), keyed into StoreBuckets on the chunk hash;
+    *  2. fold the batch's per-chunk document counts into the
+    *     incremental df side store (append-only partials, bucketed on
+    *     h) and read back ONLY the batch's buckets to find chunks
+    *     whose combined store+batch frequency crosses the cap — each
+    *     appends to the tiny hot store exactly once (frequency is
+    *     monotone, so the crossing batch is unique);
+    *  3. emit pair rows — within-batch and new×store, the store side
+    *     bucket-pruned — with BOTH pruned by the hot set. Using the
+    *     combined count (not the store's alone) means a boilerplate
+    *     chunk is silenced in the very batch it crosses 64, even if
+    *     it arrives concentrated in a single batch — closing the
+    *     within-batch O(df_batch²) leak a store-only prune leaves;
+    *  4. append the batch's signatures to the bucketed signature
+    *     store. The store receives EVERY signature — the
+    *     authoritative cap is still applied once, at the end, by
+    *     cdcPairsFinal against true converged frequencies (the
+    *     cap-after == cap-before law in EngineSpec).
+    *
+    * In production the df partials compact periodically (standard
+    * log-structured folding); per-batch reads stay pruned either way.
+    */
+  private[graft] def st21Batch(batch: DataFrame, sigStore: String,
+      pairDir: String, dfDir: String, hotDir: String): Unit = {
+    val sp = batch.sparkSession
+    val sigs = graft.queries.Dedup
+      .cdcSigs(batch.select(col("doc_id"), col("text")))
+      .withColumn("bucket", bucketOf(col("h"))).cache()
+    val batchCnt = sigs.groupBy(col("bucket"), col("h"))
+      .agg(count(lit(1)).as("cnt")).cache()
+    val hbs = batchCnt.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val combined = if (storeNonEmpty(dfDir))
+      batchCnt.join(prunedStore(sp, dfDir, hbs)
+          .groupBy(col("h")).agg(sum(col("cnt")).as("prior")),
+        Seq("h"), "left")
+        .withColumn("prior", coalesce(col("prior"), lit(0L)))
+    else batchCnt.withColumn("prior", lit(0L))
+    combined
+      .filter(col("prior") <= 64 && col("prior") + col("cnt") > 64)
+      .select(col("h"))
+      .write.mode("append").parquet(hotDir)
+    val pairSigs = if (storeNonEmpty(hotDir))
+      sigs.join(broadcast(sp.read.schema("h STRING").parquet(hotDir)),
+        Seq("h"), "left_anti")
+    else sigs
+    val within = pairSigs.as("a").join(pairSigs.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.h").as("h"), col("a.clen").as("clen"))
+    val pairs = if (storeNonEmpty(sigStore)) {
+      val cross = pairSigs
+        .select(col("doc_id").as("nid"), col("h"), col("clen"))
+        .join(prunedStore(sp, sigStore, hbs)
+          .select(col("doc_id").as("cid"), col("h")), "h")
+        .select(least(col("nid"), col("cid")).as("doc_a"),
+          greatest(col("nid"), col("cid")).as("doc_b"),
+          col("h"), col("clen"))
+      within.unionByName(cross)
+    } else within
+    pairs.write.mode("append").parquet(pairDir)
+    batchCnt.select(col("bucket"), col("h"), col("cnt"))
+      .write.partitionBy("bucket").mode("append").parquet(dfDir)
+    sigs.select(col("bucket"), col("doc_id"), col("h"), col("clen"))
+      .write.partitionBy("bucket").mode("append").parquet(sigStore)
+    sigs.unpersist(); batchCnt.unpersist()
+    ()
   }
 
   /** st22: p08's weighted sample maintained BY A STREAM — per batch,

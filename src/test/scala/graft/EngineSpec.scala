@@ -1325,6 +1325,89 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"df cap failed: $boilerPairs boilerplate-group pairs survived")
   }
 
+  test("bucketed dedup store probes scan only the batch's buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = graft.core.Staging.tempAtExit("graft_storeprune_spec_")
+    // 4 "batch" appends, 16k keys spread across all 64 buckets — the
+    // st20/st21 store layout (partitionBy over pmod(hash(key), 64))
+    (0 until 4).foreach { b =>
+      (b * 4000 until (b + 1) * 4000).toDF("k")
+        .withColumn("bucket", graft.streaming.EventStreams.bucketOf(col("k")))
+        .write.partitionBy("bucket").mode("append").parquet(dir)
+    }
+    def partFiles(f: java.io.File): Int =
+      Option(f.listFiles()).map(_.map(c =>
+        if (c.isDirectory) partFiles(c)
+        else if (c.getName.startsWith("part-")) 1 else 0).sum).getOrElse(0)
+    val total = partFiles(new java.io.File(dir))
+    // a small batch probing 3 keys resolves to ≤ 3 bucket dirs,
+    // exactly how the gates derive their probe set
+    val buckets = Seq(17, 1017, 9017).toDF("k")
+      .select(graft.streaming.EventStreams.bucketOf(col("k")).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val probe = graft.streaming.EventStreams.prunedStore(spark, dir, buckets)
+    assert(probe.collect().length >= 3, "probed buckets must contain their keys")
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "probe must be a file-source scan")
+    assert(scans.head.toString.contains("PartitionFilters: ["),
+      "bucket IN-list must land in PartitionFilters, not a post-scan filter")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    assert(scanned > 0 && scanned * 10 < total,
+      s"per-batch probe must scan ~buckets/64 of the store, got $scanned of $total files")
+  }
+
+  test("st21 prunes a one-batch boilerplate chunk via the combined store+batch df") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(29)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(100000)).mkString(" ")
+    val boiler = words(60)
+    val span = words(80)
+    // the boilerplate arrives CONCENTRATED in batch 1 — the case where
+    // a store-only prune leaks O(df_batch²) within-batch pair rows
+    val b1 = (1 to 70).map(i => (i.toLong, s"p$i " + boiler))
+      .toDF("doc_id", "text")
+    val b2 = Seq((1001L, words(5) + " " + span),
+      (1002L, words(9) + " " + span),
+      (1003L, "tail " + boiler)).toDF("doc_id", "text")
+    val sigStore = graft.core.Staging.tempAtExit("graft_st21spec_sigs_")
+    val pairDir = graft.core.Staging.tempAtExit("graft_st21spec_pairs_")
+    val dfDir = graft.core.Staging.tempAtExit("graft_st21spec_df_")
+    val hotDir = graft.core.Staging.tempAtExit("graft_st21spec_hot_")
+    graft.streaming.EventStreams.st21Batch(b1, sigStore, pairDir, dfDir, hotDir)
+    val pairSchema = "doc_a BIGINT, doc_b BIGINT, h STRING, clen BIGINT"
+    val afterB1 = spark.read.schema(pairSchema).parquet(pairDir).count()
+    // each df=70 chunk would alone emit 70·69/2 = 2415 doomed rows
+    // under a store-only prune (the store is EMPTY in batch 1); the
+    // combined count silences them in-batch — only rare prefix-shift
+    // chunks may still pair
+    assert(afterB1 < 100,
+      s"batch 1 emitted $afterB1 pair rows — the within-batch df leak is back")
+    assert(spark.read.schema("h STRING").parquet(hotDir).count() > 0,
+      "a chunk crossing the cap must enter the hot store in its own batch")
+    graft.streaming.EventStreams.st21Batch(b2, sigStore, pairDir, dfDir, hotDir)
+    val shared = spark.read.schema(pairSchema).parquet(pairDir)
+    // doc 1003 carries the boilerplate: its cross-batch probes ride
+    // hot chunks and must be pruned (rare prefix-shift chunks aside)
+    val from1003 = shared
+      .filter(col("doc_a") === 1003L || col("doc_b") === 1003L).count()
+    assert(from1003 < 10,
+      s"hot chunks leaked $from1003 cross-batch pair rows for the boilerplate doc")
+    val allSigs = spark.read
+      .schema("doc_id BIGINT, h STRING, clen BIGINT").parquet(sigStore)
+    val streamed = graft.queries.Dedup.cdcPairsFinal(shared, allSigs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val oracle = graft.queries.Dedup.cdcOverlap(b1.unionByName(b2))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == oracle,
+      s"streamed ${streamed.size} pairs != batch oracle ${oracle.size}")
+    assert(streamed.exists(p => p._1 == 1001L && p._2 == 1002L),
+      "the rare planted pair must survive")
+  }
+
   test("p08 weighted sample plans as TakeOrdered and skews toward heavy docs") {
     val q = SparkEntry.queries("p08_weighted_sample")(spark, sf)
     val p = q.queryExecution.executedPlan.toString
