@@ -676,10 +676,21 @@ object PipelineOps {
     * converges to it; what the oracle certifies is the TRAINING
     * MACHINERY (exact distributed gradients, deterministic weight
     * trajectory, calibrated loss descent), not fixture separability.
+    * That the same machinery LEARNS when signal exists is the
+    * affirmative spec in EngineSpec ("the LR gate LEARNS…"): on a
+    * stopword-enriched planted corpus the identical loop drives loss
+    * well below the prior's entropy and accuracy ≈ 1.0 vs a 0.5
+    * prior.
     */
-  private def lrFeatures(s: SparkSession, d: String): DataFrame = {
+  private def lrFeatures(s: SparkSession, d: String): DataFrame =
+    lrFeaturesOf(Tables.documents(s, d))
+
+  /** The feature map over ANY (doc_id, lang, n_chars, text) frame —
+    * factored so the planted-signal spec trains on a synthetic corpus
+    * through the exact production path. */
+  private[graft] def lrFeaturesOf(docs: DataFrame): DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
-    Tables.documents(s, d).select(
+    docs.select(
       col("doc_id"),
       when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
       (col("n_chars").cast("double") / lit(1000.0)).as("x1"),
@@ -690,7 +701,7 @@ object PipelineOps {
   }
 
   /** The sigmoid under the scaled-integer weights. */
-  private def lrSigmoid(w: Array[Long]): Column = {
+  private[graft] def lrSigmoid(w: Array[Long]): Column = {
     val m = lit(w(0).toDouble / 1e6) +
       lit(w(1).toDouble / 1e6) * col("x1") +
       lit(w(2).toDouble / 1e6) * col("x2") +
@@ -698,18 +709,34 @@ object PipelineOps {
     lit(1.0) / (lit(1.0) + exp(-m))
   }
 
-  /** Three GD rounds over the feature frame; returns the trajectory
-    * rows (iter, w0, w1, w2, w3, loss_scaled) and the final weights.
+  /** GD rounds over the feature frame (3 at lr 0.5 for the oracle
+    * gates — the DuckDB CTE chain replays exactly those; the
+    * planted-signal spec passes more rounds / a hotter lr to drive
+    * the same loop to separation); returns the trajectory rows
+    * (iter, w0, w1, w2, w3, loss_scaled) and the final weights.
     * Pairing convention, mirrored exactly by the oracle CTEs: row i
     * carries the weights AFTER update i next to the loss evaluated
     * under the weights ENTERING iteration i (so row 1's loss is the
     * w=0 closed form n·round(ln 2·1e6) — the spec pins this).
+    *
+    * Residual ulp risk, documented: the per-document terms pass
+    * through exp/log BEFORE pinning, and JVM Math.exp/log are not
+    * correctly rounded — a term whose fractional part sits within an
+    * ulp of .5 could round differently from DuckDB's libm and shift a
+    * weight by 1e-6. Unlike the order-free-sum discipline this cannot
+    * be engineered away without fixed-point transcendentals; instead
+    * the spec ("lrTrain's pinned terms stay clear of the .5 rounding
+    * boundary") measures the minimum boundary distance across every
+    * pinned term of all three oracle iterations on the fixtures, so a
+    * fixture or feature change that creates a knife-edge term fails
+    * loudly instead of flaking the shared-oracle hashes.
     */
-  private def lrTrain(feats: DataFrame): (Seq[(Int, Long, Long, Long, Long, Long)], Array[Long]) = {
+  private[graft] def lrTrain(feats: DataFrame, iters: Int = 3, lr: Double = 0.5)
+      : (Seq[(Int, Long, Long, Long, Long, Long)], Array[Long]) = {
     def halfUp(x: Double): Long =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     var w = Array(0L, 0L, 0L, 0L) // scaled 1e6
-    val trajectory = (1 to 3).map { it =>
+    val trajectory = (1 to iters).map { it =>
       val p = lrSigmoid(w)
       def g(x: Column) = sum(round((p - col("y")) * x * lit(1e6)).cast("long"))
       val r = feats.agg(g(lit(1.0)).as("s0"), g(col("x1")).as("s1"),
@@ -719,10 +746,10 @@ object PipelineOps {
           .cast("long")).as("sl"),
         count(lit(1)).as("n")).head()
       val n = r.getLong(5)
-      w = Array(w(0) - halfUp(0.5 * r.getLong(0) / n),
-        w(1) - halfUp(0.5 * r.getLong(1) / n),
-        w(2) - halfUp(0.5 * r.getLong(2) / n),
-        w(3) - halfUp(0.5 * r.getLong(3) / n))
+      w = Array(w(0) - halfUp(lr * r.getLong(0) / n),
+        w(1) - halfUp(lr * r.getLong(1) / n),
+        w(2) - halfUp(lr * r.getLong(2) / n),
+        w(3) - halfUp(lr * r.getLong(3) / n))
       (it, w(0), w(1), w(2), w(3), r.getLong(4))
     }
     (trajectory, w)

@@ -1420,6 +1420,75 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"weight ∝ n_chars must skew the sample: $sampleMean vs corpus $corpusMean")
   }
 
+  test("the LR gate LEARNS on a corpus with planted language signal") {
+    import spark.implicits._
+    // the sf fixtures draw text independently of lang (the honest
+    // no-signal note in lrFeatures) — this corpus plants the signal
+    // the production feature (stopword intersect) is built to carry:
+    // en docs open with the five dictionary stopwords, non-en docs
+    // never contain them. Classes are BALANCED, so any accuracy
+    // above 0.5 is learned, not prior.
+    val rnd = new scala.util.Random(41)
+    def noise(n: Int) = Seq.fill(n)("z" + rnd.nextInt(5000)).mkString(" ")
+    val docs = (1 to 400).map { i =>
+      val en = i % 2 == 0
+      val text = if (en) "the a and of to " + noise(20 + rnd.nextInt(10))
+                 else noise(25 + rnd.nextInt(10))
+      (i.toLong, if (en) "en" else "xx", text, text.length.toLong)
+    }.toDF("doc_id", "lang", "text", "n_chars")
+    val feats = graft.queries.PipelineOps.lrFeaturesOf(docs).cache()
+    val (traj, w) = graft.queries.PipelineOps.lrTrain(feats, iters = 40, lr = 5.0)
+    // loss entering iteration 1 is the prior's entropy (w = 0): ln 2
+    val l1 = traj.head._6 / 1e6 / 400.0
+    assert(math.abs(l1 - math.log(2)) < 1e-3, s"w=0 loss must be ln2, got $l1")
+    val lFinal = traj.last._6 / 1e6 / 400.0
+    assert(lFinal < 0.4,
+      s"loss must descend well below the prior's entropy ln2≈0.693, got $lFinal")
+    val acc = feats
+      .withColumn("p", graft.queries.PipelineOps.lrSigmoid(w))
+      .selectExpr(
+        "avg(CASE WHEN (p >= 0.5D) = (y = 1.0D) THEN 1.0D ELSE 0.0D END) AS acc")
+      .head().getDouble(0)
+    assert(acc >= 0.95, s"trained accuracy $acc must crush the 0.5 class prior")
+    feats.unpersist()
+    ()
+  }
+
+  test("lrTrain's pinned terms stay clear of the .5 rounding boundary") {
+    import org.apache.spark.sql.functions._
+    // JVM exp/log are not correctly rounded, so a pinned term whose
+    // fractional part sits AT .5 could round differently from
+    // DuckDB's libm and flip the shared-oracle weight trajectory by
+    // 1e-6 (lrTrain's documented residual ulp risk). Measure the
+    // minimum distance to that boundary across every gradient/loss
+    // term of all three oracle iterations — a fixture or feature
+    // change that creates a knife-edge term fails here, loudly,
+    // instead of flaking the e05/e06/e07 hashes.
+    val feats = graft.queries.PipelineOps
+      .lrFeaturesOf(graft.core.Tables.documents(spark, sf)).cache()
+    val (traj, _) = graft.queries.PipelineOps.lrTrain(feats)
+    val entering = Array(0L, 0L, 0L, 0L) +:
+      traj.init.map(t => Array(t._2, t._3, t._4, t._5))
+    def dist(t: org.apache.spark.sql.Column) =
+      min(abs(abs(t) % lit(1.0) - lit(0.5)))
+    val worst = entering.map { w =>
+      val p = graft.queries.PipelineOps.lrSigmoid(w)
+      def g(x: org.apache.spark.sql.Column) = (p - col("y")) * x * lit(1e6)
+      feats.agg(least(dist(g(lit(1.0))), dist(g(col("x1"))),
+        dist(g(col("x2"))), dist(g(col("x3"))),
+        dist(-(col("y") * log(p) +
+          (lit(1.0) - col("y")) * log(lit(1.0) - p)) * lit(1e6))))
+        .head().getDouble(0)
+    }.min
+    feats.unpersist()
+    // terms are ≤ ~2e6, so a double ulp there is ≤ ~4e-10; the
+    // fixture's measured minimum is ~3e-5 (sf0.001) — five orders of
+    // magnitude of headroom. 1e-6 still leaves >2000× margin while
+    // catching any genuinely knife-edge term a change introduces.
+    assert(worst > 1e-6,
+      f"a pinned term sits $worst%.2e from the .5 boundary — ulp-flaky vs DuckDB")
+  }
+
   test("e07 calibration: mean predicted rate tracks the observed rate") {
     val rows = SparkEntry.queries("e07_lr_calibration")(spark, sf).collect()
     val n = rows.map(_.getLong(1)).sum
