@@ -939,26 +939,56 @@ object Dedup {
   /** The chunking stage alone: (doc_id, idx, chunk) with idx the
     * in-document chunk position. Boundaries partition [0, n] exactly,
     * so chunks concatenate back to the text verbatim — the lossless
-    * invariant `EngineSpec` property-checks on randomized strings.
+    * invariant `EngineSpec` property-checks on randomized strings
+    * (including a ≥1 MB document).
+    *
+    * Bounded task memory for long documents: breakpoints are computed
+    * SEGMENT BY SEGMENT, never materializing a per-character array
+    * over the whole text. Each 64 KiB segment carries 7 chars of
+    * left overlap (the rolling hash's full history), its char codes
+    * are bound via the `transform(array(x), v -> …)` let-binding
+    * idiom, and per-position hashes index ONLY that bounded local
+    * array — so peak per-row scratch is one segment's codes plus the
+    * accumulated breakpoint ints (≈ len/64), instead of the 16×-text
+    * blowup of whole-document code arrays (a 10 MB doc would have
+    * pinned >600 MB of array scratch in one task). Breakpoints
+    * depend only on an 8-char window, so segmentation is invisible:
+    * every segment size yields IDENTICAL breakpoints (the seam spec
+    * equates seg=64 with seg=2^20 on random strings, and the DuckDB
+    * oracle — which replays the naive whole-doc arithmetic — pins the
+    * production default). Everything stays one narrow codegen'd
+    * projection: no extra scan, no shuffle, no UDF.
     */
-  private[graft] def cdcChunks(docs: DataFrame): DataFrame =
+  private[graft] def cdcChunks(docs: DataFrame, seg: Int = 65536): DataFrame = {
+    // global position i maps into segment k's local codes as
+    // i - base + 1 with base = max(k*seg - 6, 1); the k-th segment
+    // owns positions [max(k*seg + 1, 8), min((k+1)*seg, len - 1)]
+    val lb = s"greatest(k * $seg - 6, 1)"        // segment char base
+    val lo = s"greatest(k * $seg + 1, 8)"        // first owned position
+    val hi = s"least((k + 1) * $seg, length(text) - 1)"
+    val terms = Seq("1L" -> 1, "13L" -> 0, "169L" -> -1, "2197L" -> -2,
+      "28561L" -> -3, "371293L" -> -4, "4826809L" -> -5, "62748517L" -> -6)
+      .map { case (w, off) =>
+        val idx = if (off == 1) s"i - $lb + 1"
+        else if (off == 0) s"i - $lb"
+        else s"i - $lb - ${-off}"
+        s"element_at(c, $idx) * $w"
+      }.mkString(" + ")
     docs
       .filter(length(col("text")) >= 9)
       .selectExpr("doc_id", "text",
-        "transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))) AS c")
-      .selectExpr("doc_id", "text",
-        """concat(array(0),
-             filter(sequence(8, length(text) - 1), i ->
-               (element_at(c, i) * 1L + element_at(c, i-1) * 13L
-                + element_at(c, i-2) * 169L + element_at(c, i-3) * 2197L
-                + element_at(c, i-4) * 28561L + element_at(c, i-5) * 371293L
-                + element_at(c, i-6) * 4826809L + element_at(c, i-7) * 62748517L)
-               % 64 = 0),
+        s"""concat(array(0),
+             flatten(transform(sequence(0, int((length(text) - 1) / $seg)), k ->
+               flatten(transform(array(transform(
+                   split(substr(text, $lb, ${seg + 7}), ''), ch -> ascii(ch))), c ->
+                 CASE WHEN $lo > $hi THEN array()
+                 ELSE filter(sequence($lo, $hi), i -> ($terms) % 64 = 0) END)))),
              array(length(text))) AS bps""")
       .selectExpr("doc_id",
         """posexplode(transform(sequence(1, size(bps) - 1), k ->
              substr(text, element_at(bps, k) + 1,
                element_at(bps, k + 1) - element_at(bps, k)))) AS (idx, chunk)""")
+  }
 
   /** Per-doc distinct chunk signatures (doc_id, h, clen) for chunks
     * ≥ 24 chars — the unit the batch tier joins on and the streaming

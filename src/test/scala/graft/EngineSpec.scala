@@ -1280,6 +1280,38 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0, s"$bad documents did not reconstruct from their chunks")
   }
 
+  test("CDC segmentation is invisible: seg=64 equals seg=2^20 across seams") {
+    import spark.implicits._
+    // breakpoints depend on an 8-char window only, so chunking must
+    // be EXACTLY segment-size-independent — this runs the same random
+    // corpus with ~6-doc-spanning tiny segments (every seam shape:
+    // breakpoints at, before, and straddling segment edges) and with
+    // one segment covering each whole doc, and demands identical
+    // (doc, idx, chunk) streams
+    val rnd = new scala.util.Random(17)
+    val docs = (1 to 40).map { i =>
+      val len = 9 + rnd.nextInt(500)
+      (i.toLong, (0 until len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    }.toDF("doc_id", "text")
+    def rows(seg: Int) = graft.queries.Dedup.cdcChunks(docs, seg)
+      .as[(Long, Int, String)].collect().toSet
+    assert(rows(64) == rows(1 << 20), "segmented chunking diverged from naive")
+  }
+
+  test("CDC chunks a ≥1MB document losslessly under bounded segment memory") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val rnd = new scala.util.Random(23)
+    val big = (0 until (1 << 20) + 12345)
+      .map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    val docs = Seq((1L, big)).toDF("doc_id", "text")
+    val re = graft.queries.Dedup.cdcChunks(docs)
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), '')").as("re"))
+      .head().getString(1)
+    assert(re == big, "1MB document did not reconstruct from its chunks")
+  }
+
   test("q68 recursive CTE equals d07's pointer-jumping labels exactly") {
     import spark.implicits._
     val rec = SparkEntry.queries("q68_recursive_clusters")(spark, sf)
