@@ -148,10 +148,17 @@ object AggQueries {
     // from the (tiny, cached) per-key frame instead of a third scan
     val exact = items.groupByKey(identity).count().cache()
     val bound = exact.map(_._2).reduce(_ + _) / (kCounters + 1)
-    exact.map { case (key, cnt) =>
+    // materialize the (tiny — one row per surviving key) result and
+    // release the cache HERE: the other modules route caches through
+    // registerRelease, and leaving this one to the harness's
+    // per-query clearCache would leak it in any session reusing
+    // AggQueries directly
+    val rows = exact.map { case (key, cnt) =>
       val est = summary.getOrElse(key, 0L)
       (key.toLong, cnt, est <= cnt, cnt - est <= bound)
-    }.toDF("k", "n_exact", "est_le_exact", "within_bound")
+    }.collect().toSeq
+    exact.unpersist()
+    rows.toDF("k", "n_exact", "est_le_exact", "within_bound")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -932,8 +932,18 @@ object Similarity {
     * reproduces a driver-side reference greedy round by round. The
     * caller should cache `cand`; every round is an exchange-free pass
     * over it (state and shortlist are co-partitioned on probe_id).
+    *
+    * `checkpointEvery` is the deep-k lineage discipline (the d07
+    * loop's): every N join rounds the state localCheckpoints —
+    * eagerly materialized executor-side, lineage truncated to a
+    * LogicalRDD — so plan depth stays ≤ N joins however large k
+    * grows. 0 (the default, right for s17's k = 5) keeps the linear
+    * lineage, which is the cheaper plan at shallow k. The k = 32
+    * spec runs the discipline against the same reference greedy and
+    * asserts the final plan carries at most N joins.
     */
-  private[graft] def mmrSelect(cand: DataFrame, k: Int): DataFrame = {
+  private[graft] def mmrSelect(cand: DataFrame, k: Int,
+      checkpointEvery: Int = 0): DataFrame = {
     val winner = max_by(
       struct(col("vec_id"), col("mmr"), col("v"), col("nrm")),
       struct(col("mmr"), (-col("vec_id")).as("nv"))) // (mmr DESC, id ASC)
@@ -947,7 +957,7 @@ object Similarity {
     var state = cand.withColumn("mmr", lit(0.7) * col("cosq"))
       .groupBy(col("probe_id")).agg(winner.as("p"))
       .select(col("probe_id"), array(col("p")).as("sel"))
-    for (_ <- 2 to k) {
+    for (r <- 2 to k) {
       // shuffle_hash, not broadcast: a BroadcastExchange builds its
       // relation ON THE DRIVER — |probes| rows through the driver per
       // round, the exact bottleneck this loop exists to avoid. Both
@@ -963,6 +973,8 @@ object Similarity {
         .groupBy(col("probe_id"))
         .agg(winner.as("p"), first(col("sel")).as("sel"))
         .select(col("probe_id"), concat(col("sel"), array(col("p"))).as("sel"))
+      if (checkpointEvery > 0 && (r - 1) % checkpointEvery == 0)
+        state = state.localCheckpoint() // eager: truncates to LogicalRDD
     }
     state.select(col("probe_id"), posexplode(col("sel")))
       .select(col("probe_id"), (col("pos") + 1).cast("long").as("sel_rank"),

@@ -859,6 +859,51 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     cand.unpersist()
   }
 
+  test("s17's checkpoint discipline holds at k=32: same greedy, bounded lineage") {
+    // the docstring's deep-k prescription (localCheckpoint every ~10
+    // rounds), exercised as code: 32 rounds over a 3×40 shortlist,
+    // equality against the driver reference greedy at EVERY rank, and
+    // the final plan must carry at most checkpointEvery joins — not 31
+    val rnd = new scala.util.Random(31)
+    val rows = for (p <- 0L until 3L; c <- 0L until 40L) yield {
+      val v = Seq.fill(4)(rnd.nextDouble() * 2 - 1)
+      (p, 100L + c * 7L + p, v, math.sqrt(v.map(x => x * x).sum), rnd.nextDouble())
+    }
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val cand = rows.toDF("probe_id", "vec_id", "v", "nrm", "cosq").cache()
+    val out = graft.queries.Similarity.mmrSelect(cand, k = 32, checkpointEvery = 10)
+    val joins = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(joins <= 10,
+      s"lineage not truncated: $joins joins in the final plan at k=32")
+    val got = out.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    for ((p, xs) <- rows.groupBy(_._1)) {
+      var sel = List.empty[(Long, Seq[Double], Double, Double)]
+      for (r <- 1 to 32) {
+        val remaining = xs.filter(x => !sel.exists(_._1 == x._2))
+        val scoredRef = remaining.map { x =>
+          val mmr =
+            if (r == 1) 0.7 * x._5
+            else 0.7 * x._5 - 0.3 * sel.map(s0 => dot(x._3, s0._2) / (x._4 * s0._3)).max
+          (x._2, x._3, x._4, mmr)
+        }
+        val win = scoredRef.maxBy(x => (x._4, -x._1))
+        sel = sel :+ ((win._1, win._2, win._3, win._4))
+        assert(got((p, r.toLong)) == ((win._1, win._4)),
+          s"probe $p round $r: got ${got((p, r.toLong))}, reference $win")
+      }
+    }
+    cand.unpersist()
+  }
+
   test("s17's selection loop never builds a broadcast (state stays off the driver)") {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     val df = SparkEntry.queries("s17_mmr_rerank")(spark, sf)
@@ -1310,6 +1355,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(expr("array_join(transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), '')").as("re"))
       .head().getString(1)
     assert(re == big, "1MB document did not reconstruct from its chunks")
+  }
+
+  test("q68 refuses a 20-node clique loudly instead of exploding") {
+    import spark.implicits._
+    val clique = (for (a <- 1L to 20L; b <- a + 1 to 20L) yield (a, b))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      graft.queries.Dedup.recursiveClusters(spark, clique)
+    }
+    assert(e.getMessage.contains("20 nodes") &&
+      e.getMessage.contains("d07DupClusters"),
+      s"guard message must name the size and the alternative: ${e.getMessage}")
+    // and a graph within the bound still resolves through the walk
+    val small = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = graft.queries.Dedup.recursiveClusters(spark, small)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+    graft.queries.Dedup.releaseCaches()
   }
 
   test("q68 recursive CTE equals d07's pointer-jumping labels exactly") {
