@@ -766,11 +766,30 @@ object PipelineOps {
     * via e05's CTE chain and scores in one extra SELECT.
     */
   def e06LrQualityScore(s: SparkSession, d: String): DataFrame =
-    lrScored(s, d)
-      .select(col("doc_id"),
-        round(col("p") * lit(1e6)).cast("long").as("p_scaled"),
-        (col("p") >= lit(0.5)).as("pred_en"),
-        (col("y") === lit(1.0)).as("is_en"))
+    lrScoreCols(lrScored(s, d))
+
+  /** e06's output projection over any scored (doc_id, y, …, p) frame —
+    * shared with the streaming deployment (st23) so the gate's
+    * columns cannot drift between batch and stream. */
+  private[graft] def lrScoreCols(scored: DataFrame): DataFrame =
+    scored.select(col("doc_id"),
+      round(col("p") * lit(1e6)).cast("long").as("p_scaled"),
+      (col("p") >= lit(0.5)).as("pred_en"),
+      (col("y") === lit(1.0)).as("is_en"))
+
+  /** Train on the corpus and hand back only the final weights —
+    * st23's batch-side preamble (24 bytes of driver state). */
+  private[graft] def lrTrainedWeights(s: SparkSession, d: String): Array[Long] = {
+    val feats = lrFeatures(s, d).cache()
+    val w = lrTrain(feats)._2
+    feats.unpersist()
+    w
+  }
+
+  /** Score ANY documents frame under fixed weights — the pure map
+    * each micro-batch of the streaming gate runs. */
+  private[graft] def lrScoreWith(docs: DataFrame, w: Array[Long]): DataFrame =
+    lrScoreCols(lrFeaturesOf(docs).withColumn("p", lrSigmoid(w)))
 
   /** Train (cached feature frame), then score every document under
     * the final weights — the shared preamble of the inference gate

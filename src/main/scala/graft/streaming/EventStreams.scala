@@ -1155,10 +1155,44 @@ object EventStreams {
         .parquet(candStore))
   }
 
+  /** st23: the trained quality gate DEPLOYED on a stream — the
+    * production shape e06 implies, actually run: train once
+    * batch-side (three 1-row aggregates; the weights are 24 bytes of
+    * driver state), then score each arriving micro-batch with the
+    * weights as literals — a PURE MAP per batch: no state store, no
+    * shuffle, no join, no store to rescan (the st20/st21 economics
+    * question does not even arise). Documents replay as the st20
+    * 4-chunk staging; the union of batch outputs answers e06's
+    * UNCHANGED oracle (the st19/st22 shared-oracle pattern — scoring
+    * is per-row, so batch boundaries cannot change any value). At
+    * 100 TB the stream touches each doc once at scan speed and the
+    * training preamble amortizes across the deployment.
+    */
+  def st23StreamQualityGate(s: SparkSession, d: String): DataFrame = {
+    val chunks = stageDocChunks(s, d)
+    val w = graft.queries.PipelineOps.lrTrainedWeights(s, d)
+    val outDir = graft.core.Staging.tempAtExit("graft_st23_out_")
+    val docSchema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(chunks)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.PipelineOps.lrScoreWith(batch, w)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read
+      .schema("doc_id BIGINT, p_scaled BIGINT, pred_en BOOLEAN, is_en BOOLEAN")
+      .parquet(outDir)
+  }
+
   private def gated(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st23_stream_quality_gate" -> gated(st23StreamQualityGate),
     "st22_stream_weighted_sample" -> gated(st22StreamWeightedSample),
     "st21_stream_cdc_dedup" -> gated(st21StreamCdcDedup),
     "st20_stream_incr_dedup" -> gated(st20StreamIncrementalDedup),
@@ -1207,6 +1241,10 @@ object EventStreams {
   val oracles: Map[String, String] = Map(
     // st22: the union of batch-local top-100s provably contains the
     // global top-100, so the final merge IS p08's answer — same val
+    // per-row scoring is batch-boundary-invariant, so the streamed
+    // union answers the batch gate's oracle verbatim
+    "st23_stream_quality_gate" ->
+      graft.queries.PipelineOps.oracles("e06_lr_quality_score"),
     "st22_stream_weighted_sample" ->
       graft.queries.PipelineOps.oracles("p08_weighted_sample"),
     // st21: every unordered doc pair surfaces exactly once across the
