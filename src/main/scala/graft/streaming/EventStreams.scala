@@ -1036,8 +1036,8 @@ object EventStreams {
     val stream = s.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1").parquet(chunks)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        st21Batch(batch, sigStore, pairDir, dfDir, hotDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        st21Batch(batch, sigStore, pairDir, dfDir, hotDir, id)
         ()
       }
       .start()
@@ -1077,11 +1077,15 @@ object EventStreams {
     *     cdcPairsFinal against true converged frequencies (the
     *     cap-after == cap-before law in EngineSpec).
     *
-    * In production the df partials compact periodically (standard
-    * log-structured folding); per-batch reads stay pruned either way.
+    * The df partials COMPACT every other batch (compactDfStore — the
+    * log-structured folding the side store's design implies, run for
+    * real by the gate): amortized fold cost is O(store)/K per batch,
+    * per-bucket parallel, and it keeps every pruned read's file count
+    * bounded by compaction generation instead of stream age.
     */
   private[graft] def st21Batch(batch: DataFrame, sigStore: String,
-      pairDir: String, dfDir: String, hotDir: String): Unit = {
+      pairDir: String, dfDir: String, hotDir: String,
+      batchId: Long = -1L): Unit = {
     val sp = batch.sparkSession
     val sigs = graft.queries.Dedup
       .cdcSigs(batch.select(col("doc_id"), col("text")))
@@ -1121,10 +1125,39 @@ object EventStreams {
     pairs.write.mode("append").parquet(pairDir)
     batchCnt.select(col("bucket"), col("h"), col("cnt"))
       .write.partitionBy("bucket").mode("append").parquet(dfDir)
+    if (batchId >= 0 && batchId % 2 == 1) compactDfStore(sp, dfDir)
     sigs.select(col("bucket"), col("doc_id"), col("h"), col("clen"))
       .write.partitionBy("bucket").mode("append").parquet(sigStore)
     sigs.unpersist(); batchCnt.unpersist()
     ()
+  }
+
+  /** Fold the append-only (h, cnt) df partials down to one row per
+    * chunk hash — the log-structured compaction every LSM-shaped side
+    * store needs, made code: one per-bucket-parallel partial-agg
+    * pass, then an atomic-enough rename swap (foreachBatch is the
+    * single sequential writer; production folds per bucket under a
+    * transactional table commit instead). Folding every K batches
+    * amortizes to O(store)/K per batch and bounds each pruned read's
+    * file count by compaction generation, not stream age — without
+    * it, a year-old stream's bucket holds a year of partial files.
+    * Sums are associative, so fold timing can never change a df.
+    */
+  private[graft] def compactDfStore(sp: SparkSession, dfDir: String): Unit = {
+    if (!storeNonEmpty(dfDir)) return
+    val tmp = dfDir + "_compact"
+    graft.core.Staging.deleteTree(tmp)
+    sp.read.parquet(dfDir)
+      .groupBy(col("bucket"), col("h")).agg(sum(col("cnt")).as("cnt"))
+      .select(col("bucket"), col("h"), col("cnt"))
+      .write.partitionBy("bucket").parquet(tmp)
+    val old = new java.io.File(dfDir + "_old")
+    graft.core.Staging.deleteTree(old.toString)
+    if (!new java.io.File(dfDir).renameTo(old))
+      throw new IllegalStateException(s"compaction rename failed for $dfDir")
+    if (!new java.io.File(tmp).renameTo(new java.io.File(dfDir)))
+      throw new IllegalStateException(s"compaction swap failed for $dfDir")
+    graft.core.Staging.deleteTree(old.toString)
   }
 
   /** st22: p08's weighted sample maintained BY A STREAM — per batch,

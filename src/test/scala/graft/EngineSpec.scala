@@ -1455,6 +1455,44 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-batch probe must scan ~buckets/64 of the store, got $scanned of $total files")
   }
 
+  test("st21 df-store compaction folds partials without changing any frequency") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(37)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(100000)).mkString(" ")
+    val shared = words(40)
+    // the shared span recurs across all 4 batches, so its chunks
+    // accumulate one partial PER BATCH — the rows compaction folds
+    val batches = (0 until 4).map { b =>
+      ((b * 10 + 1) to (b * 10 + 6)).map(i =>
+        (i.toLong, s"pre$i ${words(3)} " + shared)).toDF("doc_id", "text")
+    }
+    val dirs = Seq("sigs", "pairs", "df", "hot")
+      .map(t => graft.core.Staging.tempAtExit(s"graft_st21cmp_${t}_"))
+    batches.zipWithIndex.foreach { case (b, id) =>
+      graft.streaming.EventStreams.st21Batch(
+        b, dirs(0), dirs(1), dirs(2), dirs(3), id.toLong)
+    }
+    // batch 3 compacted last → exactly one row per (bucket, h)
+    val partials = spark.read.parquet(dirs(2)).cache()
+    val nRows = partials.count()
+    val nKeys = partials.select("h").distinct().count()
+    assert(nRows == nKeys,
+      s"compaction left $nRows partial rows for $nKeys chunks")
+    // and folding never changed a frequency: partial sums == the df
+    // recomputed directly from everything that streamed through
+    val truth = graft.queries.Dedup
+      .cdcSigs(batches.reduce(_ unionByName _))
+      .groupBy("h").count()
+    val bad = partials.groupBy("h")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .join(truth, "h")
+      .filter(col("cnt") =!= col("count")).count()
+    assert(bad == 0, s"$bad chunk frequencies drifted through compaction")
+    partials.unpersist()
+    ()
+  }
+
   test("st21 prunes a one-batch boilerplate chunk via the combined store+batch df") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
