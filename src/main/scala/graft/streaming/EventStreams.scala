@@ -914,7 +914,14 @@ object EventStreams {
     * Filter), and a heuristic that silently falls back to a full
     * store scan is the wrong foundation for the O(batch) contract.
     * The bucket list is ≤ StoreBuckets small ints off an
-    * already-cached batch frame — the aggregate-broadcast shape. */
+    * already-cached batch frame — the aggregate-broadcast shape.
+    * Listing caveat: each call re-enumerates the store's directory
+    * tree driver-side (InMemoryFileIndex) before pruning — metadata
+    * work that grows with TOTAL store files, not the batch. Benign
+    * here (≤ StoreBuckets dirs × a file per batch); a production
+    * deployment amortizes it with a catalog/metastore-backed file
+    * index, which is orthogonal to the data-scan economics the
+    * bucket layout buys. */
   private[graft] def prunedStore(
       sp: SparkSession, dir: String, buckets: Seq[Int]): DataFrame =
     sp.read.parquet(dir).filter(col("bucket").isin(buckets: _*))
@@ -982,10 +989,10 @@ object EventStreams {
               posexplode(expr("graft_minhash_bands(sh)")))
             .toDF("new_id", "band", "bv")
             .withColumn("bucket", bucketOf(col("band"), col("bv")))
-          val newBandsC = newBands.cache()
-          val kbs = newBandsC.select("bucket").distinct()
+            .cache()
+          val kbs = newBands.select("bucket").distinct()
             .collect().map(_.getInt(0)).toSeq
-          val cands = newBandsC
+          val cands = newBands
             .join(prunedStore(sp, bandStore, kbs), Seq("bucket", "band", "bv"))
             .select(col("new_id"), col("corpus_id"))
             .dropDuplicates("new_id", "corpus_id")
@@ -1008,7 +1015,7 @@ object EventStreams {
             .filter(col("jaccard") >= 0.5)
             .select(col("new_id"), col("corpus_id"), col("jaccard"))
             .write.mode("append").parquet(outDir)
-          cands.unpersist(); newBandsC.unpersist()
+          cands.unpersist(); newBands.unpersist()
         }
         val corpus = sigs.filter(!col("is_new"))
         corpus
@@ -1114,8 +1121,11 @@ object EventStreams {
       .withColumn("bucket", bucketOf(col("h"))).cache()
     val hbs = sigs.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
+    // cached: the slice feeds BOTH consumers below (prior-frequency
+    // aggregate and cross-batch pair join) — without the cache the
+    // two subplans would scan the pruned files twice per batch
     val slice = if (storeNonEmpty(sigStore))
-      prunedStore(sp, sigStore, hbs) else null
+      prunedStore(sp, sigStore, hbs).cache() else null
     val batchCnt = sigs.groupBy(col("bucket"), col("h"))
       .agg(count(lit(1)).as("cnt"))
     val combined = if (slice != null)
@@ -1142,6 +1152,7 @@ object EventStreams {
       within.unionByName(cross)
     } else within
     pairs.write.mode("append").parquet(pairDir)
+    if (slice != null) slice.unpersist()
     sigs.select(col("bucket"), col("doc_id"), col("h"), col("clen"))
       .repartition(col("bucket")) // one file per bucket per batch
       .write.partitionBy("bucket").mode("append").parquet(sigStore)

@@ -1450,8 +1450,13 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(scans.nonEmpty, "probe must be a file-source scan")
-    assert(scans.head.toString.contains("PartitionFilters: ["),
-      "bucket IN-list must land in PartitionFilters, not a post-scan filter")
+    // non-vacuous: the scan ALWAYS renders "PartitionFilters: [", so
+    // assert a bucket predicate actually sits inside that segment
+    val scanStr = scans.head.toString
+    val pf = scanStr.substring(scanStr.indexOf("PartitionFilters: ["))
+    assert(pf.take(pf.indexOf("]") + 1).contains("bucket#"),
+      s"bucket IN-list must land in PartitionFilters, not a post-scan filter:\n" +
+        scanStr.take(400))
     val scanned = scans.map(_.metrics("numFiles").value).sum
     assert(scanned > 0 && scanned * 10 < total,
       s"per-batch probe must scan ~1/16 of the store, got $scanned of $total files")
