@@ -1338,9 +1338,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       val len = 9 + rnd.nextInt(500)
       (i.toLong, (0 until len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
     }.toDF("doc_id", "text")
-    def rows(seg: Int) = graft.queries.Dedup.cdcChunks(docs, seg)
-      .as[(Long, Int, String)].collect().toSet
-    assert(rows(64) == rows(1 << 20), "segmented chunking diverged from naive")
+    def rows(df: org.apache.spark.sql.DataFrame, seg: Int) =
+      graft.queries.Dedup.cdcChunks(df, seg)
+        .as[(Long, Int, String)].collect().toSet
+    assert(rows(docs, 64) == rows(docs, 1 << 20),
+      "segmented chunking diverged from naive")
+    // and with multi-byte text: split('')/substr/ascii must stay
+    // codepoint-aligned across seams for BMP multibyte AND astral
+    // (surrogate-pair) characters, or segment-local indices shift
+    val pool = "abc déÿ中文𝔘𝔫𝔦🎉é ".toCharArray
+    def mk(n: Int) = {
+      val sb = new StringBuilder
+      while (sb.length < n) sb.append(pool(rnd.nextInt(pool.length)))
+      sb.toString
+    }
+    val uni = (1 to 30).map(i => (i.toLong, mk(30 + rnd.nextInt(300))))
+      .toDF("doc_id", "text")
+    assert(rows(uni, 64) == rows(uni, 1 << 20),
+      "segmented chunking diverged from naive on multi-byte text")
   }
 
   test("CDC chunks a ≥1MB document losslessly under bounded segment memory") {
