@@ -38,7 +38,8 @@ object Plans {
       // dump would pay the full training loop; e06 shows the shape
       "p07_zorder_layout", "e06_lr_quality_score",
       "d17_cdc_chunk_overlap", "q67_market_share",
-      "q68_recursive_clusters", "q69_variant_json", "p08_weighted_sample")
+      "q68_recursive_clusters", "q69_variant_json", "p08_weighted_sample",
+      "q70_pipe_syntax")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries (sf0.01, AQE off for readability)\n\n"
     sb ++= "Regenerate: `sbt \"runMain graft.Plans\"`. What to look for per query\n"
