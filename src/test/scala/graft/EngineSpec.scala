@@ -1477,6 +1477,118 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-batch probe must scan ~1/16 of the store, got $scanned of $total files")
   }
 
+  test("st21's per-batch scan volume is proportional to the batch, measured in-flight") {
+    import spark.implicits._
+    // the VERDICT-r6 'done =' clause, verbatim: a metrics spec showing
+    // per-batch scanned volume proportional to the batch, not the
+    // corpus — measured through st21Batch itself via a
+    // QueryExecutionListener capturing the signature-store scans the
+    // pairs job actually executes
+    val rnd = new scala.util.Random(43)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(100000)).mkString(" ")
+    val sigStore = graft.core.Staging.tempAtExit("graft_st21met_sigs_")
+    val pairDir = graft.core.Staging.tempAtExit("graft_st21met_pairs_")
+    // 6 preload batches of diverse-vocab docs → chunks spread over all
+    // 16 buckets, many store files
+    (0 until 6).foreach { b =>
+      val docs = ((b * 20 + 1) to (b * 20 + 15))
+        .map(i => (i.toLong, words(60))).toDF("doc_id", "text")
+      graft.streaming.EventStreams.st21Batch(docs, sigStore, pairDir)
+    }
+    def partFiles(f: java.io.File): Int =
+      Option(f.listFiles()).map(_.map(c =>
+        if (c.isDirectory) partFiles(c)
+        else if (c.getName.startsWith("part-")) 1 else 0).sum).getOrElse(0)
+    val total = partFiles(new java.io.File(sigStore))
+    assert(total >= 32, s"preload must spread files across buckets, got $total")
+    // capture every sigStore scan the next batch executes
+    val scans = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      // the slice is cached in st21Batch, so its file scan lives in
+      // the InMemoryRelation's cached plan — traverse into it
+      def storeScans(p: org.apache.spark.sql.execution.SparkPlan): Unit =
+        p.foreach {
+          case fs: org.apache.spark.sql.execution.FileSourceScanExec
+            if fs.relation.location.rootPaths.exists(_.toString.contains(
+              new java.io.File(sigStore).getName)) =>
+            scans.add(fs.metrics("numFiles").value)
+          case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            storeScans(im.relation.cachedPlan)
+          // AQE wraps the real plan and hides it from foreach
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            storeScans(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            storeScans(qs.plan)
+          case _ => ()
+        }
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        storeScans(qe.executedPlan)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // a tiny probe batch: one doc, one long span → a handful of
+      // chunks → a handful of buckets
+      val probe = Seq((900L, words(40))).toDF("doc_id", "text")
+      graft.streaming.EventStreams.st21Batch(probe, sigStore, pairDir)
+      // listener delivery is async — poll until the store scan lands
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (scans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!scans.isEmpty, "no sigStore scan captured from the probe batch")
+      import scala.jdk.CollectionConverters._
+      val maxScanned = scans.asScala.max
+      assert(maxScanned > 0 && maxScanned * 3 < total,
+        s"probe batch scanned $maxScanned of $total store files — " +
+          "per-batch volume must track the batch's buckets, not the corpus")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("st21 streamed batches equal the batch oracle under randomized splits") {
+    import spark.implicits._
+    // fuzz the replay law: for random corpora (shared spans, over-cap
+    // boilerplate, singletons) and RANDOM batch splits, the
+    // accumulated pair rows capped once at the end must equal
+    // cdcOverlap on the union — the d17 contract, not one fixture
+    for (seed <- Seq(101, 102, 103)) {
+      val rnd = new scala.util.Random(seed)
+      def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(50000)).mkString(" ")
+      val boiler = words(50)
+      val spans = Seq.fill(3)(words(60))
+      val docs = (1 to (60 + rnd.nextInt(30))).map { i =>
+        val t = rnd.nextInt(10) match {
+          case 0 | 1 => s"p$i " + boiler // boilerplate carriers
+          case 2 | 3 | 4 =>
+            words(1 + rnd.nextInt(6)) + " " + spans(rnd.nextInt(3)) // shared spans
+          case _ => words(30 + rnd.nextInt(40)) // singletons
+        }
+        (i.toLong, t)
+      }
+      val nBatches = 2 + rnd.nextInt(3)
+      val batches = docs.groupBy(_ => rnd.nextInt(nBatches)).values.toSeq
+      val sigStore = graft.core.Staging.tempAtExit(s"graft_st21fz${seed}_s_")
+      val pairDir = graft.core.Staging.tempAtExit(s"graft_st21fz${seed}_p_")
+      batches.foreach { b =>
+        graft.streaming.EventStreams.st21Batch(
+          b.toDF("doc_id", "text"), sigStore, pairDir)
+      }
+      val shared = spark.read
+        .schema("doc_a BIGINT, doc_b BIGINT, h STRING, clen BIGINT")
+        .parquet(pairDir)
+      val allSigs = spark.read
+        .schema("doc_id BIGINT, h STRING, clen BIGINT").parquet(sigStore)
+      val streamed = graft.queries.Dedup.cdcPairsFinal(shared, allSigs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val oracle = graft.queries.Dedup.cdcOverlap(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == oracle,
+        s"seed $seed (${batches.size} batches): " +
+          s"streamed ${streamed.size} != oracle ${oracle.size}")
+    }
+  }
+
   test("st21 prunes a one-batch boilerplate chunk via the combined store+batch df") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
