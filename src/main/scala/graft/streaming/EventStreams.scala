@@ -968,14 +968,34 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1").parquet(chunks)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        st20Batch(batch.withColumn("is_new",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 5 === 0),
+          bandStore, shStore, outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.schema("new_id BIGINT, corpus_id BIGINT, jaccard DOUBLE")
+      .parquet(outDir)
+  }
+
+  /** One st20 micro-batch against the persisted band/shingle stores —
+    * factored so the spec can fuzz the replay law over random batch
+    * splits. `batch` carries (doc_id, text, is_new): arrivals (is_new)
+    * probe the store accumulated from strictly earlier batches and are
+    * never added to it; corpus docs append their band keys and shingle
+    * sets, bucket-clustered. Probe reads are pruned to the batch's own
+    * buckets (prunedStore), and corpus-only batches skip the probe
+    * entirely.
+    */
+  private[graft] def st20Batch(batch: DataFrame, bandStore: String,
+      shStore: String, outDir: String): Unit = {
         val sp = batch.sparkSession
         graft.functions.VectorExpressions.register(sp)
         val sigs = batch
           .withColumn("sh", expr("graft_shingles(text)"))
           .filter(size(col("sh")) > 0)
-          .withColumn("is_new",
-            conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-              .cast("long") % 5 === 0)
           .select(col("doc_id"), col("is_new"), col("sh"))
           .cache()
         // corpus-only batches skip the probe entirely (isEmpty rides
@@ -1036,11 +1056,6 @@ object EventStreams {
           .write.partitionBy("bucket").mode("append").parquet(shStore)
         sigs.unpersist()
         ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    s.read.schema("new_id BIGINT, corpus_id BIGINT, jaccard DOUBLE")
-      .parquet(outDir)
   }
 
   /** st21: the CDC sub-document dedup tier (d17) as a corpus-refresh

@@ -1546,6 +1546,62 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("st20 streamed band probes equal the direct new×corpus join under random splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    // the band-tier replay law, fuzzed like st21's: corpus docs arrive
+    // in random batch splits, arrivals last (the gate's staging
+    // contract), and the quarantine set must equal the direct
+    // exact-jaccard join of arrivals × corpus. Minhash banding is
+    // deterministic given text, so equality is a replayed fact per
+    // seed, not a probabilistic gamble.
+    for (seed <- Seq(201, 202, 203)) {
+      val rnd = new scala.util.Random(seed)
+      def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(30000)).mkString(" ")
+      val spans = Seq.fill(4)(words(40))
+      def doc(i: Long, isNew: Boolean) = {
+        val t = rnd.nextInt(10) match {
+          case v if v <= 3 => words(1 + rnd.nextInt(4)) + " " +
+            spans(rnd.nextInt(4)) + " " + words(rnd.nextInt(4))
+          case _ => words(20 + rnd.nextInt(20))
+        }
+        (i, t, isNew)
+      }
+      val corpus = (1 to 40 + rnd.nextInt(20)).map(i => doc(i.toLong, false))
+      val arrivals = (1001 to 1012).map(i => doc(i.toLong, true))
+      val nB = 2 + rnd.nextInt(2)
+      val corpusBatches = corpus.groupBy(_ => rnd.nextInt(nB)).values.toSeq
+      val dirs = Seq("bands", "sh", "out")
+        .map(t => graft.core.Staging.tempAtExit(s"graft_st20fz${seed}_${t}_"))
+      (corpusBatches :+ arrivals).foreach { b =>
+        graft.streaming.EventStreams.st20Batch(
+          b.toDF("doc_id", "text", "is_new"), dirs(0), dirs(1), dirs(2))
+      }
+      val got = spark.read
+        .schema("new_id BIGINT, corpus_id BIGINT, jaccard DOUBLE")
+        .parquet(dirs(2)).as[(Long, Long, Double)].collect().toSet
+      val all = (corpus ++ arrivals).toDF("doc_id", "text", "is_new")
+        .withColumn("sh", expr("graft_shingles(text)"))
+        .filter(size(col("sh")) > 0)
+      val want = all.filter(col("is_new"))
+        .select(col("doc_id").as("new_id"), col("sh").as("sha"))
+        .crossJoin(all.filter(!col("is_new"))
+          .select(col("doc_id").as("corpus_id"), col("sh").as("shb")))
+        .withColumn("common",
+          size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .withColumn("jaccard", col("common") /
+          (size(col("sha")) + size(col("shb")) - col("common")).cast("long"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("new_id"), col("corpus_id"), col("jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(want.nonEmpty, s"seed $seed: fixture must produce pairs")
+      assert(got == want,
+        s"seed $seed (${corpusBatches.size}+1 batches): " +
+          s"streamed ${got.size} != direct ${want.size}")
+    }
+  }
+
   test("st21 streamed batches equal the batch oracle under randomized splits") {
     import spark.implicits._
     // fuzz the replay law: for random corpora (shared spans, over-cap
