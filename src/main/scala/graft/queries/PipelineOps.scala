@@ -851,6 +851,63 @@ object PipelineOps {
     * Same pure-map scoring plan as e06 plus one partial-agg shuffle
     * over ≤ 10 groups.
     */
+  /** e08: dedup-aware NEGATIVE SAMPLING for contrastive/embedding
+    * training — for each anchor document, k=3 deterministic negatives
+    * that are (a) real corpus documents, (b) not the anchor, and
+    * (c) not in the anchor's near-dup cluster (d07's connected
+    * components): a near-dup drawn as a "negative" is a false
+    * negative that actively corrupts a contrastive objective, so the
+    * sampler must be dedup-aware — the reason this op belongs to the
+    * dedup family rather than plain sampling.
+    *
+    * Scale shape — rejection sampling with DETERMINISTIC draws, never
+    * a corpus fan-out: each anchor derives 8 candidate ids from
+    * md5(anchor, j) (the q37/p08 reproducible-uniform idiom), which
+    * are then validated by one existence semi-join against the doc-id
+    * set and two label lookups against the (pair-graph-sized,
+    * broadcastable) cluster labels; survivors rank by draw order and
+    * the first 3 win. Work is O(anchors × draws) — independent of
+    * corpus size beyond the joins — and re-running the pipeline
+    * yields byte-identical samples (md5-keyed, no RNG state). The
+    * 8-draw slack over k=3 makes under-filling a ~0 event (rejects
+    * are the anchor itself or its ≤ cluster-size near-dups out of N
+    * ids). The oracle replays the identical draws, exclusions, and
+    * (j, cand_id) ranking in DuckDB over d07's own cluster CTE.
+    */
+  def e08NegativeSampling(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    // 1-row bound for the modulus — the aggregate-broadcast idiom
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val labels = Dedup.d07DupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val anchors = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("anchor_id"))
+    val draws = anchors
+      .withColumn("j", explode(expr("sequence(1, 8)")))
+      .withColumn("cand_id", lit(1L) +
+        conv(substring(md5(concat_ws("_", col("anchor_id"), col("j"))
+          .cast("binary")), 1, 12), 16, 10).cast("long") % lit(mx))
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .join(docs.select(col("doc_id").as("cand_id")), Seq("cand_id"),
+        "left_semi")
+    val survivors = draws
+      .join(broadcast(labels.select(col("doc_id").as("anchor_id"),
+        col("cluster_id").as("ca"))), Seq("anchor_id"), "left")
+      .join(broadcast(labels.select(col("doc_id").as("cand_id"),
+        col("cluster_id").as("cb"))), Seq("cand_id"), "left")
+      .filter(col("ca").isNull || col("cb").isNull || col("ca") =!= col("cb"))
+      // two draws can hit the same id — keep the earliest, so the
+      // rank below is a deterministic function of the corpus
+      .groupBy(col("anchor_id"), col("cand_id")).agg(min(col("j")).as("j"))
+    survivors
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("j"), col("cand_id"))).cast("long"))
+      .filter(col("neg_rank") <= 3)
+      .select(col("anchor_id"), col("neg_rank"), col("cand_id").as("neg_id"))
+  }
+
   def e07LrCalibration(s: SparkSession, d: String): DataFrame = {
     lrScored(s, d)
       .select(least(floor(col("p") * lit(10.0)), lit(9L)).cast("long").as("decile"),
@@ -863,6 +920,7 @@ object PipelineOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e08_negative_sampling" -> e08NegativeSampling,
     "e07_lr_calibration" -> e07LrCalibration,
     "p08_weighted_sample" -> p08WeightedSample,
     "e06_lr_quality_score" -> e06LrQualityScore,
@@ -980,6 +1038,36 @@ object PipelineOps {
        FROM f, u3 u"""
 
   val oracles: Map[String, String] = Map(
+    // identical md5 draws, existence check, cluster exclusion (d07's
+    // own recursive-CTE labels), and (j, cand_id) ranking
+    "e08_negative_sampling" -> s"""
+      WITH labels AS (SELECT doc_id, cluster_id
+                      FROM (${graft.queries.Dedup.oracles("d07_dup_clusters")})),
+        mx AS (SELECT max(doc_id) AS m FROM documents),
+        anchors AS (SELECT doc_id AS anchor_id FROM documents
+                    WHERE doc_id % 50 = 0),
+        cand0 AS (
+          SELECT anchor_id, j,
+            1 + ('0x' || substr(md5(anchor_id::VARCHAR || '_' || j::VARCHAR),
+                 1, 12))::BIGINT % m AS cand_id
+          FROM anchors, range(1, 9) r(j), mx),
+        cand1 AS (
+          SELECT c.anchor_id, c.j, c.cand_id FROM cand0 c
+          JOIN documents dd ON dd.doc_id = c.cand_id
+          WHERE c.cand_id <> c.anchor_id),
+        cand2 AS (
+          SELECT c.* FROM cand1 c
+          LEFT JOIN labels la ON la.doc_id = c.anchor_id
+          LEFT JOIN labels lb ON lb.doc_id = c.cand_id
+          WHERE la.cluster_id IS NULL OR lb.cluster_id IS NULL
+             OR la.cluster_id <> lb.cluster_id),
+        cand3 AS (SELECT anchor_id, cand_id, min(j) AS j
+                  FROM cand2 GROUP BY 1, 2)
+      SELECT anchor_id,
+        row_number() OVER (PARTITION BY anchor_id ORDER BY j, cand_id)
+          ::BIGINT AS neg_rank,
+        cand_id AS neg_id
+      FROM cand3 QUALIFY neg_rank <= 3""",
     // same weight derivation, same decile bucketing, exact integer
     // aggregates only (n, positives, pinned score sums)
     "e07_lr_calibration" ->

@@ -1771,6 +1771,34 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"a pinned term sits $worst%.2e from the .5 boundary — ulp-flaky vs DuckDB")
   }
 
+  test("e08 negatives are real docs, 3 per anchor, never the anchor's cluster-mates") {
+    import org.apache.spark.sql.functions.col
+    val neg = SparkEntry.queries("e08_negative_sampling")(spark, sf).cache()
+    val perAnchor = neg.groupBy("anchor_id").count().collect()
+    assert(perAnchor.nonEmpty && perAnchor.forall(_.getLong(1) == 3L),
+      "every anchor must fill exactly k=3 negatives")
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id")
+    assert(neg.join(docs.withColumnRenamed("doc_id", "neg_id"),
+      Seq("neg_id"), "left_anti").count() == 0,
+      "every negative must be a real corpus document")
+    assert(neg.filter(col("neg_id") === col("anchor_id")).count() == 0)
+    // the dedup-aware exclusion: no sampled negative shares a d07
+    // cluster with its anchor (a near-dup negative would be a false
+    // negative for a contrastive objective — the op's entire point)
+    val labels = SparkEntry.queries("d07_dup_clusters")(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+    val shared = neg
+      .join(labels.select(col("doc_id").as("anchor_id"),
+        col("cluster_id").as("ca")), Seq("anchor_id"))
+      .join(labels.select(col("doc_id").as("neg_id"),
+        col("cluster_id").as("cb")), Seq("neg_id"))
+      .filter(col("ca") === col("cb")).count()
+    assert(shared == 0, s"$shared negatives share a dup cluster with their anchor")
+    neg.unpersist()
+    graft.queries.Dedup.releaseCaches()
+    ()
+  }
+
   test("e07 calibration: mean predicted rate tracks the observed rate") {
     val rows = SparkEntry.queries("e07_lr_calibration")(spark, sf).collect()
     val n = rows.map(_.getLong(1)).sum
