@@ -47,6 +47,43 @@ object Similarity {
     * tier runs over a candidate subset (see s02); as written it is the
     * recall=1 baseline a pipeline validates its ANN stage against.
     */
+  /** e09: HARD-negative mining — e08's sibling for contrastive
+    * training. Random negatives (e08) are mostly easy; the gradient
+    * signal concentrates in negatives NEAR the anchor, so real
+    * pipelines mine the most-similar non-duplicates: top-3 by exact
+    * cosine among vectors that are not the anchor and not its d07
+    * near-dup cluster-mates. The exclusion is the op's point — a
+    * near-dup mined as a "hard negative" is a mislabeled POSITIVE,
+    * and training on it actively pushes genuine duplicates apart.
+    * Exact tier over s01's probe convention (broadcast probes +
+    * broadcast pair-graph-sized labels, one corpus scan); the
+    * bucketed/quantized ANN tiers (s02–s14) are the scan's scale
+    * path and compose identically (s16's shortlist→re-rank shape).
+    * Cosines fold in the identical IEEE order both engines (s01
+    * discipline) so the hash check is raw, not rounded.
+    */
+  def e09HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = normed(s, d)
+    val labels = Dedup.d07DupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("anchor_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val joined = e.join(broadcast(probes), col("vec_id") =!= col("anchor_id"))
+      .join(broadcast(labels.select(col("doc_id").as("anchor_id"),
+        col("cluster_id").as("ca"))), Seq("anchor_id"), "left")
+      .join(broadcast(labels.select(col("doc_id").as("vec_id"),
+        col("cluster_id").as("cb"))), Seq("vec_id"), "left")
+      .filter(col("ca").isNull || col("cb").isNull || col("ca") =!= col("cb"))
+      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= 3)
+      .select(col("anchor_id"), col("neg_rank"),
+        col("vec_id").as("neg_id"), col("cosine"))
+  }
+
   def s01CosineTopK(s: SparkSession, d: String): DataFrame = {
     val e = normed(s, d)
     val probes = e.filter(col("vec_id") < 10)
@@ -1061,6 +1098,7 @@ object Similarity {
     "s09_rproj_ann" -> s09RandomProjAnn,
     "s08_kmeans_full" -> s08KmeansFull,
     "s01_cosine_topk" -> s01CosineTopK,
+    "e09_hard_negatives" -> e09HardNegatives,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ivf_topk" -> s03IvfTopK,
     "s04_ivf_nprobe2" -> s04IvfNprobe2,
@@ -1549,6 +1587,26 @@ object Similarity {
            true AS cells_le_k, count(*) AS total_members
          FROM embeddings""",
     "s01_cosine_topk" -> s01Sql,
+    // identical fold-cosine, probe convention, and exclusion of the
+    // anchor's d07 cluster-mates (the cluster CTE is d07's own)
+    "e09_hard_negatives" ->
+      s"""WITH labels AS (SELECT doc_id, cluster_id
+            FROM (${graft.queries.Dedup.oracles("d07_dup_clusters")})),
+          ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          scored AS (
+            SELECT p.vec_id AS anchor_id, e.vec_id AS neg_id,
+              $foldCosine AS cosine
+            FROM ev p
+            JOIN ev e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
+            LEFT JOIN labels la ON la.doc_id = p.vec_id
+            LEFT JOIN labels lb ON lb.doc_id = e.vec_id
+            WHERE la.cluster_id IS NULL OR lb.cluster_id IS NULL
+               OR la.cluster_id <> lb.cluster_id)
+          SELECT anchor_id, neg_rank, neg_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+              ORDER BY cosine DESC, neg_id)::BIGINT AS neg_rank
+            FROM scored) r
+          WHERE neg_rank <= 3""",
     "s02_ann_lsh" -> s02Sql,
     "s05_ann_recall" ->
       s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s01Sql) x),

@@ -1799,6 +1799,42 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     ()
   }
 
+  test("e09 hard negatives are hard (≫ random cosine) and never cluster-mates") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val hn = SparkEntry.queries("e09_hard_negatives")(spark, sf).cache()
+    val perAnchor = hn.groupBy("anchor_id").count().collect()
+    assert(perAnchor.nonEmpty && perAnchor.forall(_.getLong(1) == 3L))
+    val minedMean = hn.agg(avg("cosine")).head().getDouble(0)
+    // the mined negatives must sit far above the random-pair baseline
+    // (e08's regime) — that's what makes them HARD
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_sumsq(v)")))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("anchor_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val randMean = e.join(broadcast(probes), col("vec_id") =!= col("anchor_id"))
+      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
+      .agg(avg("cosine")).head().getDouble(0)
+    assert(minedMean > randMean + 0.1,
+      f"mined negatives must be hard: mined $minedMean%.3f vs random $randMean%.3f")
+    // and the exclusion holds: no mined negative shares a d07 cluster
+    val labels = SparkEntry.queries("d07_dup_clusters")(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+    val shared = hn
+      .join(labels.select(col("doc_id").as("anchor_id"),
+        col("cluster_id").as("ca")), Seq("anchor_id"))
+      .join(labels.select(col("doc_id").as("neg_id"),
+        col("cluster_id").as("cb")), Seq("neg_id"))
+      .filter(col("ca") === col("cb")).count()
+    assert(shared == 0, s"$shared mined negatives are near-dups of their anchor")
+    hn.unpersist()
+    graft.queries.Dedup.releaseCaches()
+    ()
+  }
+
   test("e07 calibration: mean predicted rate tracks the observed rate") {
     val rows = SparkEntry.queries("e07_lr_calibration")(spark, sf).collect()
     val n = rows.map(_.getLong(1)).sum
