@@ -1835,6 +1835,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     ()
   }
 
+  test("e10: the cluster-atomic split strictly dominates the naive split") {
+    val rows = SparkEntry.queries("e10_split_contamination")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (_, aCon, aLeak) = rows("cluster_atomic")
+    val (_, nCon, nLeak) = rows("naive_per_doc")
+    // near-dup pairs ARE gram-sharing pairs; a per-doc hash scatters
+    // them across the boundary, the atomic split cannot
+    assert(aLeak < nLeak,
+      s"atomic split must leak fewer gram-pairs: $aLeak vs $nLeak")
+    assert(aCon <= nCon,
+      s"atomic split must contaminate no more docs: $aCon vs $nCon")
+    graft.queries.PipelineOps.releaseCaches()
+    graft.queries.Dedup.releaseCaches()
+  }
+
   test("e07 calibration: mean predicted rate tracks the observed rate") {
     val rows = SparkEntry.queries("e07_lr_calibration")(spark, sf).collect()
     val n = rows.map(_.getLong(1)).sum
