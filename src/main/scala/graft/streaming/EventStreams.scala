@@ -1237,10 +1237,105 @@ object EventStreams {
       .parquet(outDir)
   }
 
+  /** Stage embeddings as 4 replay chunks (md5 quad-split, modtime
+    * ordered) — stageDocChunks' sibling for the vector gates. */
+  private def stageVecChunks(s: SparkSession, d: String): String =
+    graft.core.Staging.ensure(d, "embeddings", "vecs4") { dirS =>
+      val dir = java.nio.file.Paths.get(dirS)
+      java.nio.file.Files.createDirectories(dir)
+      val h = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val vecs = Tables.embeddings(s, d)
+      val scratch = java.nio.file.Paths.get(
+        graft.core.Staging.tempAtExit("graft_vec_stage_"))
+      (0 to 3).foreach { i =>
+        val sub = scratch.resolve(s"c$i")
+        vecs.filter(h % 4 === i).coalesce(1)
+          .write.mode("overwrite").parquet(sub.toString)
+        val part = new java.io.File(sub.toString).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          dir.resolve(s"chunk-$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val base = System.currentTimeMillis()
+      (0 to 3).foreach { i =>
+        val f = dir.resolve(s"chunk-$i.parquet").toFile
+        if (!f.setLastModified(base + (i + 1) * 60000L))
+          throw new IllegalStateException(
+            s"setLastModified failed for $f — replay order not guaranteed")
+      }
+    }
+
+  /** st24: the ANN index maintained BY A STREAM — s02's LSH tier as a
+    * production vector-ingest pipeline. Vectors arrive in
+    * micro-batches; each batch computes its 8-bit LSH bucket with the
+    * FIXED deterministic hyperplanes (a pure per-vector map —
+    * bucketing needs no global state, the property that makes LSH
+    * indexes streamable where IVF must first train a codebook) and
+    * appends (vec_id, v, nrm, lsh) to the persisted index,
+    * bucket-clustered under the st20/st21 store layout. Probes then
+    * answer FROM THE STORE: external query vectors hash to their
+    * buckets, the index is read pruned to those buckets' dirs, and
+    * the within-bucket brute force + top-5 equals s02's UNCHANGED
+    * oracle verbatim (bucket assignment is per-vector, so batch
+    * boundaries cannot change any bucket, and the cosine arithmetic
+    * is s02's). Per-batch work: one pure map + one clustered append;
+    * per-probe work: the probed buckets' slice — O(index/256) at the
+    * LSH level, reached through O(bucket-dirs probed) I/O.
+    */
+  def st24StreamAnnIndex(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val chunks = stageVecChunks(s, d)
+    val store = graft.core.Staging.tempAtExit("graft_st24_idx_")
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(chunks)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        graft.functions.VectorExpressions.register(sp)
+        batch
+          .selectExpr("vec_id",
+            "transform(embedding, x -> cast(x AS double)) AS v")
+          .selectExpr("vec_id", "v", "sqrt(graft_sumsq(v)) AS nrm",
+            "graft_lsh_bucket(v) AS lsh")
+          .withColumn("bucket", bucketOf(col("lsh")))
+          .repartition(col("bucket")) // one file per bucket per batch
+          .write.partitionBy("bucket").mode("append").parquet(store)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // probes are EXTERNAL query vectors (not a store scan): hash to
+    // buckets via the same pure map, then read the index pruned
+    val probes = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS probe_id",
+        "transform(embedding, x -> cast(x AS double)) AS pv")
+      .selectExpr("probe_id", "pv", "sqrt(graft_sumsq(pv)) AS pnrm",
+        "graft_lsh_bucket(pv) AS plsh")
+      .withColumn("pb", bucketOf(col("plsh"))).cache()
+    val pbs = probes.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+    val joined = prunedStore(s, store, pbs)
+      .join(broadcast(probes),
+        col("lsh") === col("plsh") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val out = joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+    probes.unpersist()
+    out
+  }
+
   private def gated(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st24_stream_ann_index" -> gated(st24StreamAnnIndex),
     "st23_stream_quality_gate" -> gated(st23StreamQualityGate),
     "st22_stream_weighted_sample" -> gated(st22StreamWeightedSample),
     "st21_stream_cdc_dedup" -> gated(st21StreamCdcDedup),
@@ -1290,6 +1385,10 @@ object EventStreams {
   val oracles: Map[String, String] = Map(
     // st22: the union of batch-local top-100s provably contains the
     // global top-100, so the final merge IS p08's answer — same val
+    // per-vector bucketing is batch-boundary-invariant, so the
+    // store-answered probes match the batch tier's oracle verbatim
+    "st24_stream_ann_index" ->
+      graft.queries.Similarity.oracles("s02_ann_lsh"),
     // per-row scoring is batch-boundary-invariant, so the streamed
     // union answers the batch gate's oracle verbatim
     "st23_stream_quality_gate" ->
