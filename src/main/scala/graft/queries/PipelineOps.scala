@@ -839,18 +839,6 @@ object PipelineOps {
   private[graft] def aesTop100(keyed: DataFrame): DataFrame =
     keyed.orderBy(col("key_scaled").desc, col("doc_id")).limit(100)
 
-  /** Calibration board for the trained gate — the reliability curve
-    * an ML-ops deployment monitors: scores bucketed into deciles,
-    * each bucket reporting exact member count, exact positive count,
-    * and the exact integer sum of per-doc pinned scores (avg = sum/n
-    * is then derivable without any order-dependent float aggregate).
-    * On this no-signal corpus the model converges to the class prior,
-    * so scores concentrate in one or two deciles whose observed
-    * positive rate ≈ the predicted score — the well-calibrated
-    * outcome for a prior-fitted model, replayed as exact integers.
-    * Same pure-map scoring plan as e06 plus one partial-agg shuffle
-    * over ≤ 10 groups.
-    */
   /** e08: dedup-aware NEGATIVE SAMPLING for contrastive/embedding
     * training — for each anchor document, k=3 deterministic negatives
     * that are (a) real corpus documents, (b) not the anchor, and
@@ -966,6 +954,18 @@ object PipelineOps {
       .unionByName(audit(naive, "naive_per_doc"))
   }
 
+  /** Calibration board for the trained gate — the reliability curve
+    * an ML-ops deployment monitors: scores bucketed into deciles,
+    * each bucket reporting exact member count, exact positive count,
+    * and the exact integer sum of per-doc pinned scores (avg = sum/n
+    * is then derivable without any order-dependent float aggregate).
+    * On this no-signal corpus the model converges to the class prior,
+    * so scores concentrate in one or two deciles whose observed
+    * positive rate ≈ the predicted score — the well-calibrated
+    * outcome for a prior-fitted model, replayed as exact integers.
+    * Same pure-map scoring plan as e06 plus one partial-agg shuffle
+    * over ≤ 10 groups.
+    */
   def e07LrCalibration(s: SparkSession, d: String): DataFrame = {
     lrScored(s, d)
       .select(least(floor(col("p") * lit(10.0)), lit(9L)).cast("long").as("decile"),
@@ -1096,25 +1096,31 @@ object PipelineOps {
          1.0 / (1.0 + exp(-((u.w0) / 1e6 + (u.w1) / 1e6 * x1 + (u.w2) / 1e6 * x2 + (u.w3) / 1e6 * x3))) AS p
        FROM f, u3 u"""
 
+  // ONE string for the cluster-atomic split SQL — shared by the p04
+  // oracle and e10's audit so the two cannot drift (the rpCte/ivfTopK
+  // single-source discipline)
+  private val p04SplitSql: String =
+    s"""WITH RECURSIVE
+          ${graft.queries.Dedup.clusterCtes},
+          labels AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src),
+          grp AS (
+            SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+          SELECT doc_id, group_id,
+            CASE WHEN b < 8 THEN 'train'
+                 WHEN b = 8 THEN 'validation'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id, group_id,
+                  ('0x' || substr(md5(group_id::VARCHAR), 1, 8))::BIGINT % 10 AS b
+                FROM grp) t"""
+
   val oracles: Map[String, String] = Map(
     // both split policies replayed (p04's cluster CTE + the naive
     // hash), the same per-doc-distinct 5-gram stream, the same counts
     "e10_split_contamination" -> s"""
-      WITH RECURSIVE
-        ${graft.queries.Dedup.clusterCtes},
-        labels AS (
-          SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-          FROM reach GROUP BY src),
-        grp AS (
-          SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_id
-          FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
-        atomic AS (
-          SELECT doc_id, CASE WHEN b < 8 THEN 'train'
-                              WHEN b = 8 THEN 'validation'
-                              ELSE 'test' END AS split
-          FROM (SELECT doc_id,
-                  ('0x' || substr(md5(group_id::VARCHAR), 1, 8))::BIGINT % 10 AS b
-                FROM grp) t),
+      WITH atomic AS (SELECT doc_id, split FROM ($p04SplitSql)),
         naive AS (
           SELECT doc_id, CASE WHEN b < 8 THEN 'train'
                               WHEN b = 8 THEN 'validation'
@@ -1144,11 +1150,14 @@ object PipelineOps {
           FROM te JOIN tr ON tr.mode = te.mode AND tr.g5 = te.g5
           GROUP BY 1),
         td AS (SELECT mode, count(DISTINCT doc_id) AS n_test_docs
-               FROM te GROUP BY 1)
-      SELECT td.mode, td.n_test_docs::BIGINT AS n_test_docs,
+               FROM te GROUP BY 1),
+        modes AS (SELECT unnest(['cluster_atomic', 'naive_per_doc']) AS mode)
+      SELECT m.mode, coalesce(td.n_test_docs, 0)::BIGINT AS n_test_docs,
         coalesce(leak.n_contaminated, 0)::BIGINT AS n_contaminated,
         coalesce(leak.n_leaked_grams, 0)::BIGINT AS n_leaked_grams
-      FROM td LEFT JOIN leak ON leak.mode = td.mode""",
+      FROM modes m
+      LEFT JOIN td ON td.mode = m.mode
+      LEFT JOIN leak ON leak.mode = m.mode""",
     // identical md5 draws, existence check, cluster exclusion (d07's
     // own recursive-CTE labels), and (j, cand_id) ranking
     "e08_negative_sampling" -> s"""
@@ -1310,22 +1319,7 @@ object PipelineOps {
          SELECT r.source, doc_id, "rank", quota::BIGINT AS quota
          FROM ranked r JOIN quotas q ON r.source = q.source
          WHERE "rank" <= quota""",
-    "p04_leak_safe_split" ->
-      s"""WITH RECURSIVE
-          ${graft.queries.Dedup.clusterCtes},
-          labels AS (
-            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-            FROM reach GROUP BY src),
-          grp AS (
-            SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_id
-            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
-          SELECT doc_id, group_id,
-            CASE WHEN b < 8 THEN 'train'
-                 WHEN b = 8 THEN 'validation'
-                 ELSE 'test' END AS split
-          FROM (SELECT doc_id, group_id,
-                  ('0x' || substr(md5(group_id::VARCHAR), 1, 8))::BIGINT % 10 AS b
-                FROM grp) t""",
+    "p04_leak_safe_split" -> p04SplitSql,
     "p03_mix_to_budget" ->
       """WITH ranked AS (
            SELECT source, doc_id, n_chars,

@@ -42,11 +42,6 @@ object Similarity {
       .withColumn("nrm", sqrt(expr("graft_sumsq(v)")))
   }
 
-  /** Brute-force cosine top-5 for a 10-probe set. The probe side is
-    * tiny → broadcast; the full scan side streams. At 100 TB this exact
-    * tier runs over a candidate subset (see s02); as written it is the
-    * recall=1 baseline a pipeline validates its ANN stage against.
-    */
   /** e09: HARD-negative mining — e08's sibling for contrastive
     * training. Random negatives (e08) are mostly easy; the gradient
     * signal concentrates in negatives NEAR the anchor, so real
@@ -84,6 +79,11 @@ object Similarity {
         col("vec_id").as("neg_id"), col("cosine"))
   }
 
+  /** Brute-force cosine top-5 for a 10-probe set. The probe side is
+    * tiny → broadcast; the full scan side streams. At 100 TB this exact
+    * tier runs over a candidate subset (see s02); as written it is the
+    * recall=1 baseline a pipeline validates its ANN stage against.
+    */
   def s01CosineTopK(s: SparkSession, d: String): DataFrame = {
     val e = normed(s, d)
     val probes = e.filter(col("vec_id") < 10)

@@ -843,32 +843,44 @@ object EventStreams {
     * stamped in that order so the file source replays the store build
     * BEFORE the arrivals batch queries it (st12's staging idiom).
     */
-  private def stageDocChunks(s: SparkSession, d: String): String =
-    graft.core.Staging.ensure(d, "documents", "docs4") { dirS =>
+  private def stageDocChunks(s: SparkSession, d: String): String = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    stageChunks(s, d, "documents", "docs4", Tables.documents(s, d), Seq(
+      h % 5 =!= 0 && h % 3 === 0,
+      h % 5 =!= 0 && h % 3 === 1,
+      h % 5 =!= 0 && h % 3 === 2,
+      h % 5 === 0))
+  }
+
+  /** Shared replay-chunk staging: write `preds.length` single-file
+    * parquet chunks of `src` under Staging.ensure's (input, tag) key,
+    * modtime-stamped in order so the file stream replays them
+    * deterministically (the setLastModified guard fails loudly if the
+    * FS refuses, because replay order is the gates' correctness
+    * precondition). One mechanism for every gate's staging — the
+    * doc/vector variants differ only in source and predicate list.
+    */
+  private def stageChunks(s: SparkSession, d: String, table: String,
+      tag: String, src: DataFrame,
+      preds: Seq[Column]): String =
+    graft.core.Staging.ensure(d, table, tag) { dirS =>
       val dir = java.nio.file.Paths.get(dirS)
       java.nio.file.Files.createDirectories(dir)
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-      val docs = Tables.documents(s, d)
       val scratch = java.nio.file.Paths.get(
-        graft.core.Staging.tempAtExit("graft_doc_stage_"))
-      Seq(
-        h % 5 =!= 0 && h % 3 === 0,
-        h % 5 =!= 0 && h % 3 === 1,
-        h % 5 =!= 0 && h % 3 === 2,
-        h % 5 === 0)
-        .zipWithIndex.foreach { case (pred, i) =>
-          val sub = scratch.resolve(s"c$i")
-          docs.filter(pred).coalesce(1)
-            .write.mode("overwrite").parquet(sub.toString)
-          val part = new java.io.File(sub.toString).listFiles()
-            .find(_.getName.startsWith("part-")).get
-          java.nio.file.Files.move(part.toPath,
-            dir.resolve(s"chunk-$i.parquet"),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
+        graft.core.Staging.tempAtExit("graft_chunk_stage_"))
+      preds.zipWithIndex.foreach { case (pred, i) =>
+        val sub = scratch.resolve(s"c$i")
+        src.filter(pred).coalesce(1)
+          .write.mode("overwrite").parquet(sub.toString)
+        val part = new java.io.File(sub.toString).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          dir.resolve(s"chunk-$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       val base = System.currentTimeMillis()
-      (0 to 3).foreach { i =>
+      preds.indices.foreach { i =>
         val f = dir.resolve(s"chunk-$i.parquet").toFile
         if (!f.setLastModified(base + (i + 1) * 60000L))
           throw new IllegalStateException(
@@ -876,9 +888,10 @@ object EventStreams {
       }
     }
 
-  /** The persisted dedup stores (st20/st21) are laid out hash-bucketed
-    * on their probe key: rows are written `partitionBy("bucket")` with
-    * bucket = pmod(hash(key), StoreBuckets), so a micro-batch's probe
+  /** The persisted dedup stores (st20/st21/st24) are laid out
+    * hash-bucketed on their probe key: rows are written
+    * `partitionBy("bucket")` with bucket = pmod(hash(key),
+    * StoreBuckets), so a micro-batch's probe
     * reads ONLY the directories holding its own keys — static
     * partition pruning, with the batch's bucket set (≤ StoreBuckets
     * small ints) collected driver-side in the aggregate-broadcast
@@ -894,10 +907,7 @@ object EventStreams {
     * documents — the correct economics at both ends. 16 buckets
     * suits the local fixtures (bucket-dir count is a real per-write
     * cost at this scale — 64 measured ~2× slower for identical
-    * answers); production raises the constant with index size. (A catalog
-    * `bucketBy` table would only save the join shuffle, not the scan;
-    * directory partitioning is what prunes I/O, and the store side of
-    * each probe is the BIG side — the batch side broadcasts.)
+    * answers); production raises the constant with index size.
     */
   private[graft] val StoreBuckets = 16
 
@@ -1239,33 +1249,12 @@ object EventStreams {
 
   /** Stage embeddings as 4 replay chunks (md5 quad-split, modtime
     * ordered) — stageDocChunks' sibling for the vector gates. */
-  private def stageVecChunks(s: SparkSession, d: String): String =
-    graft.core.Staging.ensure(d, "embeddings", "vecs4") { dirS =>
-      val dir = java.nio.file.Paths.get(dirS)
-      java.nio.file.Files.createDirectories(dir)
-      val h = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-      val vecs = Tables.embeddings(s, d)
-      val scratch = java.nio.file.Paths.get(
-        graft.core.Staging.tempAtExit("graft_vec_stage_"))
-      (0 to 3).foreach { i =>
-        val sub = scratch.resolve(s"c$i")
-        vecs.filter(h % 4 === i).coalesce(1)
-          .write.mode("overwrite").parquet(sub.toString)
-        val part = new java.io.File(sub.toString).listFiles()
-          .find(_.getName.startsWith("part-")).get
-        java.nio.file.Files.move(part.toPath,
-          dir.resolve(s"chunk-$i.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-      val base = System.currentTimeMillis()
-      (0 to 3).foreach { i =>
-        val f = dir.resolve(s"chunk-$i.parquet").toFile
-        if (!f.setLastModified(base + (i + 1) * 60000L))
-          throw new IllegalStateException(
-            s"setLastModified failed for $f — replay order not guaranteed")
-      }
-    }
+  private def stageVecChunks(s: SparkSession, d: String): String = {
+    val h = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    stageChunks(s, d, "embeddings", "vecs4", Tables.embeddings(s, d),
+      (0 to 3).map(i => h % 4 === i))
+  }
 
   /** st24: the ANN index maintained BY A STREAM — s02's LSH tier as a
     * production vector-ingest pipeline. Vectors arrive in
@@ -1310,25 +1299,31 @@ object EventStreams {
     try q.processAllAvailable() finally q.stop()
     // probes are EXTERNAL query vectors (not a store scan): hash to
     // buckets via the same pure map, then read the index pruned
+    // probes are 10 tiny pure-map rows — re-evaluating them for the
+    // join is cheaper than cache bookkeeping
     val probes = Tables.embeddings(s, d).filter(col("vec_id") < 10)
       .selectExpr("vec_id AS probe_id",
         "transform(embedding, x -> cast(x AS double)) AS pv")
       .selectExpr("probe_id", "pv", "sqrt(graft_sumsq(pv)) AS pnrm",
         "graft_lsh_bucket(pv) AS plsh")
-      .withColumn("pb", bucketOf(col("plsh"))).cache()
+      .withColumn("pb", bucketOf(col("plsh")))
     val pbs = probes.select("pb").distinct().collect().map(_.getInt(0)).toSeq
-    val joined = prunedStore(s, store, pbs)
+    // explicit schema: a vector-less corpus leaves the store without
+    // part files, and inference on such a dir throws (st21's hazard)
+    val idx = s.read
+      .schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, lsh BIGINT")
+      .parquet(store)
+      .filter(col("bucket").isin(pbs: _*))
+    val joined = idx
       .join(broadcast(probes),
         col("lsh") === col("plsh") && col("vec_id") =!= col("probe_id"))
       .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    val out = joined.withColumn("rank", row_number().over(w))
+    joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), col("cosine"))
-    probes.unpersist()
-    out
   }
 
   private def gated(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =

@@ -1774,10 +1774,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("e08 negatives are real docs, 3 per anchor, never the anchor's cluster-mates") {
     import org.apache.spark.sql.functions.col
     val neg = SparkEntry.queries("e08_negative_sampling")(spark, sf).cache()
+    val docs = graft.core.Tables.documents(spark, sf).select("doc_id")
     val perAnchor = neg.groupBy("anchor_id").count().collect()
+    // count against the anchor POPULATION, not just anchors present in
+    // the output — an anchor whose every draw was rejected would
+    // otherwise vanish silently (both engines under-fill identically,
+    // so the oracle can't see it)
+    val nAnchors = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 50 === 0).count()
+    assert(perAnchor.length.toLong == nAnchors,
+      s"${perAnchor.length} anchors in output vs $nAnchors in population")
     assert(perAnchor.nonEmpty && perAnchor.forall(_.getLong(1) == 3L),
       "every anchor must fill exactly k=3 negatives")
-    val docs = graft.core.Tables.documents(spark, sf).select("doc_id")
     assert(neg.join(docs.withColumnRenamed("doc_id", "neg_id"),
       Seq("neg_id"), "left_anti").count() == 0,
       "every negative must be a real corpus document")
@@ -1804,6 +1812,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.functions.VectorExpressions.register(spark)
     val hn = SparkEntry.queries("e09_hard_negatives")(spark, sf).cache()
     val perAnchor = hn.groupBy("anchor_id").count().collect()
+    val nAnchors = graft.core.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10).count()
+    assert(perAnchor.length.toLong == nAnchors,
+      s"${perAnchor.length} anchors in output vs $nAnchors probes")
     assert(perAnchor.nonEmpty && perAnchor.forall(_.getLong(1) == 3L))
     val minedMean = hn.agg(avg("cosine")).head().getDouble(0)
     // the mined negatives must sit far above the random-pair baseline
