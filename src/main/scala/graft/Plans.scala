@@ -39,7 +39,8 @@ object Plans {
       "p07_zorder_layout", "e06_lr_quality_score",
       "d17_cdc_chunk_overlap", "q67_market_share",
       "q68_recursive_clusters", "q69_variant_json", "p08_weighted_sample",
-      "q70_pipe_syntax")
+      "q70_pipe_syntax", "q71_group_by_all", "e08_negative_sampling",
+      "e09_hard_negatives", "e10_split_contamination")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries (sf0.01, AQE off for readability)\n\n"
     sb ++= "Regenerate: `sbt \"runMain graft.Plans\"`. What to look for per query\n"

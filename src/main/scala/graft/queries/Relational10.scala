@@ -376,7 +376,30 @@ object Relational10 {
       |> ORDER BY l_returnflag, l_linestatus""")
   }
 
+  /** q71: GROUP BY ALL / ORDER BY ALL — Spark 4's dimension-inference
+    * sugar (q68/q69/q70's sibling in the new-SQL-surface family):
+    * every non-aggregate select item becomes a grouping key and the
+    * full select list the sort key, so wide reporting queries stop
+    * hand-maintaining their GROUP BY lists. Pure parser surface over
+    * the same plan — the oracle is the explicit form, and the plan
+    * still pushes the date filter to the scan and partial-aggregates
+    * map-side exactly as the nested form does.
+    */
+  def q71GroupByAll(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_ga")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(avg(l_discount), 6) AS avg_disc,
+        count(*) AS n_items
+      FROM lineitem_ga
+      WHERE l_shipdate < TIMESTAMP '1998-09-01'
+      GROUP BY ALL
+      ORDER BY ALL""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_group_by_all" -> q71GroupByAll,
     "q70_pipe_syntax" -> q70PipeSyntax,
     "q69_variant_json" -> q69VariantJson,
     "q67_market_share" -> q67MarketShare,
@@ -389,6 +412,16 @@ object Relational10 {
     "q59_cohort_retention" -> q59CohortRetention)
 
   val oracles: Map[String, String] = Map(
+    // the explicit form the ALL sugar infers
+    "q71_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1998-09-01'
+         GROUP BY 1, 2
+         ORDER BY 1, 2, 3, 4, 5""",
     // the equivalent ANSI nesting of the pipe chain
     "q70_pipe_syntax" ->
       """SELECT l_returnflag, l_linestatus,
