@@ -861,6 +861,12 @@ object PipelineOps {
     * are the anchor itself or its ≤ cluster-size near-dups out of N
     * ids). The oracle replays the identical draws, exclusions, and
     * (j, cand_id) ranking in DuckDB over d07's own cluster CTE.
+    * Known bias, accepted: `1 + md5 % max(doc_id)` draws from
+    * [1, max] — a doc with id 0 (this fixture's minimum) can never be
+    * sampled, and a sparse id space under-weights nothing else (the
+    * existence join discards holes rather than redistributing). For
+    * a training sampler this ~1/N edge skew is irrelevant; replacing
+    * it would need a dense-rank side table for no practical gain.
     */
   def e08NegativeSampling(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
