@@ -147,7 +147,6 @@ object Similarity {
     */
   private def ivfTopK(s: SparkSession, d: String,
       sampledCentroids: Boolean, nprobe: Int): DataFrame = {
-    import s.implicits._
     graft.functions.VectorExpressions.register(s)
     val e = normed(s, d)
     val memberRows = Tables.embeddings(s, d)

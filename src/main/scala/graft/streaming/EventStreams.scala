@@ -225,7 +225,7 @@ object EventStreams {
       .flatMapGroupsWithState[Seq[SessState], (Long, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)], state: GroupState[Seq[SessState]]) =>
-          val wm = state.getCurrentWatermarkMs * 1000
+          val wm = state.getCurrentWatermarkMs() * 1000
           val sorted = (state.getOption.getOrElse(Seq.empty).toList ++
             rows.map { case (_, t, _) => (t, t, 1L) }).sortBy(_._1)
           // merge runs closer than the gap
@@ -364,7 +364,7 @@ object EventStreams {
       // the final on-time hour boundary — a one-row agg, driver-side
       // by nature (it parameterizes the staging layout, not the data)
       val cut = ev.filter(onTime)
-        .agg(date_trunc("hour", max(col("ts")))).head.getTimestamp(0)
+        .agg(date_trunc("hour", max(col("ts")))).head().getTimestamp(0)
       val scratch = java.nio.file.Paths.get(
         graft.core.Staging.tempAtExit("graft_late_stage_"))
       Seq(
