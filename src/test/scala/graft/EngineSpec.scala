@@ -1889,4 +1889,40 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
+
+  test("connectedComponents equals driver union-find on randomized graphs") {
+    import spark.implicits._
+    // the pointer-jumping loop underwrites d07/p02/p04/e08/e10 — fuzz
+    // it against a reference union-find on graphs mixing long chains
+    // (exercising the jump's log-diameter path compression), random
+    // cross edges, dense blobs, and isolated pairs
+    for (seed <- Seq(301, 302, 303)) {
+      val rnd = new scala.util.Random(seed)
+      val chain = (0 until 30).map(i => (100L + i, 100L + i + 1)) // 31-node path
+      val blobNodes = (200L to 212L)
+      val blob = Seq.fill(20)((blobNodes(rnd.nextInt(13)), blobNodes(rnd.nextInt(13))))
+        .filter(p => p._1 != p._2)
+      val random = Seq.fill(40)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(p => p._1 != p._2)
+      val edges = (chain ++ blob ++ random :+ (300L -> 301L)).distinct
+      val got = graft.queries.Dedup
+        .connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      // reference: driver union-find, labels = component minimum
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(n => n -> find(n)).toMap
+      assert(got == want, s"seed $seed: ${got.size} labels, diff=" +
+        (got.toSet diff want.toSet).take(5))
+    }
+  }
 }
