@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool (Bench/Plans' sibling): measured scale evidence for the
+  * "would this survive a 100× scale-up" question — runs headline
+  * document operators on sf0.1 AND on a synthesized 10× corpus in the
+  * SAME warm JVM, printing per-query times and ratios. Near-linear
+  * ratios (≈10× work for 10× data on fixed local[32] resources) are
+  * the signature of plans without super-linear chokepoints; a
+  * quadratic stage would show ≈100×.
+  *
+  * The 10× corpus replicates every sf0.1 document 10 times with a
+  * per-replica token-suffix scramble: vocabularies are disjoint
+  * ACROSS replicas (no cross-replica near-dups — the pair count
+  * scales exactly 10×, not 100×) while each replica preserves the
+  * original dup/boilerplate structure. Written once under /tmp and
+  * reused (Bench's staging discipline).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    // EQUAL-LAYOUT baseline: the shipped sf0.1 documents.parquet is a
+    // single file (one row group → ONE task owns every narrow stage),
+    // which confounds the ratio — d17 measured FASTER on 10× data
+    // purely because the big corpus had 32 splits. Both legs are
+    // therefore staged at 32 files.
+    val base = "/tmp/graft_scale1x"
+    val big = "/tmp/graft_scale10x"
+    if (!new java.io.File(s"$base/documents.parquet/_SUCCESS").exists()) {
+      spark.read.parquet(s"$src/documents.parquet")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    }
+    if (!new java.io.File(s"$big/documents.parquet/_SUCCESS").exists()) {
+      spark.read.parquet(s"$src/documents.parquet")
+        .crossJoin(spark.range(0, 10).toDF("k"))
+        .select((col("doc_id") * 10 + col("k")).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("k"))), " ").as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    }
+    val picks = Seq("d01_exact_dedup", "d03_minhash_lsh",
+      "d17_cdc_chunk_overlap", "p08_weighted_sample",
+      "e06_lr_quality_score", "t18_char_entropy")
+    def time(name: String, dir: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup both paths (codegen + FS) before timing
+    time(picks.head, base); time(picks.head, big)
+    val rows = picks.map { n =>
+      // first executions pay PER-PLAN codegen (the HOF-heavy plans
+      // compile for seconds — order-dependent and data-independent);
+      // time the SECOND run of each (query, dir) pair so the ratio
+      // reflects data-dependent work only
+      time(n, base); time(n, big)
+      val a = time(n, base); val b = time(n, big)
+      System.err.println(f"[scale] $n%-24s sf0.1 $a%6.2f s   10x $b%6.2f s   ratio ${b / a}%5.2f")
+      s""""$n":{"sf01":$a,"x10":$b,"ratio":${b / a}}"""
+    }
+    println(s"""{"metric":"scale10x","queries":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}

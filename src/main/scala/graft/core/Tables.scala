@@ -20,6 +20,21 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a small-input scan across cores before heavy NARROW
+    * stages: the fixtures ship each table as ONE parquet file (one
+    * row group → one input split), so per-row-expensive projections
+    * (shingling, CDC chunking, vector norms) would otherwise run
+    * single-task however many cores exist — ScaleProbe measured the
+    * CDC chunking 5× faster on an equal-data 32-split layout.
+    * Production inputs arrive in thousands of splits and take the
+    * no-op branch, so no shuffle is ever added at scale: this is
+    * fixture-layout adaptation, not a plan change.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")

@@ -50,6 +50,9 @@ object Dedup {
     */
   private def shingled(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
+    // not spread: the shingle tiers measured flat (their cost is the
+    // band/self-join shuffles, not the narrow map) — see normed's
+    // note for the cache-reuse hazard a gratuitous spread carries
     Tables.documents(s, d)
       .select(col("doc_id"), expr("graft_shingles(text)").as("sh"))
   }
@@ -1064,7 +1067,10 @@ object Dedup {
     * chunk hashes, because breakpoints depend only on local content.
     */
   private[graft] def cdcOverlap(docs: DataFrame): DataFrame = {
-    val chunks = cdcSigs(docs)
+    // Tables.spread: the single-file fixture scan would otherwise
+    // run the heavy narrow chunking in ONE task (see Tables.spread's
+    // docstring; ScaleProbe measured the 5× gap)
+    val chunks = cdcSigs(Tables.spread(docs))
     // df cap as a partial-aggregated hot set + broadcast anti-join:
     // the hot side map-combines to (h, count) partials (tiny shuffle,
     // skew-immune) and only over-cap hashes — a handful of boilerplate

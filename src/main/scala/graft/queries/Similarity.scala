@@ -37,6 +37,11 @@ object Similarity {
     */
   private def normed(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
+    // NOT spread (Tables.spread): the norm map is cheap, the s-family
+    // measured flat under a spread, and the repartition under the
+    // loop-consumed caches (s17's shortlist) broke cache reuse —
+    // measured 0.9 s → 2.75 s. Spread only pays where the narrow
+    // stage is expensive AND nothing caches above it (cdcOverlap).
     Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(expr("graft_sumsq(v)")))
