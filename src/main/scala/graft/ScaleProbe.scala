@@ -34,9 +34,18 @@ object ScaleProbe {
     // single file (one row group → ONE task owns every narrow stage),
     // which confounds the ratio — d17 measured FASTER on 10× data
     // purely because the big corpus had 32 splits. Both legs are
-    // therefore staged at 32 files.
-    val base = "/tmp/graft_scale1x"
-    val big = "/tmp/graft_scale10x"
+    // therefore staged at 32 files. Staging is keyed on the SOURCE
+    // file's size+mtime plus a synthesis-scheme version, so editing
+    // the scramble or regenerating the fixture restages instead of
+    // silently reusing stale corpora (Staging.ensure's discipline).
+    val scheme = "v1-suffix10"
+    val srcFile = java.nio.file.Paths.get(s"$src/documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$scheme:${java.nio.file.Files.size(srcFile)}:${
+        java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val base = s"/tmp/graft_scale1x_$key"
+    val big = s"/tmp/graft_scale10x_$key"
     if (!new java.io.File(s"$base/documents.parquet/_SUCCESS").exists()) {
       spark.read.parquet(s"$src/documents.parquet")
         .repartition(32)
@@ -63,8 +72,6 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    // warmup both paths (codegen + FS) before timing
-    time(picks.head, base); time(picks.head, big)
     val rows = picks.map { n =>
       // first executions pay PER-PLAN codegen (the HOF-heavy plans
       // compile for seconds — order-dependent and data-independent);

@@ -32,7 +32,13 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    // probe the layout via inputFiles, NOT df.rdd: under AQE,
+    // Dataset.rdd materializes every upstream query stage at
+    // construction time (silent double execution for any frame with
+    // an exchange); inputFiles just lists the leaf scans' files. A
+    // non-scan frame reports 0 files and gets spread — harmless for
+    // the tiny local relations the specs pass.
+    if (df.inputFiles.length < cores) df.repartition(cores) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
