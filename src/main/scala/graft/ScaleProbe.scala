@@ -64,7 +64,11 @@ object ScaleProbe {
     }
     val picks = Seq("d01_exact_dedup", "d03_minhash_lsh",
       "d17_cdc_chunk_overlap", "p08_weighted_sample",
-      "e06_lr_quality_score", "t18_char_entropy")
+      "e06_lr_quality_score", "t18_char_entropy",
+      // the pointer-jumping CC loop (10× the pair graph) and the
+      // streaming CDC gate (4 micro-batches over 10× the corpus —
+      // the O(batch) store-economics claim, measured under scale)
+      "d07_dup_clusters", "st21_stream_cdc_dedup")
     def time(name: String, dir: String): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
