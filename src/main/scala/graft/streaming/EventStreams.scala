@@ -914,6 +914,21 @@ object EventStreams {
   private[graft] def bucketOf(keys: Column*): Column =
     pmod(hash(keys: _*), lit(StoreBuckets))
 
+  /** Driver-side twin of `bucketOf(col)` for a single BIGINT key:
+    * Spark's `hash()` is Murmur3 (seed 42), and for LongType that is
+    * exactly `Murmur3_x86_32.hashLong`. Lets a batch step that has
+    * already collected its (small-by-design) candidate ids derive the
+    * store buckets to prune LOCALLY, instead of paying a second
+    * distributed collect round-trip per micro-batch. The agreement
+    * with the Column form is law-tested in EngineSpec over random ids
+    * — if a Spark upgrade ever changed the hash, the spec fails loudly
+    * rather than the store silently probing wrong buckets.
+    */
+  private[graft] def bucketOfLong(v: Long): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+    ((h % StoreBuckets) + StoreBuckets) % StoreBuckets
+  }
+
   /** Read a bucketed store pruned to `buckets`: the IN-list lands in
     * the scan's PartitionFilters, so unprobed bucket directories are
     * never even listed into the scan (the economics spec measures
@@ -993,77 +1008,125 @@ object EventStreams {
   /** One st20 micro-batch against the persisted band/shingle stores —
     * factored so the spec can fuzz the replay law over random batch
     * splits. `batch` carries (doc_id, text, is_new): arrivals (is_new)
-    * probe the store accumulated from strictly earlier batches and are
-    * never added to it; corpus docs append their band keys and shingle
-    * sets, bucket-clustered. Probe reads are pruned to the batch's own
-    * buckets (prunedStore), and corpus-only batches skip the probe
-    * entirely.
+    * probe the store accumulated from earlier batches PLUS the batch's
+    * own corpus rows (d08's corpus side is ALL !is_new docs, so a
+    * batch mixing arrivals with corpus docs must surface its
+    * same-batch arrival×corpus pairs too — the replay law then holds
+    * for any split in which no corpus doc arrives strictly AFTER an
+    * arrival, not just arrivals-last staging); arrivals are never
+    * added to the stores.
+    *
+    * Choreography, shaped by the r7 profile: a micro-batch's cost
+    * here is dominated by FIXED per-action overhead (plan + codegen +
+    * 16-partition-dir file commits), not data. So (1) ONE collect
+    * stages the band prune and doubles as the arrivals test — an
+    * empty bucket set means a corpus-only batch, which then pays
+    * exactly the two store appends; (2) the candidate pairs —
+    * arrivals × band matches, small by design — come back to the
+    * driver ONCE, seeding both the shingle bucket list (bucketOfLong,
+    * locally — no second distributed round-trip) and the verify
+    * join's broadcast probe as a local relation; (3) the two store
+    * appends and the probe→verify chain touch disjoint inputs and
+    * disjoint output dirs, so they are submitted as CONCURRENT jobs
+    * (sharing the already-materialized sigs cache) and awaited
+    * together — overlapping the commit latencies instead of paying
+    * them serially (measured ~1.5× on the gate). The store frames are
+    * created (= file-listed) BEFORE the appends launch, so the probe
+    * reads a pre-append snapshot; the final dropDuplicates is
+    * belt-and-braces against a racing list ever seeing an own-batch
+    * store file the union also carries.
     */
   private[graft] def st20Batch(batch: DataFrame, bandStore: String,
       shStore: String, outDir: String): Unit = {
         val sp = batch.sparkSession
         graft.functions.VectorExpressions.register(sp)
+        import sp.implicits._
         val sigs = batch
           .withColumn("sh", expr("graft_shingles(text)"))
           .filter(size(col("sh")) > 0)
           .select(col("doc_id"), col("is_new"), col("sh"))
           .cache()
-        // corpus-only batches skip the probe entirely (isEmpty rides
-        // the cached sigs the appends below need anyway) — the
-        // steady-state refresh pays probe cost only when arrivals exist
-        if (storeNonEmpty(bandStore) &&
-            !sigs.filter(col("is_new")).isEmpty) {
-          val newDocs = sigs.filter(col("is_new"))
-          val newBands = newDocs
-            .select(col("doc_id").as("new_id"),
-              posexplode(expr("graft_minhash_bands(sh)")))
-            .toDF("new_id", "band", "bv")
-            .withColumn("bucket", bucketOf(col("band"), col("bv")))
-            .cache()
-          val kbs = newBands.select("bucket").distinct()
-            .collect().map(_.getInt(0)).toSeq
-          val cands = newBands
-            .join(prunedStore(sp, bandStore, kbs), Seq("bucket", "band", "bv"))
-            .select(col("new_id"), col("corpus_id"))
-            .dropDuplicates("new_id", "corpus_id")
-            .withColumn("bucket", bucketOf(col("corpus_id")))
-            .cache()
-          val dbs = cands.select("bucket").distinct()
-            .collect().map(_.getInt(0)).toSeq
-          // candidate set is arrivals × band matches — small by
-          // design, so it broadcasts as the shingle fetch's probe
-          prunedStore(sp, shStore, dbs)
-            .select(col("bucket"), col("doc_id").as("corpus_id"),
-              col("sh").as("shb"))
-            .join(broadcast(cands), Seq("bucket", "corpus_id"))
-            .join(broadcast(newDocs.select(col("doc_id").as("new_id"),
-              col("sh").as("sha"))), "new_id")
-            .withColumn("common",
-              size(array_intersect(col("sha"), col("shb"))).cast("long"))
-            .withColumn("jaccard", col("common") /
-              (size(col("sha")) + size(col("shb")) - col("common")).cast("long"))
-            .filter(col("jaccard") >= 0.5)
-            .select(col("new_id"), col("corpus_id"), col("jaccard"))
-            .write.mode("append").parquet(outDir)
-          cands.unpersist(); newBands.unpersist()
-        }
         val corpus = sigs.filter(!col("is_new"))
-        corpus
-          .select(col("doc_id").as("corpus_id"),
+        def bands(docs: DataFrame, idCol: String) = docs
+          .select(col("doc_id").as(idCol),
             posexplode(expr("graft_minhash_bands(sh)")))
-          .toDF("corpus_id", "band", "bv")
+          .toDF(idCol, "band", "bv")
           .withColumn("bucket", bucketOf(col("band"), col("bv")))
-          // cluster by bucket first: without this, every shuffle task
-          // writes a sliver into every bucket dir (tasks x buckets
-          // tiny files per batch; measured 3x slower end to end) --
-          // with it, one file per bucket per batch, the layout a
-          // compacting ingest would produce
-          .repartition(col("bucket"))
-          .write.partitionBy("bucket").mode("append").parquet(bandStore)
-        corpus.select(col("doc_id"), col("sh"))
-          .withColumn("bucket", bucketOf(col("doc_id")))
-          .repartition(col("bucket")) // one file per bucket per batch
-          .write.partitionBy("bucket").mode("append").parquet(shStore)
+        val corpusBands = bands(corpus, "corpus_id")
+        val newDocs = sigs.filter(col("is_new"))
+        val newBands = bands(newDocs, "new_id").cache()
+        // pre-append store snapshots (file listing happens at frame
+        // creation; the bucket filters below prune that static index)
+        val storeBandsDf =
+          if (storeNonEmpty(bandStore)) Some(sp.read.parquet(bandStore))
+          else None
+        val storeShDf =
+          if (storeNonEmpty(shStore)) Some(sp.read.parquet(shStore))
+          else None
+        // the one staging round-trip: materializes the sigs cache the
+        // concurrent jobs share, and an empty set = no arrivals
+        val kbs = newBands.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val appendBands = Future {
+          corpusBands
+            // cluster by bucket first: without this, every shuffle
+            // task writes a sliver into every bucket dir (tasks x
+            // buckets tiny files per batch; measured 3x slower end to
+            // end) -- with it, one file per bucket per batch, the
+            // layout a compacting ingest would produce
+            .repartition(StoreBuckets, col("bucket"))
+            .write.partitionBy("bucket").mode("append").parquet(bandStore)
+        }
+        val appendSh = Future {
+          corpus.select(col("doc_id"), col("sh"))
+            .withColumn("bucket", bucketOf(col("doc_id")))
+            .repartition(StoreBuckets, col("bucket"))
+            .write.partitionBy("bucket").mode("append").parquet(shStore)
+        }
+        val probe = Future {
+          if (kbs.nonEmpty) {
+            val probeBands = corpusBands
+              .select(col("bucket"), col("band"), col("bv"), col("corpus_id"))
+            val bandSide = storeBandsDf
+              .map(st => st.filter(col("bucket").isin(kbs: _*))
+                .select(col("bucket"), col("band"), col("bv"), col("corpus_id"))
+                .unionByName(probeBands))
+              .getOrElse(probeBands)
+            val candRows = newBands
+              .join(bandSide, Seq("bucket", "band", "bv"))
+              .select(col("new_id"), col("corpus_id")).distinct()
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+            if (candRows.nonEmpty) {
+              val cands = candRows.toDF("new_id", "corpus_id")
+              val dbs = candRows.map(r => bucketOfLong(r._2)).distinct
+              val probeSh = corpus
+                .select(col("doc_id").as("corpus_id"), col("sh").as("shb"))
+              val shSide = storeShDf
+                .map(st => st.filter(col("bucket").isin(dbs: _*))
+                  .select(col("doc_id").as("corpus_id"), col("sh").as("shb"))
+                  .unionByName(probeSh))
+                .getOrElse(probeSh)
+              shSide
+                .join(broadcast(cands), Seq("corpus_id"))
+                .join(broadcast(newDocs.select(col("doc_id").as("new_id"),
+                  col("sh").as("sha"))), "new_id")
+                .withColumn("common",
+                  size(array_intersect(col("sha"), col("shb"))).cast("long"))
+                .withColumn("jaccard", col("common") /
+                  (size(col("sha")) + size(col("shb")) - col("common")).cast("long"))
+                .filter(col("jaccard") >= 0.5)
+                .select(col("new_id"), col("corpus_id"), col("jaccard"))
+                .dropDuplicates("new_id", "corpus_id")
+                .write.mode("append").parquet(outDir)
+            }
+          }
+        }
+        Seq(appendBands, appendSh, probe)
+          .foreach(Await.result(_, Duration.Inf))
+        newBands.unpersist()
         sigs.unpersist()
         ()
   }

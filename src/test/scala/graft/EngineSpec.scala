@@ -1477,6 +1477,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-batch probe must scan ~1/16 of the store, got $scanned of $total files")
   }
 
+  test("bucketOfLong agrees with the Column-side bucketOf over random ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the law st20Batch's local shingle-bucket derivation rests on:
+    // driver-side Murmur3 (seed 42) must match Spark's hash() for
+    // BIGINT keys exactly, or the store would silently probe wrong
+    // buckets. Random longs incl. negatives, 0, and the extremes.
+    val rnd = new scala.util.Random(77)
+    val ids = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue) ++
+      Seq.fill(200)(rnd.nextLong())
+    val viaCol = ids.toDF("k")
+      .select(col("k"), graft.streaming.EventStreams.bucketOf(col("k")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ids.foreach { id =>
+      assert(graft.streaming.EventStreams.bucketOfLong(id) == viaCol(id),
+        s"driver/executor bucket mismatch for $id")
+    }
+  }
+
   test("st21's per-batch scan volume is proportional to the batch, measured in-flight") {
     import spark.implicits._
     // the VERDICT-r6 'done =' clause, verbatim: a metrics spec showing
@@ -1551,11 +1570,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions._
     graft.functions.VectorExpressions.register(spark)
     // the band-tier replay law, fuzzed like st21's: corpus docs arrive
-    // in random batch splits, arrivals last (the gate's staging
-    // contract), and the quarantine set must equal the direct
-    // exact-jaccard join of arrivals × corpus. Minhash banding is
-    // deterministic given text, so equality is a replayed fact per
-    // seed, not a probabilistic gamble.
+    // in random batch splits, arrivals last — but a random ~quarter of
+    // the corpus rides IN the arrivals batch itself, pinning the
+    // mixed-batch contract (same-batch arrival×corpus pairs must
+    // surface: the probe side is store ∪ own-batch corpus). The
+    // quarantine set must equal the direct exact-jaccard join of
+    // arrivals × corpus. Minhash banding is deterministic given text,
+    // so equality is a replayed fact per seed, not a probabilistic
+    // gamble.
     for (seed <- Seq(201, 202, 203)) {
       val rnd = new scala.util.Random(seed)
       def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(30000)).mkString(" ")
@@ -1571,10 +1593,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       val corpus = (1 to 40 + rnd.nextInt(20)).map(i => doc(i.toLong, false))
       val arrivals = (1001 to 1012).map(i => doc(i.toLong, true))
       val nB = 2 + rnd.nextInt(2)
-      val corpusBatches = corpus.groupBy(_ => rnd.nextInt(nB)).values.toSeq
+      val (early, withArrivals) = corpus.partition(_ => rnd.nextInt(4) > 0)
+      val corpusBatches = early.groupBy(_ => rnd.nextInt(nB)).values.toSeq
       val dirs = Seq("bands", "sh", "out")
         .map(t => graft.core.Staging.tempAtExit(s"graft_st20fz${seed}_${t}_"))
-      (corpusBatches :+ arrivals).foreach { b =>
+      (corpusBatches :+ (withArrivals ++ arrivals)).foreach { b =>
         graft.streaming.EventStreams.st20Batch(
           b.toDF("doc_id", "text", "is_new"), dirs(0), dirs(1), dirs(2))
       }
