@@ -322,20 +322,38 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    pairs.collect().foreach { r =>
-      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (ea, eb) =>
+      val (a, b) = (find(ea), find(eb))
       if (a != b) parent(math.max(a, b)) = math.min(a, b)
     }
     // every non-root node holds exactly one parent entry, so component
     // size = (#keys resolving to its root) + 1; snapshot keys before
     // find() path-compression mutates the map
     val ks = parent.keys.toList
-    val maxComp =
-      if (ks.isEmpty) 0
-      else ks.map(find).groupBy(identity).values.map(_.size + 1).max
-    if (maxComp > 12) throw new IllegalStateException(
-      s"q68: largest dup cluster has $maxComp nodes — simple-path enumeration " +
-        "is factorial in cluster size; use d07DupClusters (pointer-jumping) instead")
+    val compSize = ks.map(find).groupBy(identity)
+      .map { case (r, ms) => r -> (ms.size + 1) }
+    val edgeCnt = edges.groupBy { case (a, _) => find(a) }
+      .map { case (r, es) => r -> es.length }
+    // tier 2 is size AND density aware: the walk starts a path from
+    // every DIRECTED edge (2m starts, not one per node), and each
+    // extension multiplies by the unvisited-neighbor count, which for
+    // a component with avg degree b = 2m/n shrinks roughly one per
+    // step — est = 2m · Π_i max(1, b-1-i). A 12-node CHAIN (est ~22
+    // rows) walks fine; a 12-node CLIQUE (est ~5e8, true ~1.3e9 rows,
+    // each dragging a visited array) is exactly the hang this guard
+    // exists to refuse — a plain node-count bound admits it. The
+    // node-count ceiling stays as the path-length backstop.
+    compSize.foreach { case (r, n) =>
+      val m = edgeCnt.getOrElse(r, 0)
+      val b = 2.0 * m / n
+      val est = (0 until math.max(0, n - 2)).foldLeft(2.0 * m) {
+        (acc, i) => acc * math.max(1.0, b - 1.0 - i) }
+      if (n > 12 || est > 2e6) throw new IllegalStateException(
+        f"q68: a dup cluster with $n nodes / $m edges enumerates ~$est%.0f " +
+          "simple-path rows — the walk is factorial in dense clusters; " +
+          "use d07DupClusters (pointer-jumping) instead")
+    }
     pairs.createOrReplaceTempView("dup_pairs_rv")
     s.sql("""
       WITH RECURSIVE
@@ -821,12 +839,28 @@ object Dedup {
     * spec instead. Tiers build SEQUENTIALLY and each reduces to one
     * counts row before the next build (the release-on-next-build
     * registry makes interleaved dedup builds unsafe — see
-    * releaseCaches); truth pairs collect once (tiny by the dedup
-    * premise) and ride a literal `isin` into each tier's aggregate.
+    * releaseCaches); truth pairs materialize once (tiny by the dedup
+    * premise) and BROADCAST into each tier's hit join — see
+    * [[hitCounts]] for why a literal IN-list is deliberately not used.
     * At 100 TB the board runs on a fixed-size corpus SAMPLE — the
     * measurement is per-tier candidate density, which is
     * scale-invariant by design.
     */
+  /** (n_candidates, hits) of a candidate tier against the verified
+    * truth pairs — ONE aggregate over a broadcast LEFT join (truth
+    * pairs are unique by construction, so the join cannot fan out),
+    * deliberately NOT a collected literal IN-list: the truth set is
+    * sample-scoped today, but a literal list is the plan shape that
+    * explodes (expression-tree size, codegen limits) the moment it
+    * is not. Factored so the spec can assert the physical plan
+    * carries a broadcast join and no literal IN-list.
+    */
+  private[graft] def hitCounts(cands: DataFrame, truth: DataFrame): DataFrame =
+    cands.join(broadcast(truth.withColumn("hit", lit(1L))),
+        Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("hit")), lit(0L)).as("hits"))
+
   def d14CandidateBoard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
@@ -854,14 +888,11 @@ object Dedup {
       s"d14_dom_${System.nanoTime()}")
     val truth = pairsJ.observe(obs, count(lit(1)).as("n_dom"))
       .filter(col("jaccard") >= 0.5).select(col("doc_a"), col("doc_b"))
-      .collect().map(r => r.getLong(0) * 4294967296L + r.getLong(1)).toSeq
+      .cache()
+    val nTrue = truth.count()
     val nDom = obs.get("n_dom").asInstanceOf[Long]
-    val nTrue = truth.size.toLong
     def measure(name: String, cands: DataFrame): (String, Long, Long) = {
-      val key = col("doc_a") * lit(4294967296L) + col("doc_b")
-      val hit = if (truth.isEmpty) lit(false) else key.isin(truth: _*)
-      val r = cands.agg(count(lit(1)).as("n"),
-        coalesce(sum(when(hit, 1L).otherwise(0L)), lit(0L)).as("hits")).head()
+      val r = hitCounts(cands, truth).head()
       (name, r.getLong(0), r.getLong(1))
     }
     val rows = Seq(
@@ -869,6 +900,7 @@ object Dedup {
         minhashBandCandidates(shingled(s, d).filter(size(col("sh")) > 0))),
       measure("simhash_b16", simhashBandCandidates(s, d)),
       ("pair_domain", nDom, nTrue))
+    truth.unpersist()
     rows.map { case (tier, n, hits) =>
       (tier, n, nTrue, hits,
         if (n == 0) 0.0 else hits.toDouble / n.toDouble,

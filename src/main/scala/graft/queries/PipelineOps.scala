@@ -861,30 +861,46 @@ object PipelineOps {
     * are the anchor itself or its ≤ cluster-size near-dups out of N
     * ids). The oracle replays the identical draws, exclusions, and
     * (j, cand_id) ranking in DuckDB over d07's own cluster CTE.
-    * Known bias, accepted: `1 + md5 % max(doc_id)` draws from
-    * [1, max] — a doc with id 0 (this fixture's minimum) can never be
-    * sampled, and a sparse id space under-weights nothing else (the
-    * existence join discards holes rather than redistributing). For
-    * a training sampler this ~1/N edge skew is irrelevant; replacing
-    * it would need a dense-rank side table for no practical gain.
+    *
+    * Draw domain: ranks 0..n-1 over a DENSE-RANK side table of the
+    * doc ids (md5 % n → rank → doc_id), so every document — id 0 and
+    * anything behind id-space holes included — is drawn with exactly
+    * probability 1/n. (The earlier `1 + md5 % max(doc_id)` form could
+    * never draw id 0 and discarded holes rather than redistributing —
+    * an accepted ~1/N skew that r7's verdict asked to retire.) The
+    * rank table is built with a distributed sort + per-partition
+    * offset zip (zipWithIndex), NOT a single-partition row_number
+    * window — the one-reducer shape that dies at 100 TB; it is
+    * corpus-sized, so the rank join shuffles on rk like any key join
+    * and the oracle mirrors it with a row_number CTE.
     */
-  def e08NegativeSampling(s: SparkSession, d: String): DataFrame = {
+  def e08NegativeSampling(s: SparkSession, d: String): DataFrame =
+    negativeSample(s, Tables.documents(s, d).select(col("doc_id")),
+      Dedup.d07DupClusters(s, d).select(col("doc_id"), col("cluster_id")))
+
+  /** The e08 sampler over any (doc_id) universe and (doc_id,
+    * cluster_id) exclusion labels — factored so the spec can pin the
+    * full-domain law (id 0 is sampleable) on a synthetic corpus.
+    */
+  private[graft] def negativeSample(s: SparkSession, docsIn: DataFrame,
+      labels: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d).select(col("doc_id"))
+    import s.implicits._
+    val docs = docsIn.select(col("doc_id"))
     // 1-row bound for the modulus — the aggregate-broadcast idiom
-    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val labels = Dedup.d07DupClusters(s, d)
-      .select(col("doc_id"), col("cluster_id"))
+    val n = docs.count()
+    val ranked = docs.orderBy(col("doc_id")).rdd
+      .map(_.getLong(0)).zipWithIndex()
+      .toDF("cand_id", "rk")
     val anchors = docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("anchor_id"))
     val draws = anchors
       .withColumn("j", explode(expr("sequence(1, 8)")))
-      .withColumn("cand_id", lit(1L) +
+      .withColumn("rk",
         conv(substring(md5(concat_ws("_", col("anchor_id"), col("j"))
-          .cast("binary")), 1, 12), 16, 10).cast("long") % lit(mx))
+          .cast("binary")), 1, 12), 16, 10).cast("long") % lit(n))
+      .join(ranked, Seq("rk"))
       .filter(col("cand_id") =!= col("anchor_id"))
-      .join(docs.select(col("doc_id").as("cand_id")), Seq("cand_id"),
-        "left_semi")
     val survivors = draws
       .join(broadcast(labels.select(col("doc_id").as("anchor_id"),
         col("cluster_id").as("ca"))), Seq("anchor_id"), "left")
@@ -1169,18 +1185,21 @@ object PipelineOps {
     "e08_negative_sampling" -> s"""
       WITH labels AS (SELECT doc_id, cluster_id
                       FROM (${graft.queries.Dedup.oracles("d07_dup_clusters")})),
-        mx AS (SELECT max(doc_id) AS m FROM documents),
+        nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        ranked AS (SELECT doc_id AS cand_id,
+                     (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS rk
+                   FROM documents),
         anchors AS (SELECT doc_id AS anchor_id FROM documents
                     WHERE doc_id % 50 = 0),
         cand0 AS (
           SELECT anchor_id, j,
-            1 + ('0x' || substr(md5(anchor_id::VARCHAR || '_' || j::VARCHAR),
-                 1, 12))::BIGINT % m AS cand_id
-          FROM anchors, range(1, 9) r(j), mx),
+            ('0x' || substr(md5(anchor_id::VARCHAR || '_' || j::VARCHAR),
+                 1, 12))::BIGINT % n AS rk
+          FROM anchors, range(1, 9) r(j), nn),
         cand1 AS (
-          SELECT c.anchor_id, c.j, c.cand_id FROM cand0 c
-          JOIN documents dd ON dd.doc_id = c.cand_id
-          WHERE c.cand_id <> c.anchor_id),
+          SELECT c.anchor_id, c.j, rr.cand_id FROM cand0 c
+          JOIN ranked rr ON rr.rk = c.rk
+          WHERE rr.cand_id <> c.anchor_id),
         cand2 AS (
           SELECT c.* FROM cand1 c
           LEFT JOIN labels la ON la.doc_id = c.anchor_id

@@ -1372,6 +1372,45 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re == big, "1MB document did not reconstruct from its chunks")
   }
 
+  test("e08's draw domain covers the whole corpus — id 0 is sampleable") {
+    import spark.implicits._
+    // the r7-flagged edge: the old [1, max(doc_id)] draw could never
+    // sample doc id 0. The dense-rank domain draws ranks 0..n-1, so
+    // on a sparse universe INCLUDING id 0, the sampler must (a) emit
+    // only real doc ids and (b) reach id 0 (deterministic md5 draws —
+    // a pinned fact for this universe, not a probabilistic gamble)
+    val docs = Seq(0L, 7L, 13L, 21L, 50L, 99L, 100L).toDF("doc_id")
+    val noLabels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val got = graft.queries.PipelineOps
+      .negativeSample(spark, docs, noLabels)
+      .as[(Long, Long, Long)].collect()
+    val universe = Set(0L, 7L, 13L, 21L, 50L, 99L, 100L)
+    assert(got.nonEmpty && got.forall(r => universe.contains(r._3)),
+      s"sampled ids must be real docs: ${got.mkString(",")}")
+    assert(got.exists(_._3 == 0L),
+      s"id 0 must be reachable as a negative: ${got.mkString(",")}")
+  }
+
+  test("d14's hit counting is a broadcast join, not a literal IN-list") {
+    import spark.implicits._
+    // the one literal-IN-list plan VERDICT-r7 flagged: fine at the
+    // board's sample scope, but the pattern a user copies must be the
+    // one that survives a large truth set. Assert the replacement both
+    // counts correctly and plans as a broadcast join with no IN-list.
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val cands = Seq((1L, 2L), (5L, 6L), (3L, 4L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val counted = graft.queries.Dedup.hitCounts(cands, truth)
+    val r = counted.head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L,
+      s"expected (4 candidates, 2 hits), got (${r.getLong(0)}, ${r.getLong(1)})")
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hit counting must broadcast the truth side:\n$plan")
+    assert(!plan.contains(" IN (") && !plan.contains("INSET"),
+      s"no literal IN-list may appear in the hit plan:\n$plan")
+  }
+
   test("q68 refuses a 20-node clique loudly instead of exploding") {
     import spark.implicits._
     val clique = (for (a <- 1L to 20L; b <- a + 1 to 20L) yield (a, b))
@@ -1382,6 +1421,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("20 nodes") &&
       e.getMessage.contains("d07DupClusters"),
       s"guard message must name the size and the alternative: ${e.getMessage}")
+    // a 12-node CLIQUE passes the node-count bound but enumerates
+    // ~1.3e9 simple-path rows (every path start is a directed edge,
+    // so the blowup is ~10× what a single-anchor estimate suggests) —
+    // the density-aware tier must refuse it...
+    val clique12 = (for (a <- 1L to 12L; b <- a + 1 to 12L) yield (a, b))
+      .toDF("doc_a", "doc_b")
+    val e12 = intercept[IllegalStateException] {
+      graft.queries.Dedup.recursiveClusters(spark, clique12)
+    }
+    assert(e12.getMessage.contains("12 nodes") &&
+      e12.getMessage.contains("d07DupClusters"),
+      s"density guard must refuse the 12-clique: ${e12.getMessage}")
+    // ...while a 12-node CHAIN of the same node count (est ~22 rows)
+    // walks fine — size alone is not the hazard, density is
+    val chain12 = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val chainGot = graft.queries.Dedup.recursiveClusters(spark, chain12)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(chainGot == (1L to 12L).map(i => (i, 1L, i == 1L)).toSet,
+      "12-chain must resolve to one component rooted at 1")
+    graft.queries.Dedup.releaseCaches()
     // and a graph within the bound still resolves through the walk
     val small = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val got = graft.queries.Dedup.recursiveClusters(spark, small)
