@@ -165,6 +165,26 @@ object PipelineOps {
     * K. Rounds materialize eagerly (cache + count) so lineage stays
     * one round deep — the d07 loop's discipline.
     */
+  /** e04's warm-start block assignment, factored for the spec that
+    * pins its two load-bearing properties: (1) block occupancy is
+    * bounded by a constant at ANY corpus size — nBlocks scales as
+    * ceil(n_label/24), so init-pair count is linear in n; (2) the
+    * UNION of the two independent random partitions connects each
+    * label's init graph (one disjoint partition measured as
+    * non-convergence — 2-hop expansion can never cross blocks).
+    * Takes any frame with (vec_id, label); returns (vec_id, label,
+    * blk) with exactly two rows per input row. */
+  private[graft] def nnInitAssign(e: DataFrame): DataFrame = {
+    val cnts = e.groupBy(col("label")).agg(count(lit(1)).as("nl"))
+    e.join(broadcast(cnts), "label")
+      .withColumn("r", explode(array(lit(1), lit(2))))
+      .withColumn("blk", concat_ws("_", col("r"), pmod(
+        conv(substring(md5(concat_ws("_", col("vec_id"), col("r"))),
+          1, 8), 16, 10).cast("long"),
+        greatest(lit(1L), ceil(col("nl") / lit(24.0)).cast("long")))))
+      .select(col("vec_id"), col("label"), col("blk"))
+  }
+
   def e04KnnOutliersAnn(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorExpressions.register(s)
@@ -190,19 +210,7 @@ object PipelineOps {
     // linear cost; the descent rounds recover the geometry (exactness
     // vs e02's oracle is unchanged — gate-checked at all three sfs,
     // and the 10× ratio drops to ~linear).
-    val cnts = e.groupBy(col("label")).agg(count(lit(1)).as("nl"))
-    val assign = e.join(broadcast(cnts), "label")
-      // TWO independent assignments per vector: a single disjoint
-      // partition leaves the init graph DISCONNECTED (2-hop expansion
-      // can never cross blocks — measured as non-convergence); the
-      // union of two random partitions overlaps the cliques and is
-      // connected w.h.p., mirroring the retired top-2-cells shape
-      .withColumn("r", explode(array(lit(1), lit(2))))
-      .withColumn("blk", concat_ws("_", col("r"), pmod(
-        conv(substring(md5(concat_ws("_", col("vec_id"), col("r"))),
-          1, 8), 16, 10).cast("long"),
-        greatest(lit(1L), ceil(col("nl") / lit(24.0)).cast("long")))))
-      .select(col("vec_id"), col("label"), col("blk"))
+    val assign = nnInitAssign(e)
     val initPairs = assign
       .join(assign.select(col("vec_id").as("nb"), col("label"), col("blk")),
         Seq("label", "blk"))

@@ -819,6 +819,47 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.queries.PipelineOps.releaseCaches()
   }
 
+  test("e04 init blocks: occupancy bounded at 10x the corpus, union graph connected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, max}
+    // The linear-cost claim IS the occupancy bound: nBlocks scales
+    // with n_label, so max block size must be the same constant at n
+    // and at 10n (the retired fixed-seed cells grew linearly with n —
+    // the 17.2x-at-10x quadratic the probe caught). md5 assignment is
+    // deterministic, so the observed max is stable, not flaky.
+    for (n <- Seq(500, 5000)) {
+      val e = spark.range(n).select(col("id").as("vec_id"),
+        lit("L").as("label"))
+      val assign = graft.queries.PipelineOps.nnInitAssign(e).cache()
+      val occ = assign.groupBy("blk").count()
+        .agg(max("count")).as[Long].head()
+      // expected occupancy 24; 60 leaves headroom for md5 collisions
+      // while still refusing anything that scales with n
+      assert(occ <= 60, s"n=$n: max block occupancy $occ is not bounded")
+      // Convergence needs the init graph CONNECTED per label (a
+      // disjoint partition stalls 2-hop expansion at block borders —
+      // measured as non-convergence). All members of one blk form a
+      // clique, so union-find over consecutive members suffices.
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      assign.select("blk", "vec_id").as[(String, Long)].collect()
+        .groupBy(_._1).values.foreach { ms =>
+          ms.map(_._2.toInt).reduce { (a, b) =>
+            parent(find(a)) = find(b); b
+          }
+        }
+      val comps = (0 until n).map(find).distinct.size
+      assert(comps == 1,
+        s"n=$n: init graph has $comps components; descent cannot converge")
+      assign.unpersist()
+    }
+  }
+
   test("s17 mmrSelect's join-accumulated state equals the reference greedy round by round") {
     // randomized synthetic shortlist: 4 probes × 9 candidates, 4-dim
     // vectors — small enough to replay the greedy on the driver, rich
