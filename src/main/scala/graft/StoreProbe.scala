@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (ScaleProbe's streaming sibling): measured evidence that
+  * the streaming dedup stores survive a LONG-RUNNING ingest, not just
+  * the 4–5-batch gates and the 14-batch spec. Replays N micro-batches
+  * (default 48) of a corpus through `st21Batch` (the CDC
+  * chunk-signature store) or `st20Batch` (the band+shingle stores,
+  * every batch carrying ~1/16 arrivals so the probe path runs too),
+  * timing EACH batch and recording the worst files-per-bucket after
+  * it. One JSON line, checked in as `STORE_r{N}.json`:
+  *
+  *   sbt "runMain graft.StoreProbe st21 48"
+  *
+  * What healthy output looks like: files-per-bucket stays under the
+  * compaction threshold forever (the bounded-listing law), and
+  * per-batch time holds FLAT across the run — the second half's
+  * median is within noise of the first half's (`drift` ≈ 1) — because
+  * probe reads are bucket-pruned to the batch's own keys, not the
+  * store's size. The known cost the series will show: a compaction
+  * batch folds the whole store, so its spikes grow with accumulated
+  * corpus (single-level fold economics, amortized O(corpus/K) per
+  * batch — see maybeCompactStore's scaladoc for why that trade is
+  * taken over tiered levels at this store's scale).
+  *
+  * Corpus: the ScaleProbe 10× twin when already staged (50k docs —
+  * big enough that store growth, not fixed overhead, is what the
+  * series measures), else the sf0.1 fixture.
+  */
+object StoreProbe {
+  def main(args: Array[String]): Unit = {
+    val gate = args.headOption.getOrElse("st21")
+    require(gate == "st21" || gate == "st20", s"unknown gate: $gate")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(48)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorExpressions.register(spark)
+
+    val tenx = new java.io.File("/tmp").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_scale10x_"))
+      .map(f => s"${f.getPath}/documents.parquet")
+      .find(p => new java.io.File(s"$p/_SUCCESS").exists())
+    val src = tenx.getOrElse("/root/testdata/sf0.1/documents.parquet")
+    System.err.println(s"[store] corpus: $src")
+
+    // stage one single-file chunk per batch ONCE (untimed), so each
+    // replayed batch is an O(batch) read — the shape a file-source
+    // micro-batch delivers. doc_id % N spreads replicas evenly.
+    val stagedRoot = {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$src:$nBatches".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val dir = s"/tmp/graft_storeprobe_$key"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        spark.read.parquet(src).select(col("doc_id"), col("text"))
+          .withColumn("b", pmod(col("doc_id"), lit(nBatches.toLong)))
+          .repartition(nBatches, col("b"))
+          .write.mode("overwrite").partitionBy("b").parquet(dir)
+      }
+      dir
+    }
+
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    val work = java.nio.file.Files
+      .createTempDirectory(s"graft_storeprobe_${gate}_").toString
+    sys.addShutdownHook(rmTree(new java.io.File(work)))
+
+    val times = Array.ofDim[Double](nBatches)
+    val files = Array.ofDim[Int](nBatches)
+    for (i <- 0 until nBatches) {
+      val batch = spark.read.parquet(s"$stagedRoot/b=$i")
+      val t0 = System.nanoTime()
+      gate match {
+        case "st21" =>
+          graft.streaming.EventStreams.st21Batch(
+            batch, s"$work/sigs", s"$work/pairs")
+        case "st20" =>
+          // ~1/16 of every batch arrives as probes (mixed-batch
+          // contract: the probe side unions the batch's own corpus)
+          graft.streaming.EventStreams.st20Batch(
+            batch.withColumn("is_new", pmod(col("doc_id"), lit(16L)) === 0),
+            s"$work/bands", s"$work/sh", s"$work/out")
+      }
+      times(i) = (System.nanoTime() - t0) / 1e9
+      files(i) = (gate match {
+        case "st21" => Seq(s"$work/sigs")
+        case "st20" => Seq(s"$work/bands", s"$work/sh")
+      }).map(graft.streaming.EventStreams.maxFilesPerBucket).max
+      System.err.println(
+        f"[store] $gate batch $i%3d  ${times(i)}%6.2f s  maxFiles ${files(i)}%3d")
+    }
+    // steady-state drift: median of the second half vs the first half
+    // past JVM warmup (batches 0-7 pay per-plan codegen)
+    def median(xs: Seq[Double]) = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    val h1 = median(times.slice(8, nBatches / 2).toSeq)
+    val h2 = median(times.slice(nBatches / 2, nBatches).toSeq)
+    val js = times.indices.map(i =>
+      s"""{"t":${times(i)},"files":${files(i)}}""").mkString(",")
+    println(s"""{"metric":"store_econ","gate":"$gate","batches":$nBatches,""" +
+      s""""median_first_half":$h1,"median_second_half":$h2,""" +
+      s""""drift":${h2 / h1},"max_files":${files.max},"series":[$js]}""")
+    spark.stop()
+  }
+}
