@@ -29,6 +29,21 @@ import org.apache.spark.sql.functions._
   * data) — the signal is anything well ABOVE ~100×.
   */
 object ScaleProbe {
+  /** The staging key for `src`'s synthesized twins — scheme version +
+    * source size+mtime, so a fixture regeneration or scramble edit
+    * restages instead of silently reusing stale corpora. Factored so
+    * StoreProbe resolves the CURRENT scheme's twin dir instead of
+    * globbing /tmp (where a retired scheme's dir may also survive).
+    */
+  private[graft] def stagingKey(src: String): String = {
+    val scheme = "v2-suffix10-emb"
+    val srcFile = java.nio.file.Paths.get(s"$src/documents.parquet")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$scheme:${java.nio.file.Files.size(srcFile)}:${
+        java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     require(factor == 10 || factor == 100, s"factor must be 10 or 100")
@@ -50,12 +65,7 @@ object ScaleProbe {
     // file's size+mtime plus a synthesis-scheme version, so editing
     // the scramble or regenerating the fixture restages instead of
     // silently reusing stale corpora (Staging.ensure's discipline).
-    val scheme = "v2-suffix10-emb"
-    val srcFile = java.nio.file.Paths.get(s"$src/documents.parquet")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$scheme:${java.nio.file.Files.size(srcFile)}:${
-        java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
-        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val key = stagingKey(src)
     val base = s"/tmp/graft_scale1x_$key"
     val big = s"/tmp/graft_scale${factor}x_$key"
     if (!new java.io.File(s"$base/documents.parquet/_SUCCESS").exists()) {

@@ -34,6 +34,7 @@ object StoreProbe {
     val gate = args.headOption.getOrElse("st21")
     require(gate == "st21" || gate == "st20", s"unknown gate: $gate")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(48)
+    require(nBatches >= 2, "need at least 2 batches for the drift halves")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,10 +46,12 @@ object StoreProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.VectorExpressions.register(spark)
 
-    val tenx = new java.io.File("/tmp").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_scale10x_"))
-      .map(f => s"${f.getPath}/documents.parquet")
-      .find(p => new java.io.File(s"$p/_SUCCESS").exists())
+    // resolve the CURRENT scheme's 10× twin via ScaleProbe's staging
+    // key — a /tmp glob could land on a retired scheme's stale dir
+    // and silently measure the wrong corpus
+    val tenx = Some("/tmp/graft_scale10x_" +
+        ScaleProbe.stagingKey("/root/testdata/sf0.1") + "/documents.parquet")
+      .filter(p => new java.io.File(s"$p/_SUCCESS").exists())
     val src = tenx.getOrElse("/root/testdata/sf0.1/documents.parquet")
     System.err.println(s"[store] corpus: $src")
 
@@ -101,11 +104,14 @@ object StoreProbe {
         f"[store] $gate batch $i%3d  ${times(i)}%6.2f s  maxFiles ${files(i)}%3d")
     }
     // steady-state drift: median of the second half vs the first half
-    // past JVM warmup (batches 0-7 pay per-plan codegen)
+    // past JVM warmup (batches 0-7 pay per-plan codegen; for short
+    // runs the warmup trim shrinks so both halves stay non-empty and
+    // the series is never discarded after it was paid for)
     def median(xs: Seq[Double]) = {
       val s = xs.sorted; s(s.size / 2)
     }
-    val h1 = median(times.slice(8, nBatches / 2).toSeq)
+    val warm = math.min(8, math.max(0, nBatches / 2 - 1))
+    val h1 = median(times.slice(warm, nBatches / 2).toSeq)
     val h2 = median(times.slice(nBatches / 2, nBatches).toSeq)
     val js = times.indices.map(i =>
       s"""{"t":${times(i)},"files":${files(i)}}""").mkString(",")

@@ -1111,11 +1111,17 @@ object EventStreams {
         // concurrent jobs share, and an empty set = no arrivals
         val kbs = newBands.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
+        // with arrivals present, corpusBands feeds BOTH the append job
+        // and the probe's own-batch band side — cache it so the
+        // banding expression runs once per batch (corpus-only batches
+        // have a single consumer, so caching would be pure overhead)
+        val corpusBandsShared =
+          if (kbs.nonEmpty) corpusBands.cache() else corpusBands
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
         val appendBands = Future {
-          corpusBands
+          corpusBandsShared
             // cluster by bucket first: without this, every shuffle
             // task writes a sliver into every bucket dir (tasks x
             // buckets tiny files per batch; measured 3x slower end to
@@ -1132,7 +1138,7 @@ object EventStreams {
         }
         val probe = Future {
           if (kbs.nonEmpty) {
-            val probeBands = corpusBands
+            val probeBands = corpusBandsShared
               .select(col("bucket"), col("band"), col("bv"), col("corpus_id"))
             val bandSide = storeBandsDf
               .map(st => st.filter(col("bucket").isin(kbs: _*))
@@ -1168,12 +1174,21 @@ object EventStreams {
             }
           }
         }
-        Seq(appendBands, appendSh, probe)
-          .foreach(Await.result(_, Duration.Inf))
-        maybeCompactStore(sp, bandStore)
-        maybeCompactStore(sp, shStore)
-        newBands.unpersist()
-        sigs.unpersist()
+        val jobs = Seq(appendBands, appendSh, probe)
+        try {
+          // settle ALL jobs before rethrowing the first failure:
+          // propagating while a sibling still runs would leave a
+          // zombie job racing the caller's cache cleanup and holding
+          // executors for the rest of the JVM
+          jobs.foreach(Await.ready(_, Duration.Inf))
+          jobs.foreach(Await.result(_, Duration.Inf))
+          maybeCompactStore(sp, bandStore)
+          maybeCompactStore(sp, shStore)
+        } finally {
+          if (kbs.nonEmpty) corpusBandsShared.unpersist()
+          newBands.unpersist()
+          sigs.unpersist()
+        }
         ()
   }
 
@@ -1299,10 +1314,16 @@ object EventStreams {
         .repartition(StoreBuckets, col("bucket")) // one file/bucket/batch
         .write.partitionBy("bucket").mode("append").parquet(sigStore)
     }
-    Seq(writePairs, appendSigs).foreach(Await.result(_, Duration.Inf))
-    if (slice != null) slice.unpersist()
-    maybeCompactStore(sp, sigStore)
-    sigs.unpersist()
+    val jobs = Seq(writePairs, appendSigs)
+    try {
+      // settle both jobs before rethrowing (see st20Batch's await)
+      jobs.foreach(Await.ready(_, Duration.Inf))
+      jobs.foreach(Await.result(_, Duration.Inf))
+      maybeCompactStore(sp, sigStore)
+    } finally {
+      if (slice != null) slice.unpersist()
+      sigs.unpersist()
+    }
     ()
   }
 
