@@ -1087,7 +1087,100 @@ object Similarity {
           col("n_exact").cast("double")).as("radius_recall"))
   }
 
+  /** s21: FILTERED vector search, exact tier — top-k restricted to
+    * candidates passing a METADATA predicate from another table
+    * (documents.lang ∈ {de, fr}; vec_id is the embedding of doc_id).
+    * This is the vector-store operation every production retrieval
+    * stack runs ("search only docs matching these attributes") and it
+    * must be a PRE-filter: post-filtering an unfiltered top-k starves
+    * k when the predicate is selective (a 27 %-selective filter leaves
+    * ~1.35 of 5 results on average and can leave zero) and pays
+    * distance computations on candidates the predicate was always
+    * going to discard. Shape: the predicate reduces `documents` to an
+    * id set, an equi-join restricts the candidate scan BEFORE any
+    * cosine is computed (Catalyst pushes the lang filter to the
+    * documents scan; at scale the id join is broadcast or shuffle-key
+    * by AQE), then s01's exact ranking runs on the survivors. Probes
+    * themselves are NOT required to pass the filter — the query vector
+    * is external to the searched partition.
+    */
+  def s21FilteredTopK(s: SparkSession, d: String): DataFrame = {
+    val e = normed(s, d)
+    val keep = Tables.documents(s, d)
+      .filter(col("lang").isin("de", "fr"))
+      .select(col("doc_id").as("vec_id"))
+    val cand = e.join(keep, Seq("vec_id"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val joined = cand.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** s22: filtered search, ANN tier — s02's LSH bucket index with the
+    * metadata filter applied INSIDE the bucket probe: candidates must
+    * share the probe's bucket AND pass the predicate before any
+    * cosine runs, so per-probe work is ~selectivity/256 of the corpus
+    * at scale. The index is built on ALL vectors (one index serves
+    * every predicate — the single-index economics a per-predicate
+    * index forest can't match); the filter composes with the bucket
+    * equi-join at query time. Same documented recall trade as s02
+    * (a neighbor hashed elsewhere is missed), measured by s23.
+    */
+  def s22FilteredAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = normed(s, d)
+    val bucketed = e.selectExpr("vec_id", "v", "nrm",
+      "graft_lsh_bucket(v) AS bucket")
+    val keep = Tables.documents(s, d)
+      .filter(col("lang").isin("de", "fr"))
+      .select(col("doc_id").as("vec_id"))
+    val cand = bucketed.join(keep, Seq("vec_id"))
+    val probes = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("bucket").as("pbucket"))
+    val joined = cand.join(broadcast(probes),
+      col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** s23: the filtered pair's recall contract (s05's shape): how much
+    * of the exact filtered top-5 the bucketed filtered search keeps.
+    * The number a deployment tunes multiprobe/hyperplane count
+    * against — filtered recall is systematically LOWER than s05's
+    * unfiltered recall on the same index, because the filter thins
+    * each bucket's candidate pool (fewer in-bucket survivors to rank,
+    * same misses outside the bucket) — which is exactly why it needs
+    * its own measured gate.
+    */
+  def s23FilteredRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = s21FilteredTopK(s, d).select(col("probe_id"), col("neighbor_id"))
+    val ann = s22FilteredAnnLsh(s, d)
+      .select(col("probe_id").as("p2"), col("neighbor_id").as("n2"))
+    val hits = exact.join(ann,
+        col("probe_id") === col("p2") && col("neighbor_id") === col("n2"))
+      .agg(count(lit(1)).as("n_hits"))
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(total)
+      .select(col("n_hits"), col("n_exact"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall_at_5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_filtered_topk" -> s21FilteredTopK,
+    "s22_filtered_ann" -> s22FilteredAnnLsh,
+    "s23_filtered_recall" -> s23FilteredRecall,
     "s20_radius_recall" -> s20RadiusRecall,
     "s19_radius_lsh" -> s19RadiusLsh,
     "s18_radius_exact" -> s18RadiusExact,
@@ -1139,6 +1232,43 @@ object Similarity {
           SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
           FROM b p JOIN b e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
                            AND p.bucket = e.bucket)
+        SELECT probe_id, rank, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
+        WHERE rank <= 5"""
+
+  // s21/s22: the filtered-search pair — s01/s02 with the metadata
+  // predicate joined in BEFORE ranking (same pre-filter the Spark
+  // side computes); one filter CTE string so the two cannot drift
+  private val filterCte =
+    """f AS (SELECT doc_id FROM documents WHERE lang IN ('de', 'fr'))"""
+  private val s21Sql =
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $filterCte,
+        scored AS (
+          SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
+          FROM ev p JOIN ev e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
+          JOIN f ON f.doc_id = e.vec_id)
+        SELECT probe_id, rank, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
+        WHERE rank <= 5"""
+  private val s22Sql =
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $filterCte,
+        b AS (
+          SELECT vec_id, v,
+            list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
+              CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), k ->
+                v[k + 1] * (((1103515245::BIGINT * (j * 64 + k) + 12345) % 2147483648)::DOUBLE
+                            / 2147483648.0 - 0.5))), (acc, x) -> acc + x) > 0.0
+              THEN (1::BIGINT << j) ELSE 0 END)), (acc, x) -> acc + x) AS bucket
+          FROM ev),
+        scored AS (
+          SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
+          FROM b p JOIN b e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
+                           AND p.bucket = e.bucket
+          JOIN f ON f.doc_id = e.vec_id)
         SELECT probe_id, rank, neighbor_id, cosine FROM (
           SELECT *, row_number() OVER (PARTITION BY probe_id
             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
@@ -1612,6 +1742,17 @@ object Similarity {
             FROM scored) r
           WHERE neg_rank <= 3""",
     "s02_ann_lsh" -> s02Sql,
+    "s21_filtered_topk" -> s21Sql,
+    "s22_filtered_ann" -> s22Sql,
+    "s23_filtered_recall" ->
+      s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s21Sql) x),
+          ann AS (SELECT probe_id, neighbor_id FROM ($s22Sql) y),
+          hits AS (SELECT count(*) AS n_hits FROM exact JOIN ann
+                   USING (probe_id, neighbor_id)),
+          tot AS (SELECT count(*) AS n_exact FROM exact)
+          SELECT n_hits, n_exact,
+            n_hits::DOUBLE / n_exact::DOUBLE AS recall_at_5
+          FROM hits, tot""",
     "s05_ann_recall" ->
       s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s01Sql) x),
           ann AS (SELECT probe_id, neighbor_id FROM ($s02Sql) y),

@@ -1452,6 +1452,38 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no literal IN-list may appear in the hit plan:\n$plan")
   }
 
+  test("filtered search is a PRE-filter: predicate holds, k never starves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the law that distinguishes s21 from post-filtering s01: every
+    // returned neighbor passes the metadata predicate, every probe
+    // still gets its full k (ranked among survivors), and on this
+    // fixture the naive rank-then-filter alternative measurably
+    // starves — if it didn't, the pre-filter design would be
+    // unfalsifiable here
+    val keep = graft.core.Tables.documents(spark, sf)
+      .filter(col("lang").isin("de", "fr"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val s21 = graft.queries.Similarity.s21FilteredTopK(spark, sf)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(s21.forall(r => keep.contains(r._2)),
+      "s21 returned a neighbor failing the predicate")
+    val perProbe = s21.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perProbe.size == 10 && perProbe.values.forall(_ == 5),
+      s"every probe must get its full k=5 from the filtered pool: $perProbe")
+    val postFiltered = graft.queries.Similarity.s01CosineTopK(spark, sf)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .filter(r => keep.contains(r._2))
+    assert(postFiltered.length < s21.length,
+      s"rank-then-filter kept ${postFiltered.length} of ${s21.length} — " +
+        "expected starvation on a ~27%-selective predicate")
+    // the ANN tier obeys the same predicate law
+    val s22 = graft.queries.Similarity.s22FilteredAnnLsh(spark, sf)
+      .select("neighbor_id").as[Long].collect()
+    assert(s22.forall(keep.contains),
+      "s22 returned a neighbor failing the predicate")
+  }
+
   test("q68 refuses a 20-node clique loudly instead of exploding") {
     import spark.implicits._
     val clique = (for (a <- 1L to 20L; b <- a + 1 to 20L) yield (a, b))
