@@ -113,7 +113,12 @@ object ScaleProbe {
         // the NN-descent graph, and two narrow-agg calibrators
         Seq("d01_exact_dedup", "d03_minhash_lsh", "d17_cdc_chunk_overlap",
           "d07_dup_clusters", "p01_corpus_build", "e04_knn_outliers_ann",
-          "t18_char_entropy", "p08_weighted_sample")
+          "t18_char_entropy", "p08_weighted_sample",
+          // the vector-SERVING pair at 2M vectors: the brute-force
+          // baseline (10 probes × full corpus — the honest exact
+          // cost) and the filtered LSH probe (bucket ∩ predicate —
+          // the shape that must stay flat as the corpus grows)
+          "s01_cosine_topk", "s22_filtered_ann")
       else Seq("d01_exact_dedup", "d03_minhash_lsh",
         "d17_cdc_chunk_overlap", "p08_weighted_sample",
         "e06_lr_quality_score", "t18_char_entropy",
