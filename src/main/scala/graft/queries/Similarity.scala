@@ -1177,7 +1177,69 @@ object Similarity {
         (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall_at_5"))
   }
 
+  /** s24: MULTIPROBE LSH — s02's single index queried at Hamming
+    * radius 1: each probe searches its home bucket PLUS the 8 buckets
+    * reached by flipping one hyperplane bit (9 of 256 buckets,
+    * distinct by construction, so no candidate dedup is needed — a
+    * vector lives in exactly one bucket). This is the recall/cost
+    * dial every LSH deployment turns BEFORE building more hash
+    * tables: OR-amplification with L tables multiplies index build
+    * and storage by L, while multiprobe reuses the ONE index and pays
+    * only a wider probe fan-out — 9/256 of the corpus per probe here
+    * vs 1/256, still a ~28× reduction over brute force. The candidate
+    * pool is a strict superset of s02's (home bucket included), so
+    * recall can only improve; s25 measures by how much against s05's
+    * single-probe number. Plan shape is s02's: the probe side (10
+    * rows × 9 bucket keys) broadcasts into the bucketed scan, cosine
+    * runs on bucket-matched candidates only, per-probe top-5 via the
+    * rank window. (Lv et al., VLDB 2007 order probes by hyperplane
+    * margin; the full Hamming-1 ball is the deterministic special
+    * case that keeps the oracle exactly replayable in SQL.)
+    */
+  def s24MultiprobeAnn(s: SparkSession, d: String): DataFrame = {
+    val e = normed(s, d)
+    val bucketed = e.selectExpr("vec_id", "v", "nrm",
+      "graft_lsh_bucket(v) AS bucket")
+    val flips = (Seq("hbucket") ++ (0 until 8).map(j => s"hbucket ^ ${1 << j}"))
+      .mkString("array(", ", ", ")")
+    val probes = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("bucket").as("hbucket"))
+      .withColumn("pbucket", explode(expr(flips)))
+    val joined = bucketed.join(broadcast(probes),
+      col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** s25: the multiprobe recall gate (s05's shape, same exact truth
+    * set) — the pair (s05, s25) is the measured before/after of the
+    * multiprobe dial on the same index: radius-1 probing retrieves a
+    * superset of the single-probe candidates, so recall_at_5 here is
+    * ≥ s05's by construction (spec-asserted), and how MUCH higher is
+    * the number a deployment weighs against the 9× probe fan-out.
+    */
+  def s25MultiprobeRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = s01CosineTopK(s, d).select(col("probe_id"), col("neighbor_id"))
+    val ann = s24MultiprobeAnn(s, d)
+      .select(col("probe_id").as("p2"), col("neighbor_id").as("n2"))
+    val hits = exact.join(ann,
+        col("probe_id") === col("p2") && col("neighbor_id") === col("n2"))
+      .agg(count(lit(1)).as("n_hits"))
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(total)
+      .select(col("n_hits"), col("n_exact"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall_at_5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_multiprobe_ann" -> s24MultiprobeAnn,
+    "s25_multiprobe_recall" -> s25MultiprobeRecall,
     "s21_filtered_topk" -> s21FilteredTopK,
     "s22_filtered_ann" -> s22FilteredAnnLsh,
     "s23_filtered_recall" -> s23FilteredRecall,
@@ -1218,16 +1280,22 @@ object Similarity {
             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
         WHERE rank <= 5"""
 
-  private val s02Sql =
-    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        b AS (
+  // the 8-hyperplane LCG bucket, shared by every LSH oracle
+  // (s02/s22/s24) — ONE string so the index construction cannot
+  // drift between the single-probe, filtered, and multiprobe tiers
+  private val lshBucketCte =
+    """b AS (
           SELECT vec_id, v,
             list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
               CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), k ->
                 v[k + 1] * (((1103515245::BIGINT * (j * 64 + k) + 12345) % 2147483648)::DOUBLE
                             / 2147483648.0 - 0.5))), (acc, x) -> acc + x) > 0.0
               THEN (1::BIGINT << j) ELSE 0 END)), (acc, x) -> acc + x) AS bucket
-          FROM ev),
+          FROM ev)"""
+
+  private val s02Sql =
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $lshBucketCte,
         scored AS (
           SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
           FROM b p JOIN b e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
@@ -1256,19 +1324,32 @@ object Similarity {
   private val s22Sql =
     s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         $filterCte,
-        b AS (
-          SELECT vec_id, v,
-            list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
-              CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), k ->
-                v[k + 1] * (((1103515245::BIGINT * (j * 64 + k) + 12345) % 2147483648)::DOUBLE
-                            / 2147483648.0 - 0.5))), (acc, x) -> acc + x) > 0.0
-              THEN (1::BIGINT << j) ELSE 0 END)), (acc, x) -> acc + x) AS bucket
-          FROM ev),
+        $lshBucketCte,
         scored AS (
           SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
           FROM b p JOIN b e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
                            AND p.bucket = e.bucket
           JOIN f ON f.doc_id = e.vec_id)
+        SELECT probe_id, rank, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
+        WHERE rank <= 5"""
+
+  // s24: the probe side fans out to the Hamming-1 ball (home bucket +
+  // 8 single-bit flips — xor with 0 and each power of two); the
+  // candidate join then matches the SAME b CTE on any probed bucket.
+  // A candidate lives in exactly one bucket, so no DISTINCT is needed.
+  private val s24Sql =
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $lshBucketCte,
+        pb AS (
+          SELECT vec_id, v, xor(bucket, m) AS pbucket
+          FROM b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m)
+          WHERE vec_id < 10),
+        scored AS (
+          SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
+          FROM pb p JOIN b e ON e.vec_id <> p.vec_id
+                            AND e.bucket = p.pbucket)
         SELECT probe_id, rank, neighbor_id, cosine FROM (
           SELECT *, row_number() OVER (PARTITION BY probe_id
             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
@@ -1742,6 +1823,16 @@ object Similarity {
             FROM scored) r
           WHERE neg_rank <= 3""",
     "s02_ann_lsh" -> s02Sql,
+    "s24_multiprobe_ann" -> s24Sql,
+    "s25_multiprobe_recall" ->
+      s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s01Sql) x),
+          ann AS (SELECT probe_id, neighbor_id FROM ($s24Sql) y),
+          hits AS (SELECT count(*) AS n_hits FROM exact JOIN ann
+                   USING (probe_id, neighbor_id)),
+          tot AS (SELECT count(*) AS n_exact FROM exact)
+          SELECT n_hits, n_exact,
+            n_hits::DOUBLE / n_exact::DOUBLE AS recall_at_5
+          FROM hits, tot""",
     "s21_filtered_topk" -> s21Sql,
     "s22_filtered_ann" -> s22Sql,
     "s23_filtered_recall" ->

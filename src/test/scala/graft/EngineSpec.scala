@@ -1484,6 +1484,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "s22 returned a neighbor failing the predicate")
   }
 
+  test("multiprobe dominates single-probe: hits are monotone, recall rises") {
+    import spark.implicits._
+    // the law that makes s24 a DIAL and not a different index: its
+    // candidate pool is a strict superset of s02's, and an exact-top-5
+    // member found by single-probe can never be displaced from the
+    // multiprobe top-5 (any candidate outranking it would outrank it
+    // in the exact order too, and there are at most 4 of those in the
+    // whole corpus) — so the hit set is monotone per probe, and
+    // recall_at_5 is ≥ s05's as a theorem, not a fixture accident
+    def hits(ann: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val exact = graft.queries.Similarity.s01CosineTopK(spark, sf)
+        .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      ann.select("probe_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet.intersect(exact)
+    }
+    val single = hits(graft.queries.Similarity.s02AnnLsh(spark, sf))
+    val multi = hits(graft.queries.Similarity.s24MultiprobeAnn(spark, sf))
+    assert(single.subsetOf(multi),
+      s"multiprobe lost single-probe hits: ${single.diff(multi)}")
+    // on this fixture the radius-1 ball must find MORE than the home
+    // bucket alone — otherwise the dial is unfalsifiable here
+    assert(multi.size > single.size,
+      s"expected a measured recall lift: single=${single.size} multi=${multi.size}")
+    val recall = graft.queries.Similarity.s25MultiprobeRecall(spark, sf)
+      .select("recall_at_5").as[Double].head()
+    assert(math.abs(recall - multi.size / 50.0) < 1e-9,
+      s"s25's reported recall must equal the measured hit fraction: $recall")
+  }
+
   test("q68 refuses a 20-node clique loudly instead of exploding") {
     import spark.implicits._
     val clique = (for (a <- 1L to 20L; b <- a + 1 to 20L) yield (a, b))
