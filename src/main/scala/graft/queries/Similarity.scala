@@ -1237,9 +1237,69 @@ object Similarity {
         (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall_at_5"))
   }
 
+  /** s26: filtered MULTIPROBE — the two dials composed: s22's
+    * metadata pre-filter inside s24's Hamming-1 probe fan-out. This
+    * is the cell of the (filter × probe-width) matrix a production
+    * retrieval stack actually runs, and the one where multiprobe
+    * matters MOST: the predicate thins every bucket's candidate pool
+    * (s23 measured filtered single-probe recall at 0.02 — a third of
+    * unfiltered s05's 0.06), so widening the probed ball is the
+    * designed repair, recovering candidates the filter left sparse
+    * without touching the index or the predicate. Same laws as both
+    * parents: every result passes the predicate (s22's), hits are
+    * monotone vs s22 (s24's superset argument, unchanged — the
+    * filter restricts both pools identically); s27 measures the
+    * recovery against s21's filtered-exact truth.
+    */
+  def s26FilteredMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val e = normed(s, d)
+    val bucketed = e.selectExpr("vec_id", "v", "nrm",
+      "graft_lsh_bucket(v) AS bucket")
+    val keep = Tables.documents(s, d)
+      .filter(col("lang").isin("de", "fr"))
+      .select(col("doc_id").as("vec_id"))
+    val cand = bucketed.join(keep, Seq("vec_id"))
+    val flips = (Seq("hbucket") ++ (0 until 8).map(j => s"hbucket ^ ${1 << j}"))
+      .mkString("array(", ", ", ")")
+    val probes = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("bucket").as("hbucket"))
+      .withColumn("pbucket", explode(expr(flips)))
+    val joined = cand.join(broadcast(probes),
+      col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** s27: filtered-multiprobe recall vs s21's filtered-exact truth —
+    * completes the recall-gate triple (s05 unfiltered, s23 filtered
+    * single-probe, s27 filtered multiprobe): the three numbers a
+    * deployment lays side by side to see what the predicate costs
+    * and how much of it the probe width buys back.
+    */
+  def s27FilteredMultiprobeRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = s21FilteredTopK(s, d).select(col("probe_id"), col("neighbor_id"))
+    val ann = s26FilteredMultiprobe(s, d)
+      .select(col("probe_id").as("p2"), col("neighbor_id").as("n2"))
+    val hits = exact.join(ann,
+        col("probe_id") === col("p2") && col("neighbor_id") === col("n2"))
+      .agg(count(lit(1)).as("n_hits"))
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(total)
+      .select(col("n_hits"), col("n_exact"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall_at_5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s24_multiprobe_ann" -> s24MultiprobeAnn,
     "s25_multiprobe_recall" -> s25MultiprobeRecall,
+    "s26_filtered_multiprobe" -> s26FilteredMultiprobe,
+    "s27_filtered_mp_recall" -> s27FilteredMultiprobeRecall,
     "s21_filtered_topk" -> s21FilteredTopK,
     "s22_filtered_ann" -> s22FilteredAnnLsh,
     "s23_filtered_recall" -> s23FilteredRecall,
@@ -1350,6 +1410,27 @@ object Similarity {
           SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
           FROM pb p JOIN b e ON e.vec_id <> p.vec_id
                             AND e.bucket = p.pbucket)
+        SELECT probe_id, rank, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
+        WHERE rank <= 5"""
+
+  // s26: s24's probe fan-out with s22's filter joined into the
+  // candidate side before any cosine — built from the same shared
+  // CTE strings as both parents
+  private val s26Sql =
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        $filterCte,
+        $lshBucketCte,
+        pb AS (
+          SELECT vec_id, v, xor(bucket, m) AS pbucket
+          FROM b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m)
+          WHERE vec_id < 10),
+        scored AS (
+          SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $foldCosine AS cosine
+          FROM pb p JOIN b e ON e.vec_id <> p.vec_id
+                            AND e.bucket = p.pbucket
+          JOIN f ON f.doc_id = e.vec_id)
         SELECT probe_id, rank, neighbor_id, cosine FROM (
           SELECT *, row_number() OVER (PARTITION BY probe_id
             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
@@ -1835,6 +1916,16 @@ object Similarity {
           FROM hits, tot""",
     "s21_filtered_topk" -> s21Sql,
     "s22_filtered_ann" -> s22Sql,
+    "s26_filtered_multiprobe" -> s26Sql,
+    "s27_filtered_mp_recall" ->
+      s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s21Sql) x),
+          ann AS (SELECT probe_id, neighbor_id FROM ($s26Sql) y),
+          hits AS (SELECT count(*) AS n_hits FROM exact JOIN ann
+                   USING (probe_id, neighbor_id)),
+          tot AS (SELECT count(*) AS n_exact FROM exact)
+          SELECT n_hits, n_exact,
+            n_hits::DOUBLE / n_exact::DOUBLE AS recall_at_5
+          FROM hits, tot""",
     "s23_filtered_recall" ->
       s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s21Sql) x),
           ann AS (SELECT probe_id, neighbor_id FROM ($s22Sql) y),

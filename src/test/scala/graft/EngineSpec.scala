@@ -1511,6 +1511,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("recall_at_5").as[Double].head()
     assert(math.abs(recall - multi.size / 50.0) < 1e-9,
       s"s25's reported recall must equal the measured hit fraction: $recall")
+    // the composed tier (s26) inherits BOTH parents' laws: every
+    // result passes the predicate, and its hits against the
+    // filtered-exact truth dominate the filtered single-probe's
+    val keep = graft.core.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("lang").isin("de", "fr"))
+      .select("doc_id").as[Long].collect().toSet
+    val fExact = graft.queries.Similarity.s21FilteredTopK(spark, sf)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val s26rows = graft.queries.Similarity.s26FilteredMultiprobe(spark, sf)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(s26rows.forall(r => keep.contains(r._2)),
+      "s26 returned a neighbor failing the predicate")
+    val fSingle = graft.queries.Similarity.s22FilteredAnnLsh(spark, sf)
+      .select("probe_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet.intersect(fExact)
+    val fMulti = s26rows.toSet.intersect(fExact)
+    assert(fSingle.subsetOf(fMulti),
+      s"filtered multiprobe lost filtered single-probe hits: ${fSingle.diff(fMulti)}")
+    assert(fMulti.size > fSingle.size,
+      s"expected a measured filtered-recall lift: single=${fSingle.size} multi=${fMulti.size}")
   }
 
   test("q68 refuses a 20-node clique loudly instead of exploding") {
