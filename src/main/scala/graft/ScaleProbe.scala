@@ -47,6 +47,14 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     require(factor == 10 || factor == 100, s"factor must be 10 or 100")
+    // optional 2nd arg: comma-separated name prefixes (Verify's
+    // convention) to re-measure a single design — e.g. `100 e04` for
+    // a variance triage — without paying the full panel
+    val only: String => Boolean = args.lift(1) match {
+      case Some(pfx) =>
+        val ps = pfx.split(','); n => ps.exists(n.startsWith)
+      case None => _ => true
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -114,11 +122,12 @@ object ScaleProbe {
         Seq("d01_exact_dedup", "d03_minhash_lsh", "d17_cdc_chunk_overlap",
           "d07_dup_clusters", "p01_corpus_build", "e04_knn_outliers_ann",
           "t18_char_entropy", "p08_weighted_sample",
-          // the vector-SERVING pair at 2M vectors: the brute-force
+          // the vector-SERVING trio at 2M vectors: the brute-force
           // baseline (10 probes × full corpus — the honest exact
-          // cost) and the filtered LSH probe (bucket ∩ predicate —
-          // the shape that must stay flat as the corpus grows)
-          "s01_cosine_topk", "s22_filtered_ann")
+          // cost), the filtered LSH probe (bucket ∩ predicate — the
+          // shape that must stay flat as the corpus grows), and the
+          // composed filtered-multiprobe production query
+          "s01_cosine_topk", "s22_filtered_ann", "s26_filtered_multiprobe")
       else Seq("d01_exact_dedup", "d03_minhash_lsh",
         "d17_cdc_chunk_overlap", "p08_weighted_sample",
         "e06_lr_quality_score", "t18_char_entropy",
@@ -138,7 +147,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val rows = picks.map { n =>
+    val rows = picks.filter(only).map { n =>
       // first executions pay PER-PLAN codegen (the HOF-heavy plans
       // compile for seconds — order-dependent and data-independent);
       // time the SECOND run of each (query, dir) pair so the ratio

@@ -89,11 +89,26 @@ object Similarity {
     * tier runs over a candidate subset (see s02); as written it is the
     * recall=1 baseline a pipeline validates its ANN stage against.
     */
-  def s01CosineTopK(s: SparkSession, d: String): DataFrame = {
+  def s01CosineTopK(s: SparkSession, d: String): DataFrame =
+    exactProbeTopK(s, d, filtered = false)
+
+  /** The exact-tier body behind s01/s21 — the brute-force column of
+    * the same filter matrix the LSH tiers bucket: `filtered` joins
+    * the metadata id set into the candidate side before any cosine,
+    * exactly as in lshProbeTopK.
+    */
+  private def exactProbeTopK(s: SparkSession, d: String,
+      filtered: Boolean): DataFrame = {
     val e = normed(s, d)
+    val cand = if (filtered) {
+      val keep = Tables.documents(s, d)
+        .filter(col("lang").isin("de", "fr"))
+        .select(col("doc_id").as("vec_id"))
+      e.join(keep, Seq("vec_id"))
+    } else e
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
-    val joined = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+    val joined = cand.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -112,17 +127,42 @@ object Similarity {
     * deterministic formula is mirrored in the oracle so even the
     * approximation is hash-checked.
     */
-  def s02AnnLsh(s: SparkSession, d: String): DataFrame = {
+  def s02AnnLsh(s: SparkSession, d: String): DataFrame =
+    lshProbeTopK(s, d, filtered = false, hamming1 = false)
+
+  /** The ONE probe plan behind the LSH tier matrix — s02 (plain),
+    * s22 (filtered), s24 (multiprobe), s26 (both): `filtered` joins
+    * the metadata id set into the candidate side BEFORE any cosine
+    * (probes themselves never need to pass the predicate — the query
+    * vector is external to the searched partition); `hamming1` fans
+    * each probe out to its 9-bucket Hamming-1 ball. One body so the
+    * four tiers cannot drift in bucketing, tie-breaks, or top-k
+    * semantics — mirroring the oracle side, where the same four
+    * queries are assembled from one shared bucket CTE and one shared
+    * filter CTE.
+    */
+  private def lshProbeTopK(s: SparkSession, d: String,
+      filtered: Boolean, hamming1: Boolean): DataFrame = {
     val e = normed(s, d)
     // Native LshBucket expression (same LCG/double arithmetic as the
     // oracle SQL, see VectorExpressions) — the interpreted 8×64
     // higher-order fold cost ~2.5 s of s02's 2.8 s at sf0.1.
     val bucketed = e.selectExpr("vec_id", "v", "nrm",
       "graft_lsh_bucket(v) AS bucket")
-    val probes = bucketed.filter(col("vec_id") < 10)
+    val cand = if (filtered) {
+      val keep = Tables.documents(s, d)
+        .filter(col("lang").isin("de", "fr"))
+        .select(col("doc_id").as("vec_id"))
+      bucketed.join(keep, Seq("vec_id"))
+    } else bucketed
+    val home = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("nrm").as("pnrm"), col("bucket").as("pbucket"))
-    val joined = bucketed.join(broadcast(probes),
+        col("nrm").as("pnrm"), col("bucket").as("hbucket"))
+    val flips = (Seq("hbucket") ++ (0 until 8).map(j => s"hbucket ^ ${1 << j}"))
+      .mkString("array(", ", ", ")")
+    val probes = (if (hamming1) home.withColumn("pbucket", explode(expr(flips)))
+      else home.withColumn("pbucket", col("hbucket"))).drop("hbucket")
+    val joined = cand.join(broadcast(probes),
       col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
       .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
     val w = Window.partitionBy(col("probe_id"))
@@ -242,9 +282,18 @@ object Similarity {
     * oracle-checked, not just its existence. One broadcast-sized join
     * of two top-k lists; at 100 TB this runs over a probe sample.
     */
-  def s05AnnRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = s01CosineTopK(s, d).select(col("probe_id"), col("neighbor_id"))
-    val ann = s02AnnLsh(s, d)
+  def s05AnnRecall(s: SparkSession, d: String): DataFrame =
+    recallAt5(s01CosineTopK(s, d), s02AnnLsh(s, d))
+
+  /** The one recall-gate body behind s05/s23/s25/s27 (and the
+    * measurement shape s12/s20 specialize): |ann ∩ exact| / |exact|
+    * over (probe_id, neighbor_id) pairs — ONE implementation so the
+    * four cells of the (filter × probe-width) recall matrix are
+    * measured identically and differ only in their inputs.
+    */
+  private def recallAt5(exactDf: DataFrame, annDf: DataFrame): DataFrame = {
+    val exact = exactDf.select(col("probe_id"), col("neighbor_id"))
+    val ann = annDf
       .select(col("probe_id").as("p2"), col("neighbor_id").as("n2"))
     val hits = exact.join(ann,
         col("probe_id") === col("p2") && col("neighbor_id") === col("n2"))
@@ -1104,24 +1153,8 @@ object Similarity {
     * themselves are NOT required to pass the filter — the query vector
     * is external to the searched partition.
     */
-  def s21FilteredTopK(s: SparkSession, d: String): DataFrame = {
-    val e = normed(s, d)
-    val keep = Tables.documents(s, d)
-      .filter(col("lang").isin("de", "fr"))
-      .select(col("doc_id").as("vec_id"))
-    val cand = e.join(keep, Seq("vec_id"))
-    val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("nrm").as("pnrm"))
-    val joined = cand.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine"))
-  }
+  def s21FilteredTopK(s: SparkSession, d: String): DataFrame =
+    exactProbeTopK(s, d, filtered = true)
 
   /** s22: filtered search, ANN tier — s02's LSH bucket index with the
     * metadata filter applied INSIDE the bucket probe: candidates must
@@ -1133,27 +1166,8 @@ object Similarity {
     * equi-join at query time. Same documented recall trade as s02
     * (a neighbor hashed elsewhere is missed), measured by s23.
     */
-  def s22FilteredAnnLsh(s: SparkSession, d: String): DataFrame = {
-    val e = normed(s, d)
-    val bucketed = e.selectExpr("vec_id", "v", "nrm",
-      "graft_lsh_bucket(v) AS bucket")
-    val keep = Tables.documents(s, d)
-      .filter(col("lang").isin("de", "fr"))
-      .select(col("doc_id").as("vec_id"))
-    val cand = bucketed.join(keep, Seq("vec_id"))
-    val probes = bucketed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("nrm").as("pnrm"), col("bucket").as("pbucket"))
-    val joined = cand.join(broadcast(probes),
-      col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine"))
-  }
+  def s22FilteredAnnLsh(s: SparkSession, d: String): DataFrame =
+    lshProbeTopK(s, d, filtered = true, hamming1 = false)
 
   /** s23: the filtered pair's recall contract (s05's shape): how much
     * of the exact filtered top-5 the bucketed filtered search keeps.
@@ -1164,18 +1178,8 @@ object Similarity {
     * same misses outside the bucket) — which is exactly why it needs
     * its own measured gate.
     */
-  def s23FilteredRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = s21FilteredTopK(s, d).select(col("probe_id"), col("neighbor_id"))
-    val ann = s22FilteredAnnLsh(s, d)
-      .select(col("probe_id").as("p2"), col("neighbor_id").as("n2"))
-    val hits = exact.join(ann,
-        col("probe_id") === col("p2") && col("neighbor_id") === col("n2"))
-      .agg(count(lit(1)).as("n_hits"))
-    val total = exact.agg(count(lit(1)).as("n_exact"))
-    hits.crossJoin(total)
-      .select(col("n_hits"), col("n_exact"),
-        (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall_at_5"))
-  }
+  def s23FilteredRecall(s: SparkSession, d: String): DataFrame =
+    recallAt5(s21FilteredTopK(s, d), s22FilteredAnnLsh(s, d))
 
   /** s24: MULTIPROBE LSH — s02's single index queried at Hamming
     * radius 1: each probe searches its home bucket PLUS the 8 buckets
@@ -1196,26 +1200,8 @@ object Similarity {
     * margin; the full Hamming-1 ball is the deterministic special
     * case that keeps the oracle exactly replayable in SQL.)
     */
-  def s24MultiprobeAnn(s: SparkSession, d: String): DataFrame = {
-    val e = normed(s, d)
-    val bucketed = e.selectExpr("vec_id", "v", "nrm",
-      "graft_lsh_bucket(v) AS bucket")
-    val flips = (Seq("hbucket") ++ (0 until 8).map(j => s"hbucket ^ ${1 << j}"))
-      .mkString("array(", ", ", ")")
-    val probes = bucketed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("nrm").as("pnrm"), col("bucket").as("hbucket"))
-      .withColumn("pbucket", explode(expr(flips)))
-    val joined = bucketed.join(broadcast(probes),
-      col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine"))
-  }
+  def s24MultiprobeAnn(s: SparkSession, d: String): DataFrame =
+    lshProbeTopK(s, d, filtered = false, hamming1 = true)
 
   /** s25: the multiprobe recall gate (s05's shape, same exact truth
     * set) — the pair (s05, s25) is the measured before/after of the
@@ -1224,18 +1210,8 @@ object Similarity {
     * ≥ s05's by construction (spec-asserted), and how MUCH higher is
     * the number a deployment weighs against the 9× probe fan-out.
     */
-  def s25MultiprobeRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = s01CosineTopK(s, d).select(col("probe_id"), col("neighbor_id"))
-    val ann = s24MultiprobeAnn(s, d)
-      .select(col("probe_id").as("p2"), col("neighbor_id").as("n2"))
-    val hits = exact.join(ann,
-        col("probe_id") === col("p2") && col("neighbor_id") === col("n2"))
-      .agg(count(lit(1)).as("n_hits"))
-    val total = exact.agg(count(lit(1)).as("n_exact"))
-    hits.crossJoin(total)
-      .select(col("n_hits"), col("n_exact"),
-        (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall_at_5"))
-  }
+  def s25MultiprobeRecall(s: SparkSession, d: String): DataFrame =
+    recallAt5(s01CosineTopK(s, d), s24MultiprobeAnn(s, d))
 
   /** s26: filtered MULTIPROBE — the two dials composed: s22's
     * metadata pre-filter inside s24's Hamming-1 probe fan-out. This
@@ -1251,30 +1227,8 @@ object Similarity {
     * filter restricts both pools identically); s27 measures the
     * recovery against s21's filtered-exact truth.
     */
-  def s26FilteredMultiprobe(s: SparkSession, d: String): DataFrame = {
-    val e = normed(s, d)
-    val bucketed = e.selectExpr("vec_id", "v", "nrm",
-      "graft_lsh_bucket(v) AS bucket")
-    val keep = Tables.documents(s, d)
-      .filter(col("lang").isin("de", "fr"))
-      .select(col("doc_id").as("vec_id"))
-    val cand = bucketed.join(keep, Seq("vec_id"))
-    val flips = (Seq("hbucket") ++ (0 until 8).map(j => s"hbucket ^ ${1 << j}"))
-      .mkString("array(", ", ", ")")
-    val probes = bucketed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("nrm").as("pnrm"), col("bucket").as("hbucket"))
-      .withColumn("pbucket", explode(expr(flips)))
-    val joined = cand.join(broadcast(probes),
-      col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cosine"))
-  }
+  def s26FilteredMultiprobe(s: SparkSession, d: String): DataFrame =
+    lshProbeTopK(s, d, filtered = true, hamming1 = true)
 
   /** s27: filtered-multiprobe recall vs s21's filtered-exact truth —
     * completes the recall-gate triple (s05 unfiltered, s23 filtered
@@ -1282,18 +1236,8 @@ object Similarity {
     * deployment lays side by side to see what the predicate costs
     * and how much of it the probe width buys back.
     */
-  def s27FilteredMultiprobeRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = s21FilteredTopK(s, d).select(col("probe_id"), col("neighbor_id"))
-    val ann = s26FilteredMultiprobe(s, d)
-      .select(col("probe_id").as("p2"), col("neighbor_id").as("n2"))
-    val hits = exact.join(ann,
-        col("probe_id") === col("p2") && col("neighbor_id") === col("n2"))
-      .agg(count(lit(1)).as("n_hits"))
-    val total = exact.agg(count(lit(1)).as("n_exact"))
-    hits.crossJoin(total)
-      .select(col("n_hits"), col("n_exact"),
-        (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall_at_5"))
-  }
+  def s27FilteredMultiprobeRecall(s: SparkSession, d: String): DataFrame =
+    recallAt5(s21FilteredTopK(s, d), s26FilteredMultiprobe(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s24_multiprobe_ann" -> s24MultiprobeAnn,
