@@ -116,6 +116,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planOf("q03_broadcast_join_agg").contains("BroadcastHashJoin"))
   }
 
+  test("s26 pushes the predicate to the documents scan and broadcasts probes") {
+    // the composed production query's 100 TB contract: the metadata
+    // predicate lands in the documents scan (pre-filter, not a
+    // post-rank filter), and the 90-row probe side broadcasts into
+    // the bucketed candidate scan — no vector ever shuffles
+    val p = planOf("s26_filtered_multiprobe")
+    assert(p.contains("PushedFilters: [In(lang"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "no candidate-side shuffle join may appear in the probe plan")
+  }
+
   test("q08 plans global top-k as TakeOrderedAndProject (no global sort shuffle)") {
     assert(planOf("q08_global_topk").contains("TakeOrderedAndProject"))
   }
