@@ -100,12 +100,7 @@ object Similarity {
   private def exactProbeTopK(s: SparkSession, d: String,
       filtered: Boolean): DataFrame = {
     val e = normed(s, d)
-    val cand = if (filtered) {
-      val keep = Tables.documents(s, d)
-        .filter(col("lang").isin("de", "fr"))
-        .select(col("doc_id").as("vec_id"))
-      e.join(keep, Seq("vec_id"))
-    } else e
+    val cand = if (filtered) e.join(filterIds(s, d), Seq("vec_id")) else e
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
     val joined = cand.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
@@ -149,12 +144,8 @@ object Similarity {
     // higher-order fold cost ~2.5 s of s02's 2.8 s at sf0.1.
     val bucketed = e.selectExpr("vec_id", "v", "nrm",
       "graft_lsh_bucket(v) AS bucket")
-    val cand = if (filtered) {
-      val keep = Tables.documents(s, d)
-        .filter(col("lang").isin("de", "fr"))
-        .select(col("doc_id").as("vec_id"))
-      bucketed.join(keep, Seq("vec_id"))
-    } else bucketed
+    val cand = if (filtered) bucketed.join(filterIds(s, d), Seq("vec_id"))
+      else bucketed
     val home = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("bucket").as("hbucket"))
@@ -190,8 +181,18 @@ object Similarity {
     * centroid fold, routing tie-breaks and top-k semantics cannot
     * silently diverge between the two variants.
     */
+  /** The metadata id set behind every filtered search tier (s21 exact,
+    * s22/s26 LSH, s28 IVF) — one body so the predicate cannot drift
+    * across families (the oracle mirrors it with the one filterCte).
+    */
+  private def filterIds(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("lang").isin("de", "fr"))
+      .select(col("doc_id").as("vec_id"))
+
   private def ivfTopK(s: SparkSession, d: String,
-      sampledCentroids: Boolean, nprobe: Int): DataFrame = {
+      sampledCentroids: Boolean, nprobe: Int,
+      filtered: Boolean = false): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val e = normed(s, d)
     val memberRows = Tables.embeddings(s, d)
@@ -211,9 +212,14 @@ object Similarity {
         Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("label"))))
       .filter(col("crk") <= nprobe)
       .select(col("probe_id"), col("pv"), col("pnrm"), col("label").as("cell"))
-    val members = memberRows
+    val allMembers = memberRows
       .withColumnRenamed("label", "cell")
       .withColumn("nrm", sqrt(expr("graft_sumsq(v)")))
+    // the filter restricts the routed cell's MEMBERS, never the
+    // routing: probes route on the full centroid geometry (one index
+    // serves every predicate), candidates are (cell ∩ predicate)
+    val members = if (filtered) allMembers.join(filterIds(s, d), Seq("vec_id"))
+      else allMembers
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     members.join(broadcast(routed),
@@ -1239,7 +1245,32 @@ object Similarity {
   def s27FilteredMultiprobeRecall(s: SparkSession, d: String): DataFrame =
     recallAt5(s21FilteredTopK(s, d), s26FilteredMultiprobe(s, d))
 
+  /** s28: filtered IVF — the filter dial applied to the THIRD index
+    * family (coarse-quantizer cells instead of hash buckets): probes
+    * route on the full centroid geometry exactly as in s03 (one index
+    * serves every predicate — routing never sees the filter), and the
+    * metadata id set restricts the routed cell's members BEFORE any
+    * cosine, so the candidate pool is (cell ∩ predicate) —
+    * ~selectivity/nlist of the corpus at scale. With this every
+    * search family exposes the same pre-filter contract: s21 (exact),
+    * s22/s26 (LSH single/multiprobe), s28 (IVF); one filterIds body
+    * and one oracle filterCte across all of them.
+    */
+  def s28FilteredIvf(s: SparkSession, d: String): DataFrame =
+    ivfTopK(s, d, sampledCentroids = false, nprobe = 1, filtered = true)
+
+  /** s29: filtered-IVF recall vs s21's filtered-exact truth — the
+    * IVF column of the filtered recall board (s23 = LSH single-probe,
+    * s27 = LSH multiprobe, s29 = IVF nprobe=1): the cross-family
+    * comparison a deployment makes when choosing WHICH index to
+    * serve a predicate-heavy workload from.
+    */
+  def s29FilteredIvfRecall(s: SparkSession, d: String): DataFrame =
+    recallAt5(s21FilteredTopK(s, d), s28FilteredIvf(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s28_filtered_ivf" -> s28FilteredIvf,
+    "s29_filtered_ivf_recall" -> s29FilteredIvfRecall,
     "s24_multiprobe_ann" -> s24MultiprobeAnn,
     "s25_multiprobe_recall" -> s25MultiprobeRecall,
     "s26_filtered_multiprobe" -> s26FilteredMultiprobe,
@@ -1889,6 +1920,17 @@ object Similarity {
             n_hits::DOUBLE / n_exact::DOUBLE AS recall_at_5
           FROM hits, tot""",
     "s03_ivf_topk" -> ivfSql(sampleWhere = "", nprobe = 1),
+    "s28_filtered_ivf" -> ivfSql(sampleWhere = "", nprobe = 1, filtered = true),
+    "s29_filtered_ivf_recall" ->
+      s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s21Sql) x),
+          ann AS (SELECT probe_id, neighbor_id
+                  FROM (${ivfSql(sampleWhere = "", nprobe = 1, filtered = true)}) y),
+          hits AS (SELECT count(*) AS n_hits FROM exact JOIN ann
+                   USING (probe_id, neighbor_id)),
+          tot AS (SELECT count(*) AS n_exact FROM exact)
+          SELECT n_hits, n_exact,
+            n_hits::DOUBLE / n_exact::DOUBLE AS recall_at_5
+          FROM hits, tot""",
     "s04_ivf_nprobe2" -> ivfSql(
       sampleWhere = "WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 3 = 0",
       nprobe = 2),
@@ -1950,8 +1992,10 @@ object Similarity {
             FROM $evRel e CROSS JOIN $centRel c) t
           WHERE crk = 1)"""
 
-  private def ivfSql(sampleWhere: String, nprobe: Int): String =
+  private def ivfSql(sampleWhere: String, nprobe: Int,
+      filtered: Boolean = false): String =
     s"""WITH ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        ${if (filtered) filterCte + "," else ""}
         ${centCte(sampleWhere)},
         routed AS (
           SELECT probe_id, label AS cell FROM (
@@ -1970,7 +2014,8 @@ object Similarity {
               * sqrt(list_reduce(list_prepend(0.0, list_transform(e.v, x -> x * x)), (acc, x) -> acc + x)))) AS cosine
           FROM routed r
           JOIN ev p ON p.vec_id = r.probe_id
-          JOIN ev e ON e.label = r.cell AND e.vec_id <> r.probe_id)
+          JOIN ev e ON e.label = r.cell AND e.vec_id <> r.probe_id
+          ${if (filtered) "JOIN f ON f.doc_id = e.vec_id" else ""})
         SELECT probe_id, rank, neighbor_id, cosine FROM (
           SELECT *, row_number() OVER (PARTITION BY probe_id
             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r

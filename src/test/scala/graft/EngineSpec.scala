@@ -1489,11 +1489,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(postFiltered.length < s21.length,
       s"rank-then-filter kept ${postFiltered.length} of ${s21.length} — " +
         "expected starvation on a ~27%-selective predicate")
-    // the ANN tier obeys the same predicate law
+    // the ANN tiers obey the same predicate law across BOTH index
+    // families (LSH buckets and IVF cells)
     val s22 = graft.queries.Similarity.s22FilteredAnnLsh(spark, sf)
       .select("neighbor_id").as[Long].collect()
     assert(s22.forall(keep.contains),
       "s22 returned a neighbor failing the predicate")
+    val s28 = graft.queries.Similarity.s28FilteredIvf(spark, sf)
+      .select("neighbor_id").as[Long].collect()
+    assert(s28.nonEmpty && s28.forall(keep.contains),
+      "s28 returned a neighbor failing the predicate (or none at all)")
   }
 
   test("multiprobe dominates single-probe: hits are monotone, recall rises") {
