@@ -127,7 +127,11 @@ object ScaleProbe {
           // cost), the filtered LSH probe (bucket ∩ predicate — the
           // shape that must stay flat as the corpus grows), and the
           // composed filtered-multiprobe production query
-          "s01_cosine_topk", "s22_filtered_ann", "s26_filtered_multiprobe")
+          "s01_cosine_topk", "s22_filtered_ann", "s26_filtered_multiprobe",
+          // the IVF serving family's scale shape: the centroid fold
+          // streams all 2M vectors once (linear, O(64) task memory),
+          // then scoring touches only (routed cell ∩ predicate)
+          "s28_filtered_ivf")
       else Seq("d01_exact_dedup", "d03_minhash_lsh",
         "d17_cdc_chunk_overlap", "p08_weighted_sample",
         "e06_lr_quality_score", "t18_char_entropy",
