@@ -185,7 +185,7 @@ object Similarity {
     * s22/s26 LSH, s28 IVF) — one body so the predicate cannot drift
     * across families (the oracle mirrors it with the one filterCte).
     */
-  private def filterIds(s: SparkSession, d: String): DataFrame =
+  private[graft] def filterIds(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(col("lang").isin("de", "fr"))
       .select(col("doc_id").as("vec_id"))

@@ -1415,7 +1415,26 @@ object EventStreams {
     * per-probe work: the probed buckets' slice — O(index/256) at the
     * LSH level, reached through O(bucket-dirs probed) I/O.
     */
-  def st24StreamAnnIndex(s: SparkSession, d: String): DataFrame = {
+  def st24StreamAnnIndex(s: SparkSession, d: String): DataFrame =
+    streamAnnServe(s, d, filtered = false)
+
+  /** st25: FILTERED serving over the stream-built index — the batch
+    * pre-filter contract (s22/s26/s28) carried into the streaming
+    * store: the index is built by the SAME micro-batch ingest as st24
+    * (one index serves every predicate — the build never sees the
+    * filter), and at query time the metadata id set restricts the
+    * bucket-pruned store slice BEFORE any cosine. Equals s22's
+    * UNCHANGED oracle verbatim: the converged store holds exactly the
+    * corpus, bucket assignment is per-vector (batch boundaries cannot
+    * move it), and the filter composes with the bucket equi-join the
+    * same way in both engines — so the batch/stream equality is
+    * hash-checked, not assumed.
+    */
+  def st25StreamFilteredServe(s: SparkSession, d: String): DataFrame =
+    streamAnnServe(s, d, filtered = true)
+
+  private def streamAnnServe(s: SparkSession, d: String,
+      filtered: Boolean): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     import org.apache.spark.sql.expressions.Window
     val chunks = stageVecChunks(s, d)
@@ -1457,7 +1476,12 @@ object EventStreams {
       .schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, lsh BIGINT")
       .parquet(store)
       .filter(col("bucket").isin(pbs: _*))
-    val joined = idx
+    // st25: the predicate restricts the pruned slice before any
+    // cosine — same pre-filter shape as the batch tiers
+    val cand = if (filtered)
+      idx.join(graft.queries.Similarity.filterIds(s, d), Seq("vec_id"))
+    else idx
+    val joined = cand
       .join(broadcast(probes),
         col("lsh") === col("plsh") && col("vec_id") =!= col("probe_id"))
       .withColumn("cosine", expr("graft_dot(pv, v)") / (col("pnrm") * col("nrm")))
@@ -1473,6 +1497,7 @@ object EventStreams {
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st25_stream_filtered_serve" -> gated(st25StreamFilteredServe),
     "st24_stream_ann_index" -> gated(st24StreamAnnIndex),
     "st23_stream_quality_gate" -> gated(st23StreamQualityGate),
     "st22_stream_weighted_sample" -> gated(st22StreamWeightedSample),
@@ -1527,6 +1552,11 @@ object EventStreams {
     // store-answered probes match the batch tier's oracle verbatim
     "st24_stream_ann_index" ->
       graft.queries.Similarity.oracles("s02_ann_lsh"),
+    // st25: the converged store IS the corpus and the bucket map is
+    // batch-invariant, so filtered serving answers s22's oracle — the
+    // same val, so the batch and streaming contracts cannot drift
+    "st25_stream_filtered_serve" ->
+      graft.queries.Similarity.oracles("s22_filtered_ann"),
     // per-row scoring is batch-boundary-invariant, so the streamed
     // union answers the batch gate's oracle verbatim
     "st23_stream_quality_gate" ->
