@@ -1268,7 +1268,57 @@ object Similarity {
   def s29FilteredIvfRecall(s: SparkSession, d: String): DataFrame =
     recallAt5(s21FilteredTopK(s, d), s28FilteredIvf(s, d))
 
+  /** s30: HYBRID retrieval — keyword and vector evidence fused by
+    * Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR
+    * 2009): rrf(doc) = Σ_lists 1/(60 + rank). Rank-only fusion is
+    * the production default precisely because the two modalities'
+    * scores are incommensurable (a cosine and a tf·idf share no
+    * scale) — RRF needs no per-query score normalization, which is
+    * also what makes it exactly oracle-able here. Keyword side:
+    * t15's salient-term table (top-3 tf·idf terms per doc, one
+    * shared body+oracle with t15 so the term extractor cannot
+    * drift); candidates share ≥1 salient term with the probe doc's
+    * own top-3 and score by the summed tfidf of the shared terms
+    * (term-keyed equi-join — the inverted-index shape; at 100 TB
+    * the join key is the term, bounded by salience selectivity, not
+    * a corpus scan). Vector side: s01's exact top-5 (at scale the
+    * deployment swaps in s22/s24/s26 — any tier emitting ranks
+    * composes unchanged, the point of rank-only fusion). Both
+    * five-deep lists full-outer-merge on (probe, doc); fused top-5
+    * by rrf (rounded at 6dp on both sides, t15's discipline, before
+    * ranking) with doc_id tie-break.
+    */
+  def s30HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val vec = s01CosineTopK(s, d)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_v"))
+    val sal = graft.queries.TextOps
+      .tfidfTopK(Tables.documents(s, d), k = 3).cache()
+    val qterms = sal.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), col("term"))
+    val kw = sal.join(qterms, Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(round(sum(col("tfidf")), 6).as("kscore"))
+      .withColumn("rank_k", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("kscore").desc, col("doc_id"))))
+      .filter(col("rank_k") <= 5)
+      .select(col("probe_id"), col("doc_id"), col("rank_k"))
+    val fused = vec.join(kw, Seq("probe_id", "doc_id"), "full")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("rank_k")), lit(0.0)), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("rrf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s30_hybrid_rrf" -> s30HybridRrf,
     "s28_filtered_ivf" -> s28FilteredIvf,
     "s29_filtered_ivf_recall" -> s29FilteredIvfRecall,
     "s24_multiprobe_ann" -> s24MultiprobeAnn,
@@ -1879,6 +1929,47 @@ object Similarity {
             FROM scored) r
           WHERE neg_rank <= 3""",
     "s02_ann_lsh" -> s02Sql,
+    // s30: t15's tf-idf CTE chain verbatim (same rounding, same
+    // tie-breaks) feeding the keyword arm; s01Sql the vector arm;
+    // RRF = 1/(60+rank) summed across the full-outer rank merge
+    "s30_hybrid_rrf" ->
+      s"""WITH toks AS (
+            SELECT doc_id,
+              list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+            FROM documents),
+          tf AS (
+            SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+          dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+          scored_t AS (
+            SELECT doc_id, term, round(tf::DOUBLE * ln(n_docs / df::DOUBLE), 6) AS tfidf
+            FROM tf JOIN dfc USING (term), n),
+          sal AS (
+            SELECT doc_id, term, tfidf FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS rk FROM scored_t) x
+            WHERE rk <= 3),
+          q AS (SELECT doc_id AS probe_id, term FROM sal WHERE doc_id < 10),
+          kw AS (
+            SELECT probe_id, doc_id, rank_k FROM (
+              SELECT q.probe_id, s.doc_id,
+                row_number() OVER (PARTITION BY q.probe_id
+                  ORDER BY round(sum(s.tfidf), 6) DESC, s.doc_id) AS rank_k
+              FROM sal s JOIN q ON s.term = q.term AND s.doc_id <> q.probe_id
+              GROUP BY q.probe_id, s.doc_id) g
+            WHERE rank_k <= 5),
+          vv AS (SELECT probe_id, neighbor_id AS doc_id, rank AS rank_v
+                 FROM ($s01Sql) v),
+          fused AS (
+            SELECT probe_id, doc_id,
+              round(coalesce(1.0 / (60 + rank_v), 0) +
+                    coalesce(1.0 / (60 + rank_k), 0), 6) AS rrf
+            FROM vv FULL JOIN kw USING (probe_id, doc_id))
+          SELECT probe_id, rank, doc_id, rrf FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY rrf DESC, doc_id) AS rank FROM fused) f
+          WHERE rank <= 5""",
     "s24_multiprobe_ann" -> s24Sql,
     "s25_multiprobe_recall" ->
       s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s01Sql) x),

@@ -1550,6 +1550,30 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a measured filtered-recall lift: single=${fSingle.size} multi=${fMulti.size}")
   }
 
+  test("hybrid RRF actually fuses: both arms contribute, agreement outranks") {
+    import spark.implicits._
+    // the law that makes s30 a FUSION and not a re-sort of one arm:
+    // the fused top-5 mixes vector-ranked and keyword-only docs, and
+    // a doc both arms voted for carries rrf ≥ 2/65 — strictly above
+    // any single-arm doc's 1/61 ceiling, so agreement always wins
+    // (a theorem of depth-5 lists under the k=60 constant)
+    val fused = graft.queries.Similarity.s30HybridRrf(spark, sf)
+      .select("probe_id", "doc_id", "rrf").as[(Long, Long, Double)].collect()
+    val byProbe = fused.groupBy(_._1)
+    assert(byProbe.size == 10 && byProbe.values.forall(_.length == 5),
+      s"expected 10 probes x fused top-5, got ${byProbe.view.mapValues(_.length).toMap}")
+    val vec = graft.queries.Similarity.s01CosineTopK(spark, sf)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val kwOnly = fused.count(r => !vec.contains((r._1, r._2)))
+    assert(kwOnly > 0, "keyword arm surfaced nothing the vector arm missed")
+    assert(kwOnly < fused.length, "vector arm contributed nothing to the fusion")
+    val bothArms = fused.filter(_._3 >= 2.0 / 65 - 1e-9)
+    assert(bothArms.nonEmpty,
+      "no doc carried both arms' votes on this fixture — fusion unfalsifiable")
+    assert(bothArms.forall(r => vec.contains((r._1, r._2))),
+      "a both-arm rrf value must come from a vector-ranked doc")
+  }
+
   test("q68 refuses a 20-node clique loudly instead of exploding") {
     import spark.implicits._
     val clique = (for (a <- 1L to 20L; b <- a + 1 to 20L) yield (a, b))
