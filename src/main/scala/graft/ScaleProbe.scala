@@ -131,7 +131,11 @@ object ScaleProbe {
           // the IVF serving family's scale shape: the centroid fold
           // streams all 2M vectors once (linear, O(64) task memory),
           // then scoring touches only (routed cell ∩ predicate)
-          "s28_filtered_ivf")
+          "s28_filtered_ivf",
+          // hybrid retrieval: the tf-idf inverted-index arm over 6M
+          // docs (explode → partial-agg → term-keyed join) + the RRF
+          // merge — the fusion's cost must track the keyword arm
+          "s30_hybrid_rrf")
       else Seq("d01_exact_dedup", "d03_minhash_lsh",
         "d17_cdc_chunk_overlap", "p08_weighted_sample",
         "e06_lr_quality_score", "t18_char_entropy",
