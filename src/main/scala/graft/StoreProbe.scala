@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * chunk-signature store) or `st20Batch` (the band+shingle stores,
   * every batch carrying ~1/16 arrivals so the probe path runs too),
   * timing EACH batch and recording the worst files-per-bucket after
-  * it. One JSON line, checked in as `STORE_r{N}.json`:
+  * it; `st24` replays the ANN index ingest over the vector corpus
+  * the same way. One JSON line, checked in as `STORE_r{N}.json`:
   *
   *   sbt "runMain graft.StoreProbe st21 48"
   *
@@ -32,7 +33,8 @@ import org.apache.spark.sql.functions._
 object StoreProbe {
   def main(args: Array[String]): Unit = {
     val gate = args.headOption.getOrElse("st21")
-    require(gate == "st21" || gate == "st20", s"unknown gate: $gate")
+    require(gate == "st21" || gate == "st20" || gate == "st24",
+      s"unknown gate: $gate")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(48)
     require(nBatches >= 2, "need at least 2 batches for the drift halves")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -49,10 +51,12 @@ object StoreProbe {
     // resolve the CURRENT scheme's 10× twin via ScaleProbe's staging
     // key — a /tmp glob could land on a retired scheme's stale dir
     // and silently measure the wrong corpus
+    // st24 ingests the VECTOR corpus; the dedup stores ingest docs
+    val table = if (gate == "st24") "embeddings" else "documents"
     val tenx = Some("/tmp/graft_scale10x_" +
-        ScaleProbe.stagingKey("/root/testdata/sf0.1") + "/documents.parquet")
+        ScaleProbe.stagingKey("/root/testdata/sf0.1") + s"/$table.parquet")
       .filter(p => new java.io.File(s"$p/_SUCCESS").exists())
-    val src = tenx.getOrElse("/root/testdata/sf0.1/documents.parquet")
+    val src = tenx.getOrElse(s"/root/testdata/sf0.1/$table.parquet")
     System.err.println(s"[store] corpus: $src")
 
     // stage one single-file chunk per batch ONCE (untimed), so each
@@ -64,8 +68,11 @@ object StoreProbe {
         .map("%02x".format(_)).mkString.take(8)
       val dir = s"/tmp/graft_storeprobe_$key"
       if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
-        spark.read.parquet(src).select(col("doc_id"), col("text"))
-          .withColumn("b", pmod(col("doc_id"), lit(nBatches.toLong)))
+        val (idCol, cols) =
+          if (gate == "st24") ("vec_id", Seq(col("vec_id"), col("embedding")))
+          else ("doc_id", Seq(col("doc_id"), col("text")))
+        spark.read.parquet(src).select(cols: _*)
+          .withColumn("b", pmod(col(idCol), lit(nBatches.toLong)))
           .repartition(nBatches, col("b"))
           .write.mode("overwrite").partitionBy("b").parquet(dir)
       }
@@ -94,11 +101,14 @@ object StoreProbe {
           graft.streaming.EventStreams.st20Batch(
             batch.withColumn("is_new", pmod(col("doc_id"), lit(16L)) === 0),
             s"$work/bands", s"$work/sh", s"$work/out")
+        case "st24" =>
+          graft.streaming.EventStreams.st24Batch(batch, s"$work/idx")
       }
       times(i) = (System.nanoTime() - t0) / 1e9
       files(i) = (gate match {
         case "st21" => Seq(s"$work/sigs")
         case "st20" => Seq(s"$work/bands", s"$work/sh")
+        case "st24" => Seq(s"$work/idx")
       }).map(graft.streaming.EventStreams.maxFilesPerBucket).max
       System.err.println(
         f"[store] $gate batch $i%3d  ${times(i)}%6.2f s  maxFiles ${files(i)}%3d")

@@ -1433,6 +1433,27 @@ object EventStreams {
   def st25StreamFilteredServe(s: SparkSession, d: String): DataFrame =
     streamAnnServe(s, d, filtered = true)
 
+  /** One st24 ingest micro-batch — factored (st20Batch/st21Batch's
+    * discipline) so StoreProbe can replay a long ingest against the
+    * ANN store: pure per-vector map (bucket needs no global state),
+    * bucket-clustered append (one file per bucket per batch), then
+    * the shared compaction check.
+    */
+  private[graft] def st24Batch(batch: DataFrame, store: String): Unit = {
+    val sp = batch.sparkSession
+    graft.functions.VectorExpressions.register(sp)
+    batch
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(x AS double)) AS v")
+      .selectExpr("vec_id", "v", "sqrt(graft_sumsq(v)) AS nrm",
+        "graft_lsh_bucket(v) AS lsh")
+      .withColumn("bucket", bucketOf(col("lsh")))
+      .repartition(col("bucket")) // one file per bucket per batch
+      .write.partitionBy("bucket").mode("append").parquet(store)
+    maybeCompactStore(sp, store)
+    ()
+  }
+
   private def streamAnnServe(s: SparkSession, d: String,
       filtered: Boolean): DataFrame = {
     graft.functions.VectorExpressions.register(s)
@@ -1444,18 +1465,7 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1").parquet(chunks)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sp = batch.sparkSession
-        graft.functions.VectorExpressions.register(sp)
-        batch
-          .selectExpr("vec_id",
-            "transform(embedding, x -> cast(x AS double)) AS v")
-          .selectExpr("vec_id", "v", "sqrt(graft_sumsq(v)) AS nrm",
-            "graft_lsh_bucket(v) AS lsh")
-          .withColumn("bucket", bucketOf(col("lsh")))
-          .repartition(col("bucket")) // one file per bucket per batch
-          .write.partitionBy("bucket").mode("append").parquet(store)
-        maybeCompactStore(sp, store)
-        ()
+        st24Batch(batch, store)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
