@@ -1454,6 +1454,20 @@ object EventStreams {
     ()
   }
 
+  /** The serve-time store read behind st24/st25 — bucket-pruned to
+    * the probes' buckets (a partition filter, so only the probed
+    * bucket dirs' files are listed and scanned). Factored so the
+    * scan-volume spec asserts the scan the serve path actually runs.
+    * Explicit schema: a vector-less corpus leaves the store without
+    * part files, and inference on such a dir throws (st21's hazard).
+    */
+  private[graft] def annStoreSlice(s: SparkSession, store: String,
+      buckets: Seq[Int]): DataFrame =
+    s.read
+      .schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, lsh BIGINT")
+      .parquet(store)
+      .filter(col("bucket").isin(buckets: _*))
+
   private def streamAnnServe(s: SparkSession, d: String,
       filtered: Boolean): DataFrame = {
     graft.functions.VectorExpressions.register(s)
@@ -1480,12 +1494,7 @@ object EventStreams {
         "graft_lsh_bucket(pv) AS plsh")
       .withColumn("pb", bucketOf(col("plsh")))
     val pbs = probes.select("pb").distinct().collect().map(_.getInt(0)).toSeq
-    // explicit schema: a vector-less corpus leaves the store without
-    // part files, and inference on such a dir throws (st21's hazard)
-    val idx = s.read
-      .schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, lsh BIGINT")
-      .parquet(store)
-      .filter(col("bucket").isin(pbs: _*))
+    val idx = annStoreSlice(s, store, pbs)
     // st25: the predicate restricts the pruned slice before any
     // cosine — same pre-filter shape as the batch tiers
     val cand = if (filtered)

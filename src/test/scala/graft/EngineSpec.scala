@@ -1699,6 +1699,46 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-batch probe must scan ~1/16 of the store, got $scanned of $total files")
   }
 
+  test("ANN store serving scans only the probed buckets' files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // st24/st25's serve-time scale claim: the store read is a
+    // PARTITION filter over the probes' buckets, so a one-probe
+    // query lists and scans one bucket dir of a many-batch store —
+    // asserted on the same annStoreSlice the serve path runs
+    val store = graft.core.Staging.tempAtExit("graft_annslice_spec_")
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    (0 until 4).foreach { b =>
+      graft.streaming.EventStreams.st24Batch(
+        emb.filter(pmod(col("vec_id"), lit(4)) === b), store)
+    }
+    def partFiles(f: java.io.File): Int =
+      Option(f.listFiles()).map(_.map(c =>
+        if (c.isDirectory) partFiles(c)
+        else if (c.getName.startsWith("part-")) 1 else 0).sum).getOrElse(0)
+    val total = partFiles(new java.io.File(store))
+    // one probe vector → one bucket, derived exactly as the serve does
+    val bucket = emb.filter(col("vec_id") === 0)
+      .selectExpr("transform(embedding, x -> cast(x AS double)) AS pv")
+      .selectExpr("graft_lsh_bucket(pv) AS plsh")
+      .select(graft.streaming.EventStreams.bucketOf(col("plsh")).as("pb"))
+      .as[Int].head()
+    val slice = graft.streaming.EventStreams.annStoreSlice(spark, store, Seq(bucket))
+    // collect (not count) so THIS frame's queryExecution carries the
+    // populated scan metrics the assertions read
+    assert(slice.collect().length > 0, "probed bucket must hold vectors")
+    val scans = slice.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val scanStr = scans.head.toString
+    val pf = scanStr.substring(scanStr.indexOf("PartitionFilters: ["))
+    assert(pf.take(pf.indexOf("]") + 1).contains("bucket#"),
+      s"bucket IN-list must land in PartitionFilters:\n${scanStr.take(400)}")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    assert(scanned > 0 && scanned * 4 < total,
+      s"one-bucket serve must scan a fraction of the store: $scanned of $total files")
+  }
+
   test("bucketOfLong agrees with the Column-side bucketOf over random ids") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
