@@ -1024,11 +1024,42 @@ object PipelineOps {
         sum(col("ps")).as("sum_p_scaled"))
   }
 
+  /** p09: canonical-copy selection — the production "which duplicate
+    * do we KEEP" decision, composed from two existing gates: d07's
+    * dup clusters pick WHO is duplicated, e06's learned quality score
+    * picks WHICH copy survives (argmax p_scaled per cluster, doc_id
+    * tie-break) — replacing d07's arbitrary min-id canonical with the
+    * best copy, which is what a training-data pipeline actually ships.
+    * All-integer output (p_scaled is e06's 1e6-scaled score), so the
+    * composition is hash-exact end to end.
+    *
+    * Scale shape: clusters come from the banded candidate graph (no
+    * new pair join), scores from a pure map; the join is
+    * cluster-member-sized (dup docs only, ≪ corpus) and the argmax is
+    * one rank window over cluster_id — nothing here rescans the
+    * corpus beyond what d07 and e06 already pay.
+    */
+  def p09CanonicalKeep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = graft.queries.Dedup.d07DupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val scores = e06LrQualityScore(s, d).select(col("doc_id"), col("p_scaled"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("p_scaled").desc, col("doc_id"))
+    clusters.join(scores, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(max(when(col("rk") === 1, col("doc_id"))).as("keep_id"),
+        max(when(col("rk") === 1, col("p_scaled"))).as("keep_p_scaled"),
+        count(lit(1)).as("n_members"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e10_split_contamination" -> e10SplitContamination,
     "e08_negative_sampling" -> e08NegativeSampling,
     "e07_lr_calibration" -> e07LrCalibration,
     "p08_weighted_sample" -> p08WeightedSample,
+    "p09_canonical_keep" -> p09CanonicalKeep,
     "e06_lr_quality_score" -> e06LrQualityScore,
     "e05_lr_quality_train" -> e05LrQualityTrain,
     "p07_zorder_layout" -> p07ZorderLayout,
@@ -1267,6 +1298,24 @@ object PipelineOps {
          SELECT doc_id, round(p * 1e6)::BIGINT AS p_scaled,
            p >= 0.5 AS pred_en, y = 1.0 AS is_en
          FROM ($lrScoredSql)""",
+    // p09: d07's cluster oracle nested as a subquery (its own WITH
+    // included — DuckDB scopes it locally) joined with e06's scored
+    // CTE chain; the argmax is the same rank-then-aggregate both
+    // engines run, over all-integer values
+    "p09_canonical_keep" ->
+      s"""WITH $lrTrainCtes,
+          sc AS (SELECT doc_id, round(p * 1e6)::BIGINT AS p_scaled
+                 FROM ($lrScoredSql)),
+          j AS (SELECT c.cluster_id, c.doc_id, sc.p_scaled
+                FROM (${graft.queries.Dedup.oracles("d07_dup_clusters")}) c
+                JOIN sc USING (doc_id)),
+          r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY p_scaled DESC, doc_id) AS rk FROM j)
+          SELECT cluster_id,
+            max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+            max(CASE WHEN rk = 1 THEN p_scaled END) AS keep_p_scaled,
+            count(*)::BIGINT AS n_members
+          FROM r GROUP BY 1""",
     // identical grid normalization, bit interleave, and 64-way z-range
     // cut — all integer / exactly-representable double arithmetic
     "p07_zorder_layout" ->

@@ -1550,6 +1550,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a measured filtered-recall lift: single=${fSingle.size} multi=${fMulti.size}")
   }
 
+  test("canonical keep picks the best copy, not the smallest id") {
+    import spark.implicits._
+    // p09's three laws against the engine's own parents: the kept doc
+    // is a member of its cluster, it carries the cluster-max quality
+    // score, and for at least one cluster it is NOT the min-id doc —
+    // i.e. the quality argmax genuinely overrides d07's arbitrary
+    // canonical, which is the query's reason to exist
+    val members = graft.queries.Dedup.d07DupClusters(spark, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val score = graft.queries.PipelineOps.e06LrQualityScore(spark, sf)
+      .select("doc_id", "p_scaled").as[(Long, Long)].collect().toMap
+    val keep = graft.queries.PipelineOps.p09CanonicalKeep(spark, sf)
+      .select("cluster_id", "keep_id", "keep_p_scaled", "n_members")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(keep.nonEmpty && keep.forall(k => members(k._1).contains(k._2)),
+      "every kept doc must belong to its cluster")
+    assert(keep.forall(k => k._3 == members(k._1).map(score).max),
+      "the kept doc must carry the cluster-max quality score")
+    assert(keep.forall(k => k._4 == members(k._1).size),
+      "n_members must count the full cluster")
+    assert(keep.exists(k => k._2 != members(k._1).min),
+      "quality argmax never overrode min-id on this fixture — unfalsifiable")
+  }
+
   test("hybrid RRF actually fuses: both arms contribute, agreement outranks") {
     import spark.implicits._
     // the law that makes s30 a FUSION and not a re-sort of one arm:
