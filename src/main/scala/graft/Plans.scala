@@ -30,6 +30,7 @@ object Plans {
       "t15_tfidf", "t16_zipf_slope", "s16_rerank_ann", "m06_phash_dedup",
       "s21_filtered_topk", "s22_filtered_ann", "s24_multiprobe_ann",
       "s26_filtered_multiprobe", "s28_filtered_ivf", "s30_hybrid_rrf",
+      "p09_canonical_keep",
       "t17_bigram_ppl", "p05_temperature_mix",
       "q64_distribution_rank", "s19_radius_lsh", "t18_char_entropy",
       "e03_distribution_drift",
