@@ -37,11 +37,16 @@ object ScaleProbe {
     */
   private[graft] def stagingKey(src: String): String = {
     val scheme = "v2-suffix10-emb"
-    val srcFile = java.nio.file.Paths.get(s"$src/documents.parquet")
+    // fingerprint BOTH staged tables — the twin includes embeddings,
+    // so regenerating only the vector fixture must restage too
+    val stamp = Seq("documents", "embeddings").map { t =>
+      val f = java.nio.file.Paths.get(s"$src/$t.parquet")
+      s"${java.nio.file.Files.size(f)}:${
+        java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+    }.mkString(":")
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$scheme:${java.nio.file.Files.size(srcFile)}:${
-        java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
-        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      .digest(s"$scheme:$stamp".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
   }
 
   def main(args: Array[String]): Unit = {

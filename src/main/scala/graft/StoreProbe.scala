@@ -79,12 +79,7 @@ object StoreProbe {
       dir
     }
 
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-    }
-    val work = java.nio.file.Files
-      .createTempDirectory(s"graft_storeprobe_${gate}_").toString
-    sys.addShutdownHook(rmTree(new java.io.File(work)))
+    val work = graft.core.Staging.tempAtExit(s"graft_storeprobe_${gate}_")
 
     val times = Array.ofDim[Double](nBatches)
     val files = Array.ofDim[Int](nBatches)
@@ -96,10 +91,16 @@ object StoreProbe {
           graft.streaming.EventStreams.st21Batch(
             batch, s"$work/sigs", s"$work/pairs")
         case "st20" =>
-          // ~1/16 of every batch arrives as probes (mixed-batch
-          // contract: the probe side unions the batch's own corpus)
+          // ~1/16 of EVERY batch arrives as probes (mixed-batch
+          // contract: the probe side unions the batch's own corpus).
+          // The flag keys on doc_id div nBatches, which enumerates
+          // 0,1,2,… WITHIN a batch (batches partition on doc_id %
+          // nBatches) — a doc_id % 16 flag aliases with the batch
+          // split whenever gcd(nBatches,16) > 1 (at the default 48,
+          // 3 batches were all-arrivals and 45 never probed)
           graft.streaming.EventStreams.st20Batch(
-            batch.withColumn("is_new", pmod(col("doc_id"), lit(16L)) === 0),
+            batch.withColumn("is_new",
+              expr(s"pmod(doc_id div $nBatches, 16) = 0")),
             s"$work/bands", s"$work/sh", s"$work/out")
         case "st24" =>
           graft.streaming.EventStreams.st24Batch(batch, s"$work/idx")

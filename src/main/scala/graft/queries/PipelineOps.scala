@@ -200,7 +200,7 @@ object PipelineOps {
     // NN-descent paper's random-init kNN, made deterministic via
     // md5): nBlocks = ceil(n_label/24) per assignment round, so block
     // occupancy stays ~24 at ANY corpus size and — with two blocks
-    // per vector — each vector starts with ~2·24 ≈ 2K init
+    // per vector — each vector starts with ~2·24 ≈ 48 init
     // candidates, so init-pair count is ~48·n — LINEAR. The earlier 4-fixed-seed cell routing was this
     // operator's one super-linear stage, caught by the 10× probe at
     // 17.2× for 10× data: with seed count fixed, cell occupancy (and

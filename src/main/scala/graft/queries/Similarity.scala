@@ -1365,6 +1365,18 @@ object Similarity {
             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) r
         WHERE rank <= 5"""
 
+  // the one recall-gate SQL behind s05/s23/s25/s27/s29 — recallAt5's
+  // oracle twin, so the five cells' measurement cannot drift either
+  private def recallSql(exactSql: String, annSql: String): String =
+    s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($exactSql) x),
+        ann AS (SELECT probe_id, neighbor_id FROM ($annSql) y),
+        hits AS (SELECT count(*) AS n_hits FROM exact JOIN ann
+                 USING (probe_id, neighbor_id)),
+        tot AS (SELECT count(*) AS n_exact FROM exact)
+        SELECT n_hits, n_exact,
+          n_hits::DOUBLE / n_exact::DOUBLE AS recall_at_5
+        FROM hits, tot"""
+
   // the 8-hyperplane LCG bucket, shared by every LSH oracle
   // (s02/s22/s24) — ONE string so the index construction cannot
   // drift between the single-probe, filtered, and multiprobe tiers
@@ -1929,22 +1941,12 @@ object Similarity {
             FROM scored) r
           WHERE neg_rank <= 3""",
     "s02_ann_lsh" -> s02Sql,
-    // s30: t15's tf-idf CTE chain verbatim (same rounding, same
-    // tie-breaks) feeding the keyword arm; s01Sql the vector arm;
-    // RRF = 1/(60+rank) summed across the full-outer rank merge
+    // s30: t15's tf-idf CTE chain (the SAME shared string, so the
+    // keyword arm's term extractor cannot drift from the t15 gate)
+    // feeding the keyword arm; s01Sql the vector arm; RRF =
+    // 1/(60+rank) summed across the full-outer rank merge
     "s30_hybrid_rrf" ->
-      s"""WITH toks AS (
-            SELECT doc_id,
-              list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
-            FROM documents),
-          tf AS (
-            SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
-            FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
-          dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-          n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
-          scored_t AS (
-            SELECT doc_id, term, round(tf::DOUBLE * ln(n_docs / df::DOUBLE), 6) AS tfidf
-            FROM tf JOIN dfc USING (term), n),
+      s"""WITH ${graft.queries.TextOps.tfidfCtes},
           sal AS (
             SELECT doc_id, term, tfidf FROM (
               SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -1971,57 +1973,17 @@ object Similarity {
               ORDER BY rrf DESC, doc_id) AS rank FROM fused) f
           WHERE rank <= 5""",
     "s24_multiprobe_ann" -> s24Sql,
-    "s25_multiprobe_recall" ->
-      s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s01Sql) x),
-          ann AS (SELECT probe_id, neighbor_id FROM ($s24Sql) y),
-          hits AS (SELECT count(*) AS n_hits FROM exact JOIN ann
-                   USING (probe_id, neighbor_id)),
-          tot AS (SELECT count(*) AS n_exact FROM exact)
-          SELECT n_hits, n_exact,
-            n_hits::DOUBLE / n_exact::DOUBLE AS recall_at_5
-          FROM hits, tot""",
+    "s25_multiprobe_recall" -> recallSql(s01Sql, s24Sql),
     "s21_filtered_topk" -> s21Sql,
     "s22_filtered_ann" -> s22Sql,
     "s26_filtered_multiprobe" -> s26Sql,
-    "s27_filtered_mp_recall" ->
-      s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s21Sql) x),
-          ann AS (SELECT probe_id, neighbor_id FROM ($s26Sql) y),
-          hits AS (SELECT count(*) AS n_hits FROM exact JOIN ann
-                   USING (probe_id, neighbor_id)),
-          tot AS (SELECT count(*) AS n_exact FROM exact)
-          SELECT n_hits, n_exact,
-            n_hits::DOUBLE / n_exact::DOUBLE AS recall_at_5
-          FROM hits, tot""",
-    "s23_filtered_recall" ->
-      s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s21Sql) x),
-          ann AS (SELECT probe_id, neighbor_id FROM ($s22Sql) y),
-          hits AS (SELECT count(*) AS n_hits FROM exact JOIN ann
-                   USING (probe_id, neighbor_id)),
-          tot AS (SELECT count(*) AS n_exact FROM exact)
-          SELECT n_hits, n_exact,
-            n_hits::DOUBLE / n_exact::DOUBLE AS recall_at_5
-          FROM hits, tot""",
-    "s05_ann_recall" ->
-      s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s01Sql) x),
-          ann AS (SELECT probe_id, neighbor_id FROM ($s02Sql) y),
-          hits AS (SELECT count(*) AS n_hits FROM exact JOIN ann
-                   USING (probe_id, neighbor_id)),
-          tot AS (SELECT count(*) AS n_exact FROM exact)
-          SELECT n_hits, n_exact,
-            n_hits::DOUBLE / n_exact::DOUBLE AS recall_at_5
-          FROM hits, tot""",
+    "s27_filtered_mp_recall" -> recallSql(s21Sql, s26Sql),
+    "s23_filtered_recall" -> recallSql(s21Sql, s22Sql),
+    "s05_ann_recall" -> recallSql(s01Sql, s02Sql),
     "s03_ivf_topk" -> ivfSql(sampleWhere = "", nprobe = 1),
     "s28_filtered_ivf" -> ivfSql(sampleWhere = "", nprobe = 1, filtered = true),
     "s29_filtered_ivf_recall" ->
-      s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s21Sql) x),
-          ann AS (SELECT probe_id, neighbor_id
-                  FROM (${ivfSql(sampleWhere = "", nprobe = 1, filtered = true)}) y),
-          hits AS (SELECT count(*) AS n_hits FROM exact JOIN ann
-                   USING (probe_id, neighbor_id)),
-          tot AS (SELECT count(*) AS n_exact FROM exact)
-          SELECT n_hits, n_exact,
-            n_hits::DOUBLE / n_exact::DOUBLE AS recall_at_5
-          FROM hits, tot""",
+      recallSql(s21Sql, ivfSql(sampleWhere = "", nprobe = 1, filtered = true)),
     "s04_ivf_nprobe2" -> ivfSql(
       sampleWhere = "WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 3 = 0",
       nprobe = 2),

@@ -522,6 +522,23 @@ object TextOps {
               ELSE 'unknown' END AS pred_lang
        FROM scored"""
 
+  // t15's tf-idf CTE chain — ONE string shared with s30's hybrid
+  // oracle (Similarity) so the keyword arm's term extractor cannot
+  // drift from the t15 gate it reuses
+  private[graft] val tfidfCtes =
+    """toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+           FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+         dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         scored_t AS (
+           SELECT doc_id, term, round(tf::DOUBLE * ln(n_docs / df::DOUBLE), 6) AS tfidf
+           FROM tf JOIN dfc USING (term), n)"""
+
   val oracles: Map[String, String] = Map(
     // same integer-pinned c·ln(c) terms (exact sum, any order), same
     // closed-form final expression — ln(2) as a shared literal so the
@@ -585,21 +602,10 @@ object TextOps {
            round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS zipf_slope
          FROM sums""",
     "t15_tfidf" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
-           FROM documents),
-         tf AS (
-           SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
-           FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
-         dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-         n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
-         scored AS (
-           SELECT doc_id, term, round(tf::DOUBLE * ln(n_docs / df::DOUBLE), 6) AS tfidf
-           FROM tf JOIN dfc USING (term), n)
+      s"""WITH $tfidfCtes
          SELECT doc_id, term, tfidf, rank FROM (
            SELECT *, row_number() OVER (PARTITION BY doc_id
-             ORDER BY tfidf DESC, term) AS rank FROM scored) r
+             ORDER BY tfidf DESC, term) AS rank FROM scored_t) r
          WHERE rank <= 3""",
     "t14_boilerplate_spans" ->
       """WITH toks AS (

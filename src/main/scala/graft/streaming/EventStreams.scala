@@ -1099,18 +1099,25 @@ object EventStreams {
         val corpusBands = bands(corpus, "corpus_id")
         val newDocs = sigs.filter(col("is_new"))
         val newBands = bands(newDocs, "new_id").cache()
-        // pre-append store snapshots (file listing happens at frame
-        // creation; the bucket filters below prune that static index)
-        val storeBandsDf =
-          if (storeNonEmpty(bandStore)) Some(sp.read.parquet(bandStore))
-          else None
-        val storeShDf =
-          if (storeNonEmpty(shStore)) Some(sp.read.parquet(shStore))
-          else None
         // the one staging round-trip: materializes the sigs cache the
         // concurrent jobs share, and an empty set = no arrivals
         val kbs = newBands.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
+        // pre-append store snapshots (file listing happens at frame
+        // creation; the bucket filters below prune that static index).
+        // Created only when arrivals exist — the probe path is their
+        // sole consumer, and a corpus-only batch (the steady-state
+        // case) must not pay two DataSource resolutions + leaf-file
+        // listings for frames it never reads. Still BEFORE the
+        // appends launch, so the probe reads a pre-append snapshot.
+        val storeBandsDf =
+          if (kbs.nonEmpty && storeNonEmpty(bandStore))
+            Some(sp.read.parquet(bandStore))
+          else None
+        val storeShDf =
+          if (kbs.nonEmpty && storeNonEmpty(shStore))
+            Some(sp.read.parquet(shStore))
+          else None
         // with arrivals present, corpusBands feeds BOTH the append job
         // and the probe's own-batch band side — cache it so the
         // banding expression runs once per batch (corpus-only batches

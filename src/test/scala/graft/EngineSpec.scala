@@ -1795,11 +1795,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sigStore = graft.core.Staging.tempAtExit("graft_st21met_sigs_")
     val pairDir = graft.core.Staging.tempAtExit("graft_st21met_pairs_")
     // 6 preload batches of diverse-vocab docs → chunks spread over all
-    // 16 buckets, many store files
+    // 16 buckets, many store files. Retried once on Spark's transient
+    // "Block rdd_N does not exist" — a documented unpersist/concurrent-
+    // read race inside BlockManager that full-suite cache pressure
+    // occasionally trips; the law this spec asserts (scan volume) is
+    // unaffected, and a genuine failure reproduces on the retry.
+    def onceRetrying[A](body: => A): A =
+      try body catch {
+        case e: org.apache.spark.SparkException
+            if String.valueOf(e.getMessage).contains("does not exist") =>
+          body
+      }
     (0 until 6).foreach { b =>
       val docs = ((b * 20 + 1) to (b * 20 + 15))
         .map(i => (i.toLong, words(60))).toDF("doc_id", "text")
-      graft.streaming.EventStreams.st21Batch(docs, sigStore, pairDir)
+      onceRetrying {
+        graft.streaming.EventStreams.st21Batch(docs, sigStore, pairDir)
+      }
     }
     def partFiles(f: java.io.File): Int =
       Option(f.listFiles()).map(_.map(c =>
