@@ -335,24 +335,37 @@ object Dedup {
       .map { case (r, ms) => r -> (ms.size + 1) }
     val edgeCnt = edges.groupBy { case (a, _) => find(a) }
       .map { case (r, es) => r -> es.length }
+    // per-component MAX degree: the avg-degree (2m/n) branching model
+    // underestimated irregular components — a 10-clique plus 2
+    // pendants averages b≈3.9 and slipped under the bound while truly
+    // enumerating ~1e7 prefix rows. Degree is counted over the
+    // undirected neighbor sets.
+    val nbrCnt = edges.iterator
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .toSeq.distinct.groupBy(_._1).map { case (v, es) => v -> es.size }
+    val maxDeg = nbrCnt.groupBy { case (v, _) => find(v) }
+      .map { case (r, ds) => r -> ds.values.max }
     // tier 2 is size AND density aware: the walk starts a path from
     // every DIRECTED edge (2m starts, not one per node), and each
-    // extension multiplies by the unvisited-neighbor count, which for
-    // a component with avg degree b = 2m/n shrinks roughly one per
-    // step — est = 2m · Π_i max(1, b-1-i). A 12-node CHAIN (est ~22
-    // rows) walks fine; a 12-node CLIQUE (est ~5e8, true ~1.3e9 rows,
-    // each dragging a visited array) is exactly the hang this guard
-    // exists to refuse — a plain node-count bound admits it. The
-    // node-count ceiling stays as the path-length backstop.
+    // extension multiplies by at most (dmax - 1) unvisited next hops
+    // (every neighbor but the one just arrived from), and never by
+    // more than the nodes still unvisited — est = 2m · Π_i max(1,
+    // min(dmax-1, n-2-i)). Max degree (not avg = 2m/n) UPPER-bounds
+    // irregular components: a dense core inside a sparse component
+    // drives dmax even when pendant nodes dilute the average. A
+    // 12-node CHAIN (dmax 2 → est = 2m ≈ 22 rows) walks fine; a
+    // 12-node CLIQUE (est ~5e9, true ~1.3e9 rows, each dragging a
+    // visited array) is exactly the hang this guard exists to refuse.
+    // The node-count ceiling stays as the path-length backstop.
     compSize.foreach { case (r, n) =>
       val m = edgeCnt.getOrElse(r, 0)
-      val b = 2.0 * m / n
+      val dmax = maxDeg.getOrElse(r, 1)
       val est = (0 until math.max(0, n - 2)).foldLeft(2.0 * m) {
-        (acc, i) => acc * math.max(1.0, b - 1.0 - i) }
+        (acc, i) => acc * math.max(1.0, math.min(dmax - 1.0, n - 2.0 - i)) }
       if (n > 12 || est > 2e6) throw new IllegalStateException(
-        f"q68: a dup cluster with $n nodes / $m edges enumerates ~$est%.0f " +
-          "simple-path rows — the walk is factorial in dense clusters; " +
-          "use d07DupClusters (pointer-jumping) instead")
+        f"q68: a dup cluster with $n nodes / $m edges (max degree $dmax) " +
+          f"enumerates ~$est%.0f simple-path rows — the walk is factorial " +
+          "in dense clusters; use d07DupClusters (pointer-jumping) instead")
     }
     pairs.createOrReplaceTempView("dup_pairs_rv")
     s.sql("""

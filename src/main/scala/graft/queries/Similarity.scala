@@ -1294,6 +1294,10 @@ object Similarity {
         col("rank").as("rank_v"))
     val sal = graft.queries.TextOps
       .tfidfTopK(Tables.documents(s, d), k = 3).cache()
+    // s17's discipline: a composed caller (or the next registering
+    // build) can drop this deterministically instead of relying on
+    // the harness's post-query clearCache
+    registerRelease(() => { sal.unpersist(); () })
     val qterms = sal.filter(col("doc_id") < 10)
       .select(col("doc_id").as("probe_id"), col("term"))
     val kw = sal.join(qterms, Seq("term"))

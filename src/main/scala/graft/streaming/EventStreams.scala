@@ -990,19 +990,51 @@ object EventStreams {
   private[graft] def maybeCompactStore(
       sp: org.apache.spark.sql.SparkSession, dir: String,
       threshold: Int = 8): Unit = {
-    if (maxFilesPerBucket(dir) >= threshold) {
-      val tmp = dir.stripSuffix("/") + ".compacting"
-      sp.read.parquet(dir)
-        .repartition(StoreBuckets, col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-      def rmTree(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-      }
-      rmTree(new java.io.File(dir))
-      if (!new java.io.File(tmp).renameTo(new java.io.File(dir)))
-        throw new IllegalStateException(
-          s"store compaction swap failed: $tmp -> $dir")
+    if (maxFilesPerBucket(dir) >= threshold)
+      rewriteStore(sp, dir, sp.read.parquet(dir))
+  }
+
+  /** Fold `rows` back into `dir` as one file per bucket, swapping the
+    * live dir CRASH-SAFELY: write to `dir.compacting`, rename the live
+    * dir ASIDE (dir → dir.old — one atomic-enough rename, so a crash
+    * here leaves either the old store intact or the new one a single
+    * rename away), rename tmp → dir, then delete the old tree LAST.
+    * Deleting last (not first, as the original delete-then-rename swap
+    * did) means no failure mode destroys data: a partial delete of
+    * `dir.old` (e.g. an open handle) is stale-garbage, not a
+    * half-missing live store. Every rename result and every delete()
+    * result is checked loudly. Shared by compaction and the tombstone
+    * fold ([[deleteFromStore]]), which are the same operation with
+    * different row sets. */
+  private[graft] def rewriteStore(
+      sp: org.apache.spark.sql.SparkSession, dir: String,
+      rows: DataFrame): Unit = {
+    val base = dir.stripSuffix("/")
+    val tmp = new java.io.File(base + ".compacting")
+    val old = new java.io.File(base + ".old")
+    val live = new java.io.File(base)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      if (f.exists() && !f.delete()) throw new IllegalStateException(
+        s"store swap: failed to delete $f")
     }
+    // leftovers from a previous crashed swap: a stale .old is garbage
+    // (the live dir exists — the swap either completed or never
+    // started); a stale .compacting is an incomplete write
+    if (old.exists()) rmTree(old)
+    if (tmp.exists()) rmTree(tmp)
+    rows
+      .repartition(StoreBuckets, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.getPath)
+    if (!live.renameTo(old)) throw new IllegalStateException(
+      s"store swap: rename aside failed: $live -> $old")
+    if (!tmp.renameTo(live)) {
+      // roll back so the store is never left missing
+      old.renameTo(live)
+      throw new IllegalStateException(
+        s"store swap: promote failed: $tmp -> $live (rolled back)")
+    }
+    rmTree(old)
   }
 
   /** STREAMING INCREMENTAL DEDUP — the corpus-refresh pipeline d08
