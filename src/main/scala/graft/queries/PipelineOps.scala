@@ -185,6 +185,120 @@ object PipelineOps {
       .select(col("vec_id"), col("label"), col("blk"))
   }
 
+  /** Release hook for a [[nnDescent]] result: drops the final round's
+    * checkpoint blocks (the lineage is truncated, so callers must fold
+    * the state into an ordinary cache FIRST — see e04's ending). */
+  private[graft] def nnRelease(state: DataFrame): () => Unit = {
+    val rdd = graft.core.Checkpoints.checkpointedRdd(state)
+    () => { rdd.foreach(_.unpersist(blocking = false)); () }
+  }
+
+  /** The NN-descent refinement loop behind e04, factored so the spec
+    * can pin the CONVERGENCE contract: returns (final kNN state,
+    * rounds actually submitted). `e` must carry (vec_id, v, nrm),
+    * cached by the caller; `initPairs` is the candidate seed graph.
+    *
+    * Each round's job ALSO tallies — as an observed metric riding the
+    * round's own action, the s07/s08 k-means `moved` pattern, so
+    * convergence detection costs no extra job — how many vectors'
+    * top-K neighbor lists changed vs the previous round. Zero updates
+    * means the graph is a FIXED POINT of the capped 2-hop expansion
+    * (the expansion is deterministic in the state, so an unchanged
+    * state regenerates the same candidates and the same top-K
+    * forever): further rounds are provably dead work, and the loop
+    * exits instead of silently submitting them. Before this gate the
+    * loop burned all `maxRounds` rounds unconditionally — on easy
+    * geometry that is pure waste (the fleet's single most expensive
+    * operator at every scale), and on a stalled graph it submitted
+    * dead rounds before the oracle hash caught the failure anyway.
+    */
+  private[graft] def nnDescent(e: DataFrame, initPairs: DataFrame,
+      kDeg: Int, maxRounds: Int): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    // exact-cosine top-K of a candidate pair stream, as ordered
+    // (nb, cos) arrays — one row per vector
+    def topK(cands: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nb"))
+      cands
+        .join(e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na")),
+          "vec_id")
+        .join(e.select(col("vec_id").as("nb"), col("v").as("vb"),
+          col("nrm").as("nbn")), "nb")
+        // score, then DROP both vectors before the ranking shuffle
+        // (e02's own discipline): sorting rows that still carry 2×64
+        // doubles is a ~40× wider exchange for nothing
+        .select(col("vec_id"), col("nb"),
+          (expr("graft_dot(va, vb)") / (col("na") * col("nbn"))).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= kDeg) // literal -> WindowGroupLimit per task
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(rk, nb, cos)))," +
+          " x -> struct(x.nb AS nb, x.cos AS cos))").as("nbrs"))
+    }
+    // Per-round lineage truncation via the d07 loop's discipline: a
+    // round references its edge frame THREE times (both 2-hop sides +
+    // the 1-hop union), so an untruncated logical plan grows ~3× per
+    // round and ANALYSIS/cache-matching cost goes exponential — the
+    // data is tiny but planning alone reached ~20 s by round 3
+    // (measured). roundCheckpoint (localCheckpoint; reliable files
+    // under spark.graft.checkpointDir) resets the plan to a leaf.
+    var state = graft.core.Checkpoints.roundCheckpoint(topK(initPairs))
+    var release: () => Unit = nnRelease(state)
+    // cap maxRounds (4 in e04): random init starts one hop "colder"
+    // than the retired geometric seeding — per-round cost is linear,
+    // so the cap trades a bounded constant for the removal of the
+    // quadratic init (measured 17.2× → linear at the 10× probe). The
+    // convergence gate usually exits earlier.
+    var rounds = 0
+    var updated = -1L
+    while (rounds < maxRounds && updated != 0L) {
+      val ed = state.select(col("vec_id").as("src"),
+        explode(expr("transform(nbrs, x -> x.nb)")).as("dst"))
+      // CAPPED reverse expansion (the NN-descent paper's reverse
+      // sampling): a refined kNN graph grows hub nodes (high-dim
+      // hubness), and an uncapped symmetrized 2-hop join fans out as
+      // Σ in(m)·out(m) — quadratic in hub degree (measured: round 3
+      // cost 7× round 1 on identical row counts before the cap). Per
+      // node keep the K reverse sources with smallest id
+      // (deterministic), so every node's expansion degree is ≤ 2K
+      // and the join product is ≤ 2K²·n however skewed the graph.
+      val wRev = Window.partitionBy(col("src")).orderBy(col("dst"))
+      val rev = ed.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("rr", row_number().over(wRev))
+        .filter(col("rr") <= kDeg).drop("rr")
+      val out = ed.union(rev).distinct()
+      val non = out.as("x").join(out.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("vec_id"), col("y.dst").as("nb"))
+        .filter(col("vec_id") =!= col("nb"))
+        .union(out.select(col("src").as("vec_id"), col("dst").as("nb")))
+        .distinct()
+      // the convergence tally rides the checkpoint's own action: join
+      // the previous state's lists back on vec_id (both sides are
+      // vec_id-grouped aggregates, so the join reuses that hash
+      // layout) and count changed lists as an Observation. Equality
+      // of array<struct<nb,cos>> is exact — the arithmetic is
+      // deterministic per pair, so an unchanged list compares equal.
+      val obs = org.apache.spark.sql.Observation(
+        s"nnd_r${rounds}_${System.nanoTime()}")
+      val next = topK(non)
+        .join(state.select(col("vec_id"), col("nbrs").as("prev_nbrs")),
+          Seq("vec_id"), "left")
+        .observe(obs, coalesce(sum(when(col("prev_nbrs").isNull ||
+          col("nbrs") =!= col("prev_nbrs"), 1L).otherwise(0L)), lit(0L))
+          .as("updated"))
+        .select(col("vec_id"), col("nbrs"))
+      // roundCheckpoint is eager, so the new state is materialized
+      // before the previous round's blocks release
+      state = graft.core.Checkpoints.roundCheckpoint(next)
+      updated = obs.get("updated").asInstanceOf[Long]
+      release()
+      release = nnRelease(state)
+      rounds += 1
+    }
+    (state, rounds)
+  }
+
   def e04KnnOutliersAnn(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorExpressions.register(s)
@@ -217,72 +331,8 @@ object PipelineOps {
         Seq("label", "blk"))
       .filter(col("vec_id") =!= col("nb"))
       .select(col("vec_id"), col("nb")).distinct()
-    // exact-cosine top-K of a candidate pair stream, as ordered
-    // (nb, cos) arrays — one row per vector
-    def topK(cands: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("nb"))
-      cands
-        .join(e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na")),
-          "vec_id")
-        .join(e.select(col("vec_id").as("nb"), col("v").as("vb"),
-          col("nrm").as("nbn")), "nb")
-        // score, then DROP both vectors before the ranking shuffle
-        // (e02's own discipline): sorting rows that still carry 2×64
-        // doubles is a ~40× wider exchange for nothing
-        .select(col("vec_id"), col("nb"),
-          (expr("graft_dot(va, vb)") / (col("na") * col("nbn"))).as("cos"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= kDeg) // literal -> WindowGroupLimit per task
-        .groupBy(col("vec_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(rk, nb, cos)))," +
-          " x -> struct(x.nb AS nb, x.cos AS cos))").as("nbrs"))
-    }
-    // Per-round lineage truncation via the d07 loop's discipline: a
-    // round references its edge frame THREE times (both 2-hop sides +
-    // the 1-hop union), so an untruncated logical plan grows ~3× per
-    // round and ANALYSIS/cache-matching cost goes exponential — the
-    // data is tiny but planning alone reached ~20 s by round 3
-    // (measured). roundCheckpoint (localCheckpoint; reliable files
-    // under spark.graft.checkpointDir) resets the plan to a leaf.
-    def ckRelease(df: DataFrame): () => Unit = {
-      val rdd = graft.core.Checkpoints.checkpointedRdd(df)
-      () => { rdd.foreach(_.unpersist(blocking = false)); () }
-    }
-    var state = graft.core.Checkpoints.roundCheckpoint(topK(initPairs))
-    var release: () => Unit = ckRelease(state)
-    // 4 rounds: random init starts one hop "colder" than the retired
-    // geometric seeding, and buys back one round of refinement —
-    // per-round cost is linear, so the trade is +33 % constant for
-    // the removal of the quadratic init (measured 17.2× → linear at
-    // the 10× probe)
-    for (_ <- 1 to 4) {
-      val ed = state.select(col("vec_id").as("src"),
-        explode(expr("transform(nbrs, x -> x.nb)")).as("dst"))
-      // CAPPED reverse expansion (the NN-descent paper's reverse
-      // sampling): a refined kNN graph grows hub nodes (high-dim
-      // hubness), and an uncapped symmetrized 2-hop join fans out as
-      // Σ in(m)·out(m) — quadratic in hub degree (measured: round 3
-      // cost 7× round 1 on identical row counts before the cap). Per
-      // node keep the K reverse sources with smallest id
-      // (deterministic), so every node's expansion degree is ≤ 2K
-      // and the join product is ≤ 2K²·n however skewed the graph.
-      val wRev = Window.partitionBy(col("src")).orderBy(col("dst"))
-      val rev = ed.select(col("dst").as("src"), col("src").as("dst"))
-        .withColumn("rr", row_number().over(wRev))
-        .filter(col("rr") <= kDeg).drop("rr")
-      val out = ed.union(rev).distinct()
-      val non = out.as("x").join(out.as("y"), col("x.dst") === col("y.src"))
-        .select(col("x.src").as("vec_id"), col("y.dst").as("nb"))
-        .filter(col("vec_id") =!= col("nb"))
-        .union(out.select(col("src").as("vec_id"), col("dst").as("nb")))
-        .distinct()
-      // roundCheckpoint is eager, so the new state is materialized
-      // before the previous round's blocks release
-      state = graft.core.Checkpoints.roundCheckpoint(topK(non))
-      release()
-      release = ckRelease(state)
-    }
+    val (state, _) = nnDescent(e, initPairs, kDeg, maxRounds = 4)
+    val release = nnRelease(state)
     // Fold the small result into an ordinary cache and drop the final
     // checkpoint blocks NOW (d07's ending): a truncated lineage cannot
     // recompute, so handing a checkpoint-backed frame to a registry
