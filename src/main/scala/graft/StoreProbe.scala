@@ -37,6 +37,14 @@ object StoreProbe {
       s"unknown gate: $gate")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(48)
     require(nBatches >= 2, "need at least 2 batches for the drift halves")
+    // optional 3rd arg: corpus factor (10 default; 100 replays the
+    // ScaleProbe 100× twin so the flat-per-batch claim is pinned at a
+    // store two orders past the gate fixtures)
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    require(factor == 10 || factor == 100, s"factor must be 10 or 100")
+    // optional 4th arg: store bucket count (spark.graft.storeBuckets)
+    // — the production scale knob; the 100× probe measures it
+    val buckets = args.lift(3).map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,6 +54,7 @@ object StoreProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    buckets.foreach(b => spark.conf.set("spark.graft.storeBuckets", b.toString))
     graft.functions.VectorExpressions.register(spark)
 
     // resolve the CURRENT scheme's 10× twin via ScaleProbe's staging
@@ -53,10 +62,12 @@ object StoreProbe {
     // and silently measure the wrong corpus
     // st24 ingests the VECTOR corpus; the dedup stores ingest docs
     val table = if (gate == "st24") "embeddings" else "documents"
-    val tenx = Some("/tmp/graft_scale10x_" +
+    val twin = Some(s"/tmp/graft_scale${factor}x_" +
         ScaleProbe.stagingKey("/root/testdata/sf0.1") + s"/$table.parquet")
       .filter(p => new java.io.File(s"$p/_SUCCESS").exists())
-    val src = tenx.getOrElse(s"/root/testdata/sf0.1/$table.parquet")
+    require(factor == 10 || twin.nonEmpty,
+      "100x twin not staged — run `runMain graft.ScaleProbe 100` first")
+    val src = twin.getOrElse(s"/root/testdata/sf0.1/$table.parquet")
     System.err.println(s"[store] corpus: $src")
 
     // stage one single-file chunk per batch ONCE (untimed), so each
@@ -126,7 +137,8 @@ object StoreProbe {
     val h2 = median(times.slice(nBatches / 2, nBatches).toSeq)
     val js = times.indices.map(i =>
       s"""{"t":${times(i)},"files":${files(i)}}""").mkString(",")
-    println(s"""{"metric":"store_econ","gate":"$gate","batches":$nBatches,""" +
+    val nBuckets = graft.streaming.EventStreams.StoreBuckets
+    println(s"""{"metric":"store_econ","gate":"$gate","factor":$factor,"buckets":$nBuckets,"batches":$nBatches,""" +
       s""""median_first_half":$h1,"median_second_half":$h2,""" +
       s""""drift":${h2 / h1},"max_files":${files.max},"series":[$js]}""")
     spark.stop()

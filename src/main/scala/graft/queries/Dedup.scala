@@ -1289,6 +1289,31 @@ object Dedup {
         JOIN sizes sb ON corpus_id = sb.doc_id
         WHERE common / (sa.n + sb.n - common) >= 0.5"""
 
+  // st26's oracle: d08's exact-join arithmetic, with the tombstoned
+  // corpus slice (doc_id % 7 = 3, the engine's deterministic delete
+  // set) EXCLUDED from the corpus side — a probe against the
+  // post-delete store must behave exactly as if those docs never
+  // entered the index.
+  private[graft] val tombstoneIncrementalSql =
+    s"""WITH sh AS ($shingleSql),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        flags AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 5 = 0 AS is_new
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS common
+          FROM sh a JOIN flags fa ON a.doc_id = fa.doc_id AND fa.is_new
+               JOIN sh b ON a.s = b.s
+               JOIN flags fb ON b.doc_id = fb.doc_id AND NOT fb.is_new
+                 AND b.doc_id % 7 <> 3
+          GROUP BY 1, 2)
+        SELECT new_id, corpus_id, common / (sa.n + sb.n - common) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON new_id = sa.doc_id
+        JOIN sizes sb ON corpus_id = sb.doc_id
+        WHERE common / (sa.n + sb.n - common) >= 0.5"""
+
   // d09's oracle: the same 5-gram extraction and md5 held-out slice in
   // plain SQL; the engine's xxhash64 gram keys are internal plumbing
   // (d02's collision analysis), the flagged docs and counts must match.

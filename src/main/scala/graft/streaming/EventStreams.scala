@@ -907,9 +907,17 @@ object EventStreams {
     * documents — the correct economics at both ends. 16 buckets
     * suits the local fixtures (bucket-dir count is a real per-write
     * cost at this scale — 64 measured ~2× slower for identical
-    * answers); production raises the constant with index size.
+    * answers); production raises the constant with index size — the
+    * 100× StoreProbe measured st20's per-batch drift 1.32 at 16
+    * buckets (every batch's arrivals touch all 16, so probes scan
+    * the whole growing store) vs flat at 64. Deployment knob
+    * `spark.graft.storeBuckets`; the count is baked into a store's
+    * layout at creation, so it must not change across one store's
+    * lifetime (bucket assignment is persisted in the dir structure).
     */
-  private[graft] val StoreBuckets = 16
+  private[graft] def StoreBuckets: Int =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.storeBuckets").map(_.toInt).getOrElse(16)
 
   private[graft] def bucketOf(keys: Column*): Column =
     pmod(hash(keys: _*), lit(StoreBuckets))
@@ -926,7 +934,8 @@ object EventStreams {
     */
   private[graft] def bucketOfLong(v: Long): Int = {
     val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
-    ((h % StoreBuckets) + StoreBuckets) % StoreBuckets
+    val n = StoreBuckets
+    ((h % n) + n) % n
   }
 
   /** Read a bucketed store pruned to `buckets`: the IN-list lands in
@@ -1037,6 +1046,28 @@ object EventStreams {
     rmTree(old)
   }
 
+  /** TOMBSTONES for the standing stores — the corpus-refresh delete
+    * path: a doc removed from the corpus must take its signatures out
+    * of the index, or the store answers near-dup matches against
+    * ghosts forever. Deletion IS a compaction with a filter: the fold
+    * reads the store once, anti-joins the tombstone id set on `idCol`
+    * (AQE picks broadcast vs shuffle by the set's actual size — a
+    * nightly refresh may delete millions), and rewrites through
+    * [[rewriteStore]]'s crash-safe swap — so a delete also resets
+    * files/bucket to 1, exactly as a production log-structured index
+    * merges tombstones during compaction rather than as point ops.
+    * No-op on an empty/absent store.
+    */
+  private[graft] def deleteFromStore(
+      sp: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, ids: DataFrame): Unit = {
+    if (storeNonEmpty(dir)) {
+      val tomb = ids.toDF(idCol)
+      rewriteStore(sp, dir,
+        sp.read.parquet(dir).join(tomb, Seq(idCol), "left_anti"))
+    }
+  }
+
   /** STREAMING INCREMENTAL DEDUP — the corpus-refresh pipeline d08
     * documents as the 100 TB steady state, actually RUN as a stream:
     * the standing corpus arrives in micro-batches and each batch
@@ -1098,10 +1129,14 @@ object EventStreams {
     * stages the band prune and doubles as the arrivals test — an
     * empty bucket set means a corpus-only batch, which then pays
     * exactly the two store appends; (2) the candidate pairs —
-    * arrivals × band matches, small by design — come back to the
-    * driver ONCE, seeding both the shingle bucket list (bucketOfLong,
-    * locally — no second distributed round-trip) and the verify
-    * join's broadcast probe as a local relation; (3) the two store
+    * arrivals × band matches, typically small — come back to the
+    * driver ONCE when they fit under spark.graft.candFunnelMax,
+    * seeding both the shingle bucket list (bucketOfLong, locally — no
+    * second distributed round-trip) and the verify join's broadcast
+    * probe as a local relation; above the guard they stay DISTRIBUTED
+    * end-to-end (see the funnel-guard comment in the probe job —
+    * adversarial boilerplate-heavy batches never funnel through the
+    * driver); (3) the two store
     * appends and the probe→verify chain touch disjoint inputs and
     * disjoint output dirs, so they are submitted as CONCURRENT jobs
     * (sharing the already-materialized sigs cache) and awaited
@@ -1184,13 +1219,39 @@ object EventStreams {
                 .select(col("bucket"), col("band"), col("bv"), col("corpus_id"))
                 .unionByName(probeBands))
               .getOrElse(probeBands)
-            val candRows = newBands
+            val candFrame = newBands
               .join(bandSide, Seq("bucket", "band", "bv"))
               .select(col("new_id"), col("corpus_id")).distinct()
-              .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-            if (candRows.nonEmpty) {
-              val cands = candRows.toDF("new_id", "corpus_id")
-              val dbs = candRows.map(r => bucketOfLong(r._2)).distinct
+            // CANDIDATE FUNNEL GUARD: the pair list is data-dependent —
+            // typical arrivals batches yield a handful of pairs (the
+            // broadcast-local path below, one round-trip, measured
+            // fastest), but a boilerplate-heavy batch where every doc
+            // shares one band is O(arrivals × store-matches) and must
+            // NEVER ride through the driver. limit(max+1) makes the
+            // guard itself cost one bounded collect: at ≤ max rows the
+            // collected rows ARE the local path's probe relation (no
+            // second action); at max+1 the pairs stay distributed —
+            // shingle buckets come from a distinct-collect of bucket
+            // ids ONLY (bounded by StoreBuckets) and the verify join
+            // runs shuffle-side with no broadcast of either unbounded
+            // side.
+            val funnelMax = sp.conf.getOption("spark.graft.candFunnelMax")
+              .map(_.toInt).getOrElse(100000)
+            val headRows = candFrame.limit(funnelMax + 1).collect()
+            if (headRows.nonEmpty) {
+              val local = headRows.length <= funnelMax
+              val candShared = if (local) null else candFrame.cache()
+              val newSide = newDocs.select(col("doc_id").as("new_id"),
+                col("sh").as("sha"))
+              val (cands, dbs) = if (local) {
+                val rows = headRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+                (broadcast(rows.toDF("new_id", "corpus_id")),
+                  rows.map(r => bucketOfLong(r._2)).distinct)
+              } else {
+                (candShared, candShared
+                  .select(bucketOf(col("corpus_id")).as("b")).distinct()
+                  .collect().map(_.getInt(0)).toSeq)
+              }
               val probeSh = corpus
                 .select(col("doc_id").as("corpus_id"), col("sh").as("shb"))
               val shSide = storeShDf
@@ -1199,9 +1260,8 @@ object EventStreams {
                   .unionByName(probeSh))
                 .getOrElse(probeSh)
               shSide
-                .join(broadcast(cands), Seq("corpus_id"))
-                .join(broadcast(newDocs.select(col("doc_id").as("new_id"),
-                  col("sh").as("sha"))), "new_id")
+                .join(cands, Seq("corpus_id"))
+                .join(if (local) broadcast(newSide) else newSide, "new_id")
                 .withColumn("common",
                   size(array_intersect(col("sha"), col("shb"))).cast("long"))
                 .withColumn("jaccard", col("common") /
@@ -1210,6 +1270,7 @@ object EventStreams {
                 .select(col("new_id"), col("corpus_id"), col("jaccard"))
                 .dropDuplicates("new_id", "corpus_id")
                 .write.mode("append").parquet(outDir)
+              if (candShared != null) candShared.unpersist()
             }
           }
         }
@@ -1229,6 +1290,85 @@ object EventStreams {
           sigs.unpersist()
         }
         ()
+  }
+
+  /** Retention for the append-only pair logs (the st20/st21 `outDir`):
+    * each micro-batch append lands as its own part-file set, so the
+    * log's unit of expiry is the part file and its age is the append
+    * time — truncating by age is a file-level delete, no rewrite (the
+    * log-segment economics every append-only store uses). The QUERY
+    * gates never expire (their answer is the whole log; the oracles
+    * cover the full corpus); a standing deployment calls this on its
+    * own TTL so the quarantine log tracks the refresh window instead
+    * of growing forever. Deletes part files strictly older than
+    * `ttlMs`; directories stay (empty dirs cost a listing entry, and
+    * the next append recreates them anyway).
+    */
+  private[graft] def expireAppendLog(dir: String, ttlMs: Long): Unit = {
+    val cutoff = System.currentTimeMillis() - ttlMs
+    def walk(f: java.io.File): Unit =
+      Option(f.listFiles()).foreach(_.foreach { c =>
+        if (c.isDirectory) walk(c)
+        else if (c.getName.startsWith("part-") && c.lastModified() < cutoff) {
+          if (!c.delete()) throw new IllegalStateException(
+            s"log expiry: failed to delete $c")
+        }
+      })
+    walk(new java.io.File(dir))
+  }
+
+  /** st26: CORPUS-REFRESH DELETION over the standing dedup index —
+    * the tombstone path st20's docstring implies but never exercised:
+    * a doc REMOVED from the corpus must take its band keys and
+    * shingles out of the store, or the index answers near-dup matches
+    * against ghosts forever. The gate: (1) ingest the corpus side
+    * through the SAME micro-batch appends as st20 (corpus rows only —
+    * the arrivals wait); (2) tombstone-fold a deterministic corpus
+    * slice (doc_id % 7 == 3) out of BOTH stores
+    * ([[deleteFromStore]] — deletion is a compaction with a filter,
+    * riding [[rewriteStore]]'s crash-safe swap); (3) probe the
+    * post-delete store with the full arrivals batch. The quarantine
+    * output then answers d08's arithmetic with the deleted slice
+    * excluded from the corpus side — the oracle mirrors that
+    * exclusion, so a ghost match (a deleted doc still in the store)
+    * is a hash mismatch, not a silent leak. At 100 TB this is the
+    * nightly corpus-refresh delete: O(store) fold amortized across
+    * the refresh window, probes unchanged.
+    */
+  def st26TombstoneDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val chunks = stageDocChunks(s, d)
+    val bandStore = graft.core.Staging.tempAtExit("graft_st26_bands_")
+    val shStore = graft.core.Staging.tempAtExit("graft_st26_sh_")
+    val outDir = graft.core.Staging.tempAtExit("graft_st26_out_")
+    val isNew = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 5 === 0
+    val docSchema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(chunks)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // corpus rows only: every batch is an append (kbs empty — no
+        // probe work), the arrivals are held back for the post-delete
+        // probe
+        st20Batch(batch.withColumn("is_new", isNew).filter(!col("is_new")),
+          bandStore, shStore, outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the refresh: tombstone the deleted corpus slice out of BOTH
+    // stores (band keys by corpus_id, shingles by doc_id)
+    val deleted = Tables.documents(s, d)
+      .filter(!isNew && col("doc_id") % 7 === 3).select(col("doc_id"))
+    deleteFromStore(s, bandStore, "corpus_id", deleted)
+    deleteFromStore(s, shStore, "doc_id", deleted)
+    // the probe: all arrivals, against the post-delete store
+    st20Batch(Tables.documents(s, d).filter(isNew)
+      .select(col("doc_id"), col("text")).withColumn("is_new", lit(true)),
+      bandStore, shStore, outDir)
+    s.read.schema("new_id BIGINT, corpus_id BIGINT, jaccard DOUBLE")
+      .parquet(outDir)
   }
 
   /** st21: the CDC sub-document dedup tier (d17) as a corpus-refresh
@@ -1307,8 +1447,19 @@ object EventStreams {
     val sigs = graft.queries.Dedup
       .cdcSigs(batch.select(col("doc_id"), col("text")))
       .withColumn("bucket", bucketOf(col("h"))).cache()
-    val hbs = sigs.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // ONE staging action yields both the bucket list (prunes the
+    // store) and the batch signature count (arms the funnel guard)
+    val bcnt = sigs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c")).collect()
+    val hbs = bcnt.map(_.getInt(0)).toSeq
+    // FUNNEL GUARD (st20's, applied to the broadcast sides): the two
+    // broadcasts below are O(batch) — fastest for the typical
+    // micro-batch, but a bulk-backfill batch must not ride the
+    // driver/broadcast path; above the threshold both joins run
+    // shuffle-side
+    val big = bcnt.map(_.getLong(1)).sum >
+      sp.conf.getOption("spark.graft.candFunnelMax")
+        .map(_.toLong).getOrElse(100000L)
     // cached: the slice feeds BOTH consumers below (prior-frequency
     // aggregate and cross-batch pair join) — without the cache the
     // two subplans would scan the pruned files twice per batch
@@ -1324,16 +1475,18 @@ object EventStreams {
     else batchCnt.withColumn("prior", lit(0L))
     val hotNow = combined
       .filter(col("prior") + col("cnt") > 64).select(col("h"))
-    val pairSigs = sigs.join(broadcast(hotNow), Seq("h"), "left_anti")
+    val pairSigs = sigs.join(
+      if (big) hotNow else broadcast(hotNow), Seq("h"), "left_anti")
     val within = pairSigs.as("a").join(pairSigs.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.h").as("h"), col("a.clen").as("clen"))
     val pairs = if (slice != null) {
+      val batchSide = pairSigs.select(col("bucket"), col("h"),
+        col("doc_id").as("nid"), col("clen"))
       val cross = slice
         .select(col("bucket"), col("h"), col("doc_id").as("cid"))
-        .join(broadcast(pairSigs.select(col("bucket"), col("h"),
-          col("doc_id").as("nid"), col("clen"))), Seq("bucket", "h"))
+        .join(if (big) batchSide else broadcast(batchSide), Seq("bucket", "h"))
         .select(least(col("nid"), col("cid")).as("doc_a"),
           greatest(col("nid"), col("cid")).as("doc_b"),
           col("h"), col("clen"))
@@ -1555,6 +1708,7 @@ object EventStreams {
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st26_tombstone_dedup" -> gated(st26TombstoneDedup),
     "st25_stream_filtered_serve" -> gated(st25StreamFilteredServe),
     "st24_stream_ann_index" -> gated(st24StreamAnnIndex),
     "st23_stream_quality_gate" -> gated(st23StreamQualityGate),
@@ -1604,6 +1758,10 @@ object EventStreams {
        FROM agg, wm WHERE end_us + 1800000000 < w"""
 
   val oracles: Map[String, String] = Map(
+    // st26: d08's arithmetic with the tombstoned corpus slice excluded
+    // from the corpus side — a ghost match (deleted doc still in the
+    // store) is a hash mismatch, not a silent leak
+    "st26_tombstone_dedup" -> graft.queries.Dedup.tombstoneIncrementalSql,
     // st22: the union of batch-local top-100s provably contains the
     // global top-100, so the final merge IS p08's answer — same val
     // per-vector bucketing is batch-boundary-invariant, so the
