@@ -43,7 +43,8 @@ object Plans {
       "d17_cdc_chunk_overlap", "q67_market_share",
       "q68_recursive_clusters", "q69_variant_json", "p08_weighted_sample",
       "q70_pipe_syntax", "q71_group_by_all", "e08_negative_sampling",
-      "e09_hard_negatives", "e10_split_contamination")
+      "e09_hard_negatives", "e10_split_contamination",
+      "s31_hybrid_ann_rrf", "mr08_write_sink")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries (sf0.01, AQE off for readability)\n\n"
     sb ++= "Regenerate: `sbt \"runMain graft.Plans\"`. What to look for per query\n"

@@ -145,7 +145,27 @@ object MrQueries {
       .toDF("n_occurrences", "n_words")
   }
 
+  /** mr08: O10's 100 TB half surfaced on the query gate — a Layer-A
+    * job FINALIZED through [[MapReduce.write]] (the distributed sink:
+    * (key, value) rows straight to a connector, never touching the
+    * driver — the scale counterpart of the reference's driver-side
+    * `__call__`/output hook, `tinymr.py:225-230`) and read back under
+    * the oracle. The job is the canonical word count, so the oracle is
+    * mr01's — the sink round-trip must be answer-preserving, which is
+    * exactly the property a user switching from the eager surface to
+    * the sink surface relies on.
+    */
+  def mr08WriteSink(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.documents(s, d).select("text").as[String].rdd
+    val sink = graft.core.Staging.tempAtExit("graft_mr08_sink_")
+    new WordCount().write(s, lines, sink)
+    s.read.parquet(sink)
+      .select(col("key").as("word"), col("value").as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr08_write_sink" -> mr08WriteSink,
     "mr07_freq_spectrum" -> mr07FreqSpectrum,
     "mr01_word_count" -> mr01WordCount,
     "mr02_key_overload" -> mr02KeyOverload,
@@ -153,6 +173,13 @@ object MrQueries {
     "mr06_orders_timeline" -> mr06OrdersTimeline)
 
   val oracles: Map[String, String] = Map(
+    // the sink round-trip is answer-preserving, so mr08 answers mr01's
+    // oracle (the shared-oracle pattern: the two surfaces cannot drift)
+    "mr08_write_sink" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+           FROM documents) t
+         WHERE word <> '' GROUP BY 1""",
     "mr07_freq_spectrum" ->
       """SELECT n AS n_occurrences, count(*) AS n_words FROM (
            SELECT word, count(*) AS n FROM (

@@ -1288,8 +1288,41 @@ object Similarity {
     * by rrf (rounded at 6dp on both sides, t15's discipline, before
     * ranking) with doc_id tie-break.
     */
-  def s30HybridRrf(s: SparkSession, d: String): DataFrame = {
-    val vec = s01CosineTopK(s, d)
+  def s30HybridRrf(s: SparkSession, d: String): DataFrame =
+    hybridRrf(s, d, s01CosineTopK(s, d), rrfK = 60)
+
+  /** s31: the SAME fusion with the vector arm swapped for s02's LSH
+    * tier — the deployment shape s30's docstring promises ("any tier
+    * emitting ranks composes unchanged"), actually composed and
+    * oracle-checked. At 100 TB this is the production pairing: the
+    * keyword arm is already an index join; the vector arm must be too.
+    */
+  def s31HybridAnnRrf(s: SparkSession, d: String): DataFrame =
+    hybridRrf(s, d, s02AnnLsh(s, d), rrfK = 60)
+
+  /** s32: the fusion knob's RECALL GATE (the s05/s23 discipline
+    * carried to hybrid retrieval): fused-top-5 overlap of the
+    * ANN-armed fusion (s31) against the exact-armed fusion (s30).
+    * Approximating INSIDE a fusion is only safe if measured at the
+    * fused list, not at the arm — a vector arm with high standalone
+    * recall can still reorder the fused top-5.
+    */
+  def s32HybridRecall(s: SparkSession, d: String): DataFrame =
+    recallAt5(
+      s30HybridRrf(s, d).select(col("probe_id"),
+        col("doc_id").as("neighbor_id")),
+      s31HybridAnnRrf(s, d).select(col("probe_id"),
+        col("doc_id").as("neighbor_id")))
+
+  /** The one fusion body behind s30/s31 (`rrfK` is RRF's damping
+    * constant — 60 in Cormack et al.; parameterized so the knob is a
+    * tested argument, not a buried literal): keyword arm from t15's
+    * salient terms, vector arm from ANY tier emitting
+    * (probe_id, neighbor_id, rank) rows.
+    */
+  private[graft] def hybridRrf(s: SparkSession, d: String,
+      vecRanks: DataFrame, rrfK: Int): DataFrame = {
+    val vec = vecRanks
       .select(col("probe_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("rank_v"))
     val sal = graft.queries.TextOps
@@ -1309,10 +1342,19 @@ object Similarity {
           .orderBy(col("kscore").desc, col("doc_id"))))
       .filter(col("rank_k") <= 5)
       .select(col("probe_id"), col("doc_id"), col("rank_k"))
+    rrfFuse(vec, kw, rrfK)
+  }
+
+  /** The pure RRF merge — (probe_id, doc_id, rank_v) ⊕ (probe_id,
+    * doc_id, rank_k) → fused top-5. Factored so the spec can pin the
+    * damping knob's semantics with synthetic arms: small k rewards a
+    * single strong rank, large k rewards presence in BOTH lists. */
+  private[graft] def rrfFuse(vec: DataFrame, kw: DataFrame,
+      rrfK: Int): DataFrame = {
     val fused = vec.join(kw, Seq("probe_id", "doc_id"), "full")
       .withColumn("rrf", round(
-        coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(60) + col("rank_k")), lit(0.0)), 6))
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_v")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_k")), lit(0.0)), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("rrf").desc, col("doc_id"))
     fused.withColumn("rank", row_number().over(w))
@@ -1322,6 +1364,8 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s32_hybrid_recall" -> s32HybridRecall,
+    "s31_hybrid_ann_rrf" -> s31HybridAnnRrf,
     "s30_hybrid_rrf" -> s30HybridRrf,
     "s28_filtered_ivf" -> s28FilteredIvf,
     "s29_filtered_ivf_recall" -> s29FilteredIvfRecall,
@@ -1371,6 +1415,37 @@ object Similarity {
 
   // the one recall-gate SQL behind s05/s23/s25/s27/s29 — recallAt5's
   // oracle twin, so the five cells' measurement cannot drift either
+  /** The hybrid-fusion oracle body behind s30/s31 — one builder so the
+    * keyword arm, the RRF arithmetic (k=60, 6dp rounding), and the
+    * tie-breaks stay identical across vector-arm swaps. */
+  private def hybridSql(vecSql: String): String =
+    s"""WITH ${graft.queries.TextOps.tfidfCtes},
+        sal AS (
+          SELECT doc_id, term, tfidf FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS rk FROM scored_t) x
+          WHERE rk <= 3),
+        q AS (SELECT doc_id AS probe_id, term FROM sal WHERE doc_id < 10),
+        kw AS (
+          SELECT probe_id, doc_id, rank_k FROM (
+            SELECT q.probe_id, s.doc_id,
+              row_number() OVER (PARTITION BY q.probe_id
+                ORDER BY round(sum(s.tfidf), 6) DESC, s.doc_id) AS rank_k
+            FROM sal s JOIN q ON s.term = q.term AND s.doc_id <> q.probe_id
+            GROUP BY q.probe_id, s.doc_id) g
+          WHERE rank_k <= 5),
+        vv AS (SELECT probe_id, neighbor_id AS doc_id, rank AS rank_v
+               FROM ($vecSql) v),
+        fused AS (
+          SELECT probe_id, doc_id,
+            round(coalesce(1.0 / (60 + rank_v), 0) +
+                  coalesce(1.0 / (60 + rank_k), 0), 6) AS rrf
+          FROM vv FULL JOIN kw USING (probe_id, doc_id))
+        SELECT probe_id, rank, doc_id, rrf FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY rrf DESC, doc_id) AS rank FROM fused) f
+        WHERE rank <= 5"""
+
   private def recallSql(exactSql: String, annSql: String): String =
     s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($exactSql) x),
         ann AS (SELECT probe_id, neighbor_id FROM ($annSql) y),
@@ -1945,37 +2020,24 @@ object Similarity {
             FROM scored) r
           WHERE neg_rank <= 3""",
     "s02_ann_lsh" -> s02Sql,
-    // s30: t15's tf-idf CTE chain (the SAME shared string, so the
+    // s30/s31: t15's tf-idf CTE chain (the SAME shared string, so the
     // keyword arm's term extractor cannot drift from the t15 gate)
-    // feeding the keyword arm; s01Sql the vector arm; RRF =
-    // 1/(60+rank) summed across the full-outer rank merge
-    "s30_hybrid_rrf" ->
-      s"""WITH ${graft.queries.TextOps.tfidfCtes},
-          sal AS (
-            SELECT doc_id, term, tfidf FROM (
-              SELECT *, row_number() OVER (PARTITION BY doc_id
-                ORDER BY tfidf DESC, term) AS rk FROM scored_t) x
-            WHERE rk <= 3),
-          q AS (SELECT doc_id AS probe_id, term FROM sal WHERE doc_id < 10),
-          kw AS (
-            SELECT probe_id, doc_id, rank_k FROM (
-              SELECT q.probe_id, s.doc_id,
-                row_number() OVER (PARTITION BY q.probe_id
-                  ORDER BY round(sum(s.tfidf), 6) DESC, s.doc_id) AS rank_k
-              FROM sal s JOIN q ON s.term = q.term AND s.doc_id <> q.probe_id
-              GROUP BY q.probe_id, s.doc_id) g
-            WHERE rank_k <= 5),
-          vv AS (SELECT probe_id, neighbor_id AS doc_id, rank AS rank_v
-                 FROM ($s01Sql) v),
-          fused AS (
-            SELECT probe_id, doc_id,
-              round(coalesce(1.0 / (60 + rank_v), 0) +
-                    coalesce(1.0 / (60 + rank_k), 0), 6) AS rrf
-            FROM vv FULL JOIN kw USING (probe_id, doc_id))
-          SELECT probe_id, rank, doc_id, rrf FROM (
-            SELECT *, row_number() OVER (PARTITION BY probe_id
-              ORDER BY rrf DESC, doc_id) AS rank FROM fused) f
-          WHERE rank <= 5""",
+    // feeding the keyword arm; the vector arm is the builder's
+    // parameter (s01Sql exact / s02Sql LSH); RRF = 1/(60+rank) summed
+    // across the full-outer rank merge
+    "s30_hybrid_rrf" -> hybridSql(s01Sql),
+    "s31_hybrid_ann_rrf" -> hybridSql(s02Sql),
+    // s32: fused-list recall — recallSql's shape over the two fusions
+    // (doc_id is the fused key, so the shared builder doesn't apply)
+    "s32_hybrid_recall" ->
+      s"""WITH exact AS (SELECT probe_id, doc_id FROM (${hybridSql(s01Sql)}) x),
+          ann AS (SELECT probe_id, doc_id FROM (${hybridSql(s02Sql)}) y),
+          hits AS (SELECT count(*) AS n_hits FROM exact JOIN ann
+                   USING (probe_id, doc_id)),
+          tot AS (SELECT count(*) AS n_exact FROM exact)
+          SELECT n_hits, n_exact,
+            n_hits::DOUBLE / n_exact::DOUBLE AS recall_at_5
+          FROM hits, tot""",
     "s24_multiprobe_ann" -> s24Sql,
     "s25_multiprobe_recall" -> recallSql(s01Sql, s24Sql),
     "s21_filtered_topk" -> s21Sql,
