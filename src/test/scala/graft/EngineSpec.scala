@@ -915,6 +915,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     e.unpersist()
   }
 
+  test("rrfFuse: the damping knob trades single-arm strength against dual-arm presence") {
+    import spark.implicits._
+    // doc A: rank 1 in the vector arm only; doc B: rank 4 in BOTH
+    // arms. rrf(A) = 1/(k+1), rrf(B) = 2/(k+4): at k=1 A wins (0.500
+    // vs 0.400), at k=60 B wins (0.0164 vs 0.0313) — the Cormack
+    // et al. trade the parameter exists to tune, pinned exactly.
+    val vec = Seq((0L, 10L, 1), (0L, 20L, 4)).toDF("probe_id", "doc_id", "rank_v")
+    val kw = Seq((0L, 20L, 4)).toDF("probe_id", "doc_id", "rank_k")
+    def top(k: Int): Long = graft.queries.Similarity.rrfFuse(vec, kw, k)
+      .orderBy("rank").select("doc_id").as[Long].head()
+    assert(top(1) == 10L, "k=1 must reward the single strong rank")
+    assert(top(60) == 20L, "k=60 must reward dual-arm presence")
+  }
+
   test("s17 mmrSelect's join-accumulated state equals the reference greedy round by round") {
     // randomized synthetic shortlist: 4 probes × 9 candidates, 4-dim
     // vectors — small enough to replay the greedy on the driver, rich
@@ -1989,6 +2003,133 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"seed $seed (${corpusBatches.size}+1 batches): " +
           s"streamed ${got.size} != direct ${want.size}")
     }
+  }
+
+  test("streaming dedup funnel guard: over-threshold candidates stay distributed, same answers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    // the VERDICT-r8 'done =' clause: one batch whose candidate pairs
+    // EXCEED the guard, both paths hash-equal. Every doc carries the
+    // same long span, so every arrival band-matches every corpus doc —
+    // candidates = arrivals × corpus (80 pairs), the boilerplate
+    // blow-up the funnel guard exists for. candFunnelMax=1 forces the
+    // distributed path; the default (100000) takes the broadcast-local
+    // path; outputs must be identical row sets.
+    val rnd = new scala.util.Random(77)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(30000)).mkString(" ")
+    val span = words(60)
+    val corpus = (1L to 10L).map(i => (i, span + " " + words(2), false))
+    val arrivals = (101L to 108L).map(i => (i, span + " " + words(2), true))
+    def runSt20(tag: String): Set[(Long, Long, Double)] = {
+      val dirs = Seq("bands", "sh", "out")
+        .map(t => graft.core.Staging.tempAtExit(s"graft_fg20${tag}_${t}_"))
+      Seq(corpus, arrivals).foreach { b =>
+        graft.streaming.EventStreams.st20Batch(
+          b.toDF("doc_id", "text", "is_new"), dirs(0), dirs(1), dirs(2))
+      }
+      spark.read.schema("new_id BIGINT, corpus_id BIGINT, jaccard DOUBLE")
+        .parquet(dirs(2)).as[(Long, Long, Double)].collect().toSet
+    }
+    def runSt21(tag: String): Set[(Long, Long, Long, Long)] = {
+      val sigStore = graft.core.Staging.tempAtExit(s"graft_fg21${tag}_sigs_")
+      val pairDir = graft.core.Staging.tempAtExit(s"graft_fg21${tag}_pairs_")
+      Seq(corpus, arrivals).foreach { b =>
+        graft.streaming.EventStreams.st21Batch(
+          b.map(x => (x._1, x._2)).toDF("doc_id", "text"), sigStore, pairDir)
+      }
+      val shared = spark.read
+        .schema("doc_a BIGINT, doc_b BIGINT, h STRING, clen BIGINT")
+        .parquet(pairDir)
+      val allSigs = spark.read
+        .schema("doc_id BIGINT, h STRING, clen BIGINT").parquet(sigStore)
+      graft.queries.Dedup.cdcPairsFinal(shared, allSigs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    val local20 = runSt20("loc")
+    val local21 = runSt21("loc")
+    assert(local20.size == 80,
+      s"fixture must produce arrivals×corpus candidates, got ${local20.size}")
+    assert(local21.nonEmpty, "st21 fixture must produce shared-chunk pairs")
+    spark.conf.set("spark.graft.candFunnelMax", "1")
+    try {
+      assert(runSt20("dist") == local20,
+        "st20 distributed funnel path must equal the broadcast-local path")
+      assert(runSt21("dist") == local21,
+        "st21 shuffle-join path must equal the broadcast path")
+    } finally spark.conf.unset("spark.graft.candFunnelMax")
+  }
+
+  test("tombstone fold: deleted docs leave the stores and never match again") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    // the VERDICT-r8 retention gate: ingest, delete a doc set,
+    // re-probe — the deleted docs must neither appear in the store
+    // files nor surface as matches, while surviving docs still match
+    val rnd = new scala.util.Random(55)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(30000)).mkString(" ")
+    val span = words(60)
+    val dirs = Seq("bands", "sh", "out")
+      .map(t => graft.core.Staging.tempAtExit(s"graft_tomb_${t}_"))
+    // docs 1 and 2 both carry the span; 2 will be tombstoned
+    val corpus = Seq((1L, span + " " + words(2), false),
+      (2L, span + " " + words(3), false), (3L, words(40), false))
+    graft.streaming.EventStreams.st20Batch(
+      corpus.toDF("doc_id", "text", "is_new"), dirs(0), dirs(1), dirs(2))
+    graft.streaming.EventStreams.deleteFromStore(
+      spark, dirs(0), "corpus_id", Seq(2L).toDF("corpus_id"))
+    graft.streaming.EventStreams.deleteFromStore(
+      spark, dirs(1), "doc_id", Seq(2L).toDF("doc_id"))
+    assert(spark.read.parquet(dirs(0))
+      .filter(col("corpus_id") === 2L).count() == 0,
+      "band store must not retain the deleted doc's keys")
+    assert(spark.read.parquet(dirs(1))
+      .filter(col("doc_id") === 2L).count() == 0,
+      "shingle store must not retain the deleted doc's set")
+    assert(spark.read.parquet(dirs(0))
+      .filter(col("corpus_id") === 1L).count() > 0,
+      "tombstone fold must keep every surviving doc's rows")
+    val arrival = Seq((101L, span + " " + words(2), true))
+    graft.streaming.EventStreams.st20Batch(
+      arrival.toDF("doc_id", "text", "is_new"), dirs(0), dirs(1), dirs(2))
+    val got = spark.read
+      .schema("new_id BIGINT, corpus_id BIGINT, jaccard DOUBLE")
+      .parquet(dirs(2)).as[(Long, Long, Double)].collect()
+    assert(got.map(_._2).toSet == Set(1L),
+      s"probe must match the survivor and NEVER the ghost: ${got.toSeq}")
+    // the ANN store (st24): same delete path keyed on vec_id
+    val idx = graft.core.Staging.tempAtExit("graft_tomb_idx_")
+    val vecs = (1L to 30L)
+      .map(i => (i, Seq.fill(8)(rnd.nextDouble().toFloat * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    graft.streaming.EventStreams.st24Batch(vecs, idx)
+    graft.streaming.EventStreams.deleteFromStore(
+      spark, idx, "vec_id", Seq(5L, 6L).toDF("vec_id"))
+    val left = graft.streaming.EventStreams
+      .annStoreSlice(spark, idx, 0 until 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(left == (1L to 30L).toSet -- Set(5L, 6L),
+      s"ANN store after tombstones holds ${left.size} vectors")
+    // pair-log retention: appends are the log segments — an expiry at
+    // TTL drops exactly the old batches' part files, no rewrite
+    val log = graft.core.Staging.tempAtExit("graft_tomb_log_")
+    Seq((1L, 2L)).toDF("a", "b").write.mode("append").parquet(log)
+    // age the first append past any TTL (mtime IS the append time)
+    def ageParts(f: java.io.File): Unit =
+      Option(f.listFiles()).foreach(_.foreach { c =>
+        if (c.isDirectory) ageParts(c)
+        else if (c.getName.startsWith("part-")) {
+          assert(c.setLastModified(System.currentTimeMillis() - 1000000L)); ()
+        }
+      })
+    ageParts(new java.io.File(log))
+    Seq((3L, 4L)).toDF("a", "b").write.mode("append").parquet(log)
+    graft.streaming.EventStreams.expireAppendLog(log, ttlMs = 500000L)
+    val rows = spark.read.schema("a BIGINT, b BIGINT").parquet(log)
+      .as[(Long, Long)].collect().toSet
+    assert(rows == Set((3L, 4L)),
+      s"expiry must drop exactly the aged append: $rows")
   }
 
   test("st21 streamed batches equal the batch oracle under randomized splits") {
