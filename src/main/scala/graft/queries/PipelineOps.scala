@@ -198,19 +198,27 @@ object PipelineOps {
     * rounds actually submitted). `e` must carry (vec_id, v, nrm),
     * cached by the caller; `initPairs` is the candidate seed graph.
     *
-    * Each round's job ALSO tallies — as an observed metric riding the
+    * Each round's job ALSO emits — as an observed metric riding the
     * round's own action, the s07/s08 k-means `moved` pattern, so
-    * convergence detection costs no extra job — how many vectors'
-    * top-K neighbor lists changed vs the previous round. Zero updates
-    * means the graph is a FIXED POINT of the capped 2-hop expansion
-    * (the expansion is deterministic in the state, so an unchanged
-    * state regenerates the same candidates and the same top-K
-    * forever): further rounds are provably dead work, and the loop
-    * exits instead of silently submitting them. Before this gate the
-    * loop burned all `maxRounds` rounds unconditionally — on easy
-    * geometry that is pure waste (the fleet's single most expensive
-    * operator at every scale), and on a stalled graph it submitted
-    * dead rounds before the oracle hash caught the failure anyway.
+    * convergence detection costs no extra job, no extra join, and no
+    * extra shuffle — an order-independent CHECKSUM of the state:
+    * bit_xor over xxhash64(vec_id, nbrs). A repeated checksum means
+    * the state is (up to a ~2⁻⁶⁴ xor-collision, which the e02 oracle
+    * hash would still catch) a FIXED POINT of the capped 2-hop
+    * expansion (the expansion is deterministic in the state, so an
+    * unchanged state regenerates the same candidates and the same
+    * top-K forever): further rounds are provably dead work, and the
+    * loop exits instead of silently submitting them. The first cut of
+    * this gate joined each round's lists back to the previous state
+    * to COUNT changed rows — semantically identical, but the join
+    * reshuffled the full 24-struct neighbor arrays every round and
+    * cost e04 ~25 % at sf0.1 (measured head-to-head against the r8
+    * tree on one boot); the checksum rides the existing aggregate for
+    * free. Before any gate the loop burned all `maxRounds` rounds
+    * unconditionally — on easy geometry pure waste (the fleet's
+    * single most expensive operator at every scale), and on a stalled
+    * graph it submitted dead rounds before the oracle hash caught the
+    * failure anyway.
     */
   private[graft] def nnDescent(e: DataFrame, initPairs: DataFrame,
       kDeg: Int, maxRounds: Int): (DataFrame, Int) = {
@@ -243,7 +251,16 @@ object PipelineOps {
     // data is tiny but planning alone reached ~20 s by round 3
     // (measured). roundCheckpoint (localCheckpoint; reliable files
     // under spark.graft.checkpointDir) resets the plan to a leaf.
-    var state = graft.core.Checkpoints.roundCheckpoint(topK(initPairs))
+    // the state checksum (see the contract above): observed on every
+    // materialization, INCLUDING the init state — round 1's equality
+    // test needs the init's checksum, and observing it here rides the
+    // checkpoint action that runs anyway
+    def chkCol = expr("bit_xor(xxhash64(vec_id, nbrs))").as("chk")
+    val obs0 = org.apache.spark.sql.Observation(
+      s"nnd_init_${System.nanoTime()}")
+    var state = graft.core.Checkpoints.roundCheckpoint(
+      topK(initPairs).observe(obs0, chkCol))
+    var prevChk = Option(obs0.get("chk")) // None ⇔ empty state
     var release: () => Unit = nnRelease(state)
     // cap maxRounds (4 in e04): random init starts one hop "colder"
     // than the retired geometric seeding — per-round cost is linear,
@@ -251,8 +268,8 @@ object PipelineOps {
     // quadratic init (measured 17.2× → linear at the 10× probe). The
     // convergence gate usually exits earlier.
     var rounds = 0
-    var updated = -1L
-    while (rounds < maxRounds && updated != 0L) {
+    var converged = false
+    while (rounds < maxRounds && !converged) {
       val ed = state.select(col("vec_id").as("src"),
         explode(expr("transform(nbrs, x -> x.nb)")).as("dst"))
       // CAPPED reverse expansion (the NN-descent paper's reverse
@@ -273,25 +290,21 @@ object PipelineOps {
         .filter(col("vec_id") =!= col("nb"))
         .union(out.select(col("src").as("vec_id"), col("dst").as("nb")))
         .distinct()
-      // the convergence tally rides the checkpoint's own action: join
-      // the previous state's lists back on vec_id (both sides are
-      // vec_id-grouped aggregates, so the join reuses that hash
-      // layout) and count changed lists as an Observation. Equality
-      // of array<struct<nb,cos>> is exact — the arithmetic is
-      // deterministic per pair, so an unchanged list compares equal.
+      // the convergence checksum rides the checkpoint's own action —
+      // no join against the previous state (see the contract above).
+      // xxhash64 of (vec_id, nbrs) is exact on the list identity: the
+      // arithmetic is deterministic per pair, so an unchanged list
+      // hashes equal, and bit_xor is order-independent over the
+      // one-row-per-vec_id aggregate.
       val obs = org.apache.spark.sql.Observation(
         s"nnd_r${rounds}_${System.nanoTime()}")
-      val next = topK(non)
-        .join(state.select(col("vec_id"), col("nbrs").as("prev_nbrs")),
-          Seq("vec_id"), "left")
-        .observe(obs, coalesce(sum(when(col("prev_nbrs").isNull ||
-          col("nbrs") =!= col("prev_nbrs"), 1L).otherwise(0L)), lit(0L))
-          .as("updated"))
-        .select(col("vec_id"), col("nbrs"))
+      val next = topK(non).observe(obs, chkCol)
       // roundCheckpoint is eager, so the new state is materialized
       // before the previous round's blocks release
       state = graft.core.Checkpoints.roundCheckpoint(next)
-      updated = obs.get("updated").asInstanceOf[Long]
+      val chk = Option(obs.get("chk"))
+      converged = chk == prevChk
+      prevChk = chk
       release()
       release = nnRelease(state)
       rounds += 1

@@ -879,9 +879,9 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 12 vectors < kDeg, so the COMPLETE pair graph is a legal init:
     // round 1's top-K then equals the init top-K exactly (the
     // expansion can add no pair the init didn't already score), the
-    // observed update count is 0, and the loop must stop after that
-    // single measuring round instead of burning the 4-round cap on
-    // provably dead work.
+    // observed state checksum repeats, and the loop must stop after
+    // that single measuring round instead of burning the 4-round cap
+    // on provably dead work.
     val rnd = new scala.util.Random(90210)
     val e = (1L to 12L)
       .map(i => (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
