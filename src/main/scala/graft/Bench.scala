@@ -69,6 +69,30 @@ object Bench {
         System.err.println(s"[bench] calibration failed: ${e.getMessage}"); -1.0
       }
     }
+    // DISK probe (CPU calib's sibling): streaming gates and sink
+    // round-trips are bounded by tmp-disk write throughput, which has
+    // measured 3× different across VM boots while the CPU probe stayed
+    // flat — a cross-round per-query diff can't tell a plan regression
+    // from a slow disk unless the artifact records both. One 64 MiB
+    // write+fsync to the same tmp filesystem the checkpoints use.
+    def diskProbe(): Double = {
+      try {
+        val f = java.io.File.createTempFile("graft_bench_disk_", ".bin")
+        val t0 = System.nanoTime()
+        val out = new java.io.FileOutputStream(f)
+        val block = new Array[Byte](1 << 20)
+        try {
+          var i = 0
+          while (i < 64) { out.write(block); i += 1 }
+          out.getFD.sync()
+        } finally out.close()
+        val mbps = 64.0 / ((System.nanoTime() - t0) / 1e9)
+        f.delete()
+        mbps
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] disk probe failed: ${e.getMessage}"); -1.0
+      }
+    }
     def exec(name: String): Double = {
       val t = execOnce(name)
       System.err.println(f"[bench] $name%-28s $t%8.2f s")
@@ -113,6 +137,8 @@ object Bench {
       } else n -> first
     }
     probe("end")
+    val diskMbps = Seq(diskProbe(), diskProbe()).max // page-cache warm pass
+    System.err.println(f"[bench] disk probe $diskMbps%8.1f MB/s")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -122,7 +148,7 @@ object Bench {
     // Full-detail line FIRST: every query at full precision plus the
     // interleaved calibration series (repo-local sweeps capture all of
     // stdout, so nothing is lost for analysis).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd},"calibs":$calibArr}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,"disk_mbps":$diskMbps},"calibs":$calibArr}""")
     // Compact summary LAST: the driver keeps only the final ~2,000
     // chars of stdout, and with 125 queries the full line is ~6 KB —
     // the r2/r3 artifacts show it beheaded mid-map ("parsed": null).
@@ -131,7 +157,7 @@ object Bench {
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$slow,"queries_note":"slowest 20 of ${results.size}; full map on the first metric line","sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd}}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$slow,"queries_note":"slowest 20 of ${results.size}; full map on the first metric line","sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,"disk_mbps":${f"$diskMbps%.1f"}}}""")
     spark.stop()
   }
 }
