@@ -907,13 +907,22 @@ object EventStreams {
     * documents — the correct economics at both ends. 16 buckets
     * suits the local fixtures (bucket-dir count is a real per-write
     * cost at this scale — 64 measured ~2× slower for identical
-    * answers); production raises the constant with index size — the
-    * 100× StoreProbe measured st20's per-batch drift 1.32 at 16
-    * buckets (every batch's arrivals touch all 16, so probes scan
-    * the whole growing store) vs flat at 64. Deployment knob
-    * `spark.graft.storeBuckets`; the count is baked into a store's
-    * layout at creation, so it must not change across one store's
-    * lifetime (bucket assignment is persisted in the dir structure).
+    * answers); production raises the constant with index size via the
+    * `spark.graft.storeBuckets` knob. The count is baked into a
+    * store's layout at creation, so it must not change across one
+    * store's lifetime (bucket assignment is persisted in the dir
+    * structure). What the knob does NOT fix — measured, STORE100_r9:
+    * at the 100× corpus st20's per-batch median drifts 1.32 at 16
+    * buckets AND 1.30 at 64, because every batch's ~hundreds of
+    * arrivals carry band keys spanning ALL buckets, so the probe
+    * scans the whole growing store either way; more buckets only
+    * narrows the scan when m (distinct probe keys) < B. The
+    * production bound on that growth is RETENTION, not bucket count:
+    * [[deleteFromStore]] folds expired/deleted docs out of the
+    * standing index, so "the store" a probe scans is the refresh
+    * window, not all of history (st21's flat 0.98 drift at the same
+    * 100× shows the other masking regime — per-batch fixed cost
+    * dominating scan growth).
     */
   private[graft] def StoreBuckets: Int =
     org.apache.spark.sql.SparkSession.active.conf
