@@ -163,14 +163,21 @@ object ScaleProbe {
     val rows = picks.filter(only).map { n =>
       // first executions pay PER-PLAN codegen (the HOF-heavy plans
       // compile for seconds — order-dependent and data-independent);
-      // time the SECOND run of each (query, dir) pair so the ratio
-      // reflects data-dependent work only. The base leg is warmed AND
-      // timed BEFORE the big leg ever runs: at 100× a big run leaves
-      // real GC/page-cache pressure behind, and a base timing taken
-      // downstream of it measured 5× inflated (d17 1.25 → 6.94 s) —
-      // which FLATTERS the ratio, the wrong direction to be wrong in
-      val a = { time(n, base); time(n, base) }
-      val b = { time(n, big); time(n, big) }
+      // time the runs AFTER the first of each (query, dir) pair so the
+      // ratio reflects data-dependent work only, and take the MIN of
+      // two timed runs: this box has episodic multi-minute throttle
+      // windows (Bench's documented retry rationale) that poison
+      // single measurements — two consecutive full-panel runs each
+      // produced one ~10× outlier cell, a DIFFERENT query each time
+      // (d03 31.9 s then 4.1 s; d17 67.1 s then 5.3 s), so one timed
+      // sample per cell cannot be trusted on this host. The base leg
+      // is warmed AND timed BEFORE the big leg ever runs: at 100× a
+      // big run leaves real GC/page-cache pressure behind, and a base
+      // timing taken downstream of it measured 5× inflated (d17 1.25
+      // → 6.94 s) — which FLATTERS the ratio, the wrong direction to
+      // be wrong in
+      val a = { time(n, base); math.min(time(n, base), time(n, base)) }
+      val b = { time(n, big); math.min(time(n, big), time(n, big)) }
       System.err.println(f"[scale] $n%-24s sf0.1 $a%6.2f s   ${factor}x $b%6.2f s   ratio ${b / a}%5.2f")
       s""""$n":{"sf01":$a,"x$factor":$b,"ratio":${b / a}}"""
     }
