@@ -139,8 +139,10 @@ object ScaleProbe {
           "s28_filtered_ivf",
           // hybrid retrieval: the tf-idf inverted-index arm over 6M
           // docs (explode → partial-agg → term-keyed join) + the RRF
-          // merge — the fusion's cost must track the keyword arm
-          "s30_hybrid_rrf")
+          // merge — the fusion's cost must track the keyword arm; the
+          // ANN-armed pairing (s31) alongside it shows what swapping
+          // the exact vector arm for the LSH index buys at 2M vectors
+          "s30_hybrid_rrf", "s31_hybrid_ann_rrf")
       else Seq("d01_exact_dedup", "d03_minhash_lsh",
         "d17_cdc_chunk_overlap", "p08_weighted_sample",
         "e06_lr_quality_score", "t18_char_entropy",
