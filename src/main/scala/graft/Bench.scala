@@ -74,10 +74,17 @@ object Bench {
     // measured 3× different across VM boots while the CPU probe stayed
     // flat — a cross-round per-query diff can't tell a plan regression
     // from a slow disk unless the artifact records both. One 64 MiB
-    // write+fsync to the same tmp filesystem the checkpoints use.
+    // write+fsync, placed under spark.graft.checkpointDir when that
+    // is set (reliable-checkpoint mode writes there, not tmp) and
+    // java.io.tmpdir otherwise, so the probe measures the filesystem
+    // the run's checkpoints actually hit.
     def diskProbe(): Double = {
+      var f: java.io.File = null
       try {
-        val f = java.io.File.createTempFile("graft_bench_disk_", ".bin")
+        val dir = spark.conf.getOption("spark.graft.checkpointDir")
+          .filter(_.nonEmpty).map(new java.io.File(_)).filter(_.isDirectory)
+          .orNull // null → createTempFile's java.io.tmpdir default
+        f = java.io.File.createTempFile("graft_bench_disk_", ".bin", dir)
         val t0 = System.nanoTime()
         val out = new java.io.FileOutputStream(f)
         val block = new Array[Byte](1 << 20)
@@ -86,12 +93,10 @@ object Bench {
           while (i < 64) { out.write(block); i += 1 }
           out.getFD.sync()
         } finally out.close()
-        val mbps = 64.0 / ((System.nanoTime() - t0) / 1e9)
-        f.delete()
-        mbps
+        64.0 / ((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] disk probe failed: ${e.getMessage}"); -1.0
-      }
+      } finally if (f != null) f.delete()
     }
     def exec(name: String): Double = {
       val t = execOnce(name)

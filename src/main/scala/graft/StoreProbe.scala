@@ -45,6 +45,13 @@ object StoreProbe {
     // optional 4th arg: store bucket count (spark.graft.storeBuckets)
     // — the production scale knob; the 100× probe measures it
     val buckets = args.lift(3).map(_.toInt)
+    // optional 5th arg "tomb": after the ingest, time a corpus-refresh
+    // tombstone fold (delete a deterministic 1/7 id slice from every
+    // standing store) at the FULL store size, then replay one more
+    // probe batch — the fold is O(store) by design (a compaction with
+    // a filter); the claim under measure is that probes afterwards
+    // cost the same as before
+    val tomb = args.lift(4).contains("tomb")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -138,9 +145,47 @@ object StoreProbe {
     val js = times.indices.map(i =>
       s"""{"t":${times(i)},"files":${files(i)}}""").mkString(",")
     val nBuckets = graft.streaming.EventStreams.StoreBuckets
+    // tombstone leg: fold the slice out of every standing store, then
+    // one more replayed batch at the post-fold store
+    val tombJson = if (tomb) {
+      val ids = spark.read.parquet(src)
+        .select(col(if (gate == "st24") "vec_id" else "doc_id").as("id"))
+        .filter(pmod(col("id"), lit(7L)) === 3L)
+      val t0 = System.nanoTime()
+      gate match {
+        case "st21" => graft.streaming.EventStreams.deleteFromStore(
+          spark, s"$work/sigs", "doc_id", ids.toDF("doc_id"))
+        case "st20" =>
+          graft.streaming.EventStreams.deleteFromStore(
+            spark, s"$work/bands", "corpus_id", ids.toDF("corpus_id"))
+          graft.streaming.EventStreams.deleteFromStore(
+            spark, s"$work/sh", "doc_id", ids.toDF("doc_id"))
+        case "st24" => graft.streaming.EventStreams.deleteFromStore(
+          spark, s"$work/idx", "vec_id", ids.toDF("vec_id"))
+      }
+      val foldSec = (System.nanoTime() - t0) / 1e9
+      // replay batch 1's data as one more probe batch (a re-append of
+      // known rows — fine for timing; the stores are torn down at exit)
+      val batch = spark.read.parquet(s"$stagedRoot/b=1")
+      val t1 = System.nanoTime()
+      gate match {
+        case "st21" => graft.streaming.EventStreams.st21Batch(
+          batch, s"$work/sigs", s"$work/pairs")
+        case "st20" => graft.streaming.EventStreams.st20Batch(
+          batch.withColumn("is_new",
+            expr(s"pmod(doc_id div $nBatches, 16) = 0")),
+          s"$work/bands", s"$work/sh", s"$work/out")
+        case "st24" => graft.streaming.EventStreams.st24Batch(
+          batch, s"$work/idx")
+      }
+      val postSec = (System.nanoTime() - t1) / 1e9
+      System.err.println(
+        f"[store] $gate tombstone fold $foldSec%6.2f s  post-fold batch $postSec%6.2f s")
+      s""","tomb_fold_sec":$foldSec,"post_fold_batch_sec":$postSec"""
+    } else ""
     println(s"""{"metric":"store_econ","gate":"$gate","factor":$factor,"buckets":$nBuckets,"batches":$nBatches,""" +
       s""""median_first_half":$h1,"median_second_half":$h2,""" +
-      s""""drift":${h2 / h1},"max_files":${files.max},"series":[$js]}""")
+      s""""drift":${h2 / h1},"max_files":${files.max}$tombJson,"series":[$js]}""")
     spark.stop()
   }
 }

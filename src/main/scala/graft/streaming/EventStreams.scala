@@ -1246,7 +1246,25 @@ object EventStreams {
             // side.
             val funnelMax = sp.conf.getOption("spark.graft.candFunnelMax")
               .map(_.toInt).getOrElse(100000)
-            val headRows = candFrame.limit(funnelMax + 1).collect()
+            // limit+collect lowers to executeTake, which defaults to
+            // INCREMENTAL partition waves (1, then 4×, …): a typical
+            // tiny candidate set exhausts every wave — 3-4 sequential
+            // jobs per micro-batch where the pre-guard collect() paid
+            // one (measured ~2× on the st20 gate, BENCH r8→r9). With
+            // initialNumPartitions ≥ the plan's partition count the
+            // take is ONE job again; driver traffic stays bounded by
+            // construction (each task ships ≤ funnelMax+1 rows of two
+            // longs). Set/restore around the collect: the concurrent
+            // append jobs on this session take no limits, so the
+            // scoped flip cannot affect them.
+            val prevInit = sp.conf.getOption("spark.sql.limit.initialNumPartitions")
+            sp.conf.set("spark.sql.limit.initialNumPartitions", "1000000")
+            val headRows =
+              try candFrame.limit(funnelMax + 1).collect()
+              finally prevInit match {
+                case Some(v) => sp.conf.set("spark.sql.limit.initialNumPartitions", v)
+                case None => sp.conf.unset("spark.sql.limit.initialNumPartitions")
+              }
             if (headRows.nonEmpty) {
               val local = headRows.length <= funnelMax
               val candShared = if (local) null else candFrame.cache()

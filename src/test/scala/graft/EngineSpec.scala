@@ -2021,17 +2021,53 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val span = words(60)
     val corpus = (1L to 10L).map(i => (i, span + " " + words(2), false))
     val arrivals = (101L to 108L).map(i => (i, span + " " + words(2), true))
-    def runSt20(tag: String): Set[(Long, Long, Double)] = {
+    // PLAN ASSERTION rider: answer equality alone would let a refactor
+    // silently re-broadcast the unbounded frames on the distributed
+    // path — the exact property the guard buys. Every pair/quarantine
+    // WRITE is captured by output dir (the analyzed plan's
+    // InsertIntoHadoopFsRelationCommand), counting broadcast
+    // ResolvedHints in its subtree: the local path must carry ≥1 (the
+    // positive control proving the detector sees hints) and the
+    // distributed path ZERO — AQE may still broadcast a side it
+    // MEASURES as small at runtime, which is the safe, size-checked
+    // decision; the spec bans only the unconditional compile-time hint.
+    case class WriteStats(events: Int, hints: Int)
+    val writeStats =
+      new java.util.concurrent.ConcurrentHashMap[String, WriteStats]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = {
+        qe.analyzed.collectFirst {
+          case c: org.apache.spark.sql.execution.datasources
+              .InsertIntoHadoopFsRelationCommand => c.outputPath.getName
+        }.foreach { dir =>
+          val hints = qe.analyzed.collect {
+            case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+              if h.hints.strategy.contains(
+                org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+          }.size
+          writeStats.merge(dir, WriteStats(1, hints),
+            (a, b) => WriteStats(a.events + b.events, a.hints + b.hints))
+        }
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    def runSt20(tag: String): (Set[(Long, Long, Double)], String) = {
       val dirs = Seq("bands", "sh", "out")
         .map(t => graft.core.Staging.tempAtExit(s"graft_fg20${tag}_${t}_"))
       Seq(corpus, arrivals).foreach { b =>
         graft.streaming.EventStreams.st20Batch(
           b.toDF("doc_id", "text", "is_new"), dirs(0), dirs(1), dirs(2))
       }
-      spark.read.schema("new_id BIGINT, corpus_id BIGINT, jaccard DOUBLE")
-        .parquet(dirs(2)).as[(Long, Long, Double)].collect().toSet
+      (spark.read.schema("new_id BIGINT, corpus_id BIGINT, jaccard DOUBLE")
+        .parquet(dirs(2)).as[(Long, Long, Double)].collect().toSet,
+        new java.io.File(dirs(2)).getName)
     }
-    def runSt21(tag: String): Set[(Long, Long, Long, Long)] = {
+    def runSt21(tag: String): (Set[(Long, Long, Long, Long)], String) = {
       val sigStore = graft.core.Staging.tempAtExit(s"graft_fg21${tag}_sigs_")
       val pairDir = graft.core.Staging.tempAtExit(s"graft_fg21${tag}_pairs_")
       Seq(corpus, arrivals).foreach { b =>
@@ -2043,21 +2079,45 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .parquet(pairDir)
       val allSigs = spark.read
         .schema("doc_id BIGINT, h STRING, clen BIGINT").parquet(sigStore)
-      graft.queries.Dedup.cdcPairsFinal(shared, allSigs)
-        .as[(Long, Long, Long, Long)].collect().toSet
+      (graft.queries.Dedup.cdcPairsFinal(shared, allSigs)
+        .as[(Long, Long, Long, Long)].collect().toSet,
+        new java.io.File(pairDir).getName)
     }
-    val local20 = runSt20("loc")
-    val local21 = runSt21("loc")
-    assert(local20.size == 80,
-      s"fixture must produce arrivals×corpus candidates, got ${local20.size}")
-    assert(local21.nonEmpty, "st21 fixture must produce shared-chunk pairs")
-    spark.conf.set("spark.graft.candFunnelMax", "1")
     try {
-      assert(runSt20("dist") == local20,
+      val (local20, locOut20) = runSt20("loc")
+      val (local21, locOut21) = runSt21("loc")
+      assert(local20.size == 80,
+        s"fixture must produce arrivals×corpus candidates, got ${local20.size}")
+      assert(local21.nonEmpty, "st21 fixture must produce shared-chunk pairs")
+      spark.conf.set("spark.graft.candFunnelMax", "1")
+      val (dist20, distOut20, dist21, distOut21) =
+        try {
+          val (d20, o20) = runSt20("dist")
+          val (d21, o21) = runSt21("dist")
+          (d20, o20, d21, o21)
+        } finally spark.conf.unset("spark.graft.candFunnelMax")
+      assert(dist20 == local20,
         "st20 distributed funnel path must equal the broadcast-local path")
-      assert(runSt21("dist") == local21,
+      assert(dist21 == local21,
         "st21 shuffle-join path must equal the broadcast path")
-    } finally spark.conf.unset("spark.graft.candFunnelMax")
+      // listener delivery is async — poll until every expected write
+      // landed (st20: 1 quarantine write per run — the corpus-only
+      // first batch never probes; st21: 2 pair writes per run)
+      val deadline = System.nanoTime() + 30e9.toLong
+      def st(d: String) = Option(writeStats.get(d)).getOrElse(WriteStats(0, 0))
+      while ((st(locOut20).events < 1 || st(distOut20).events < 1 ||
+          st(locOut21).events < 2 || st(distOut21).events < 2) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      assert(st(locOut20).hints >= 1 && st(locOut21).hints >= 1,
+        s"detector control: the local-path writes must carry broadcast " +
+          s"hints, got st20=${st(locOut20)} st21=${st(locOut21)}")
+      assert(st(distOut20) == WriteStats(1, 0),
+        s"st20's distributed quarantine write must be broadcast-hint-free, " +
+          s"got ${st(distOut20)}")
+      assert(st(distOut21) == WriteStats(2, 0),
+        s"st21's distributed pair writes must be broadcast-hint-free, " +
+          s"got ${st(distOut21)}")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("tombstone fold: deleted docs leave the stores and never match again") {
