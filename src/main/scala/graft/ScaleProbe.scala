@@ -154,7 +154,11 @@ object ScaleProbe {
         // NN-descent's round structure (e04), the band-tier streaming
         // store (st20), and the end-to-end corpus build (p01)
         "e04_knn_outliers_ann", "st20_stream_incr_dedup",
-        "p01_corpus_build")
+        "p01_corpus_build",
+        // hybrid fusion, both arms: r9 shipped the ANN-armed pairing
+        // (s31) with no scale ratio on record — the 10× cell pins it
+        // next to the exact-armed fusion it replaces
+        "s30_hybrid_rrf", "s31_hybrid_ann_rrf")
     def time(name: String, dir: String): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

@@ -1573,10 +1573,11 @@ object Dedup {
        JOIN ss sb ON sb.doc_id = p.doc_b"""
 
   // identical rolling-hash breakpoints, chunking, df cap, and pair
-  // aggregation — exact integer arithmetic end to end; shared by d17
-  // and the d18 quality board
-  private val d17Sql: String =
-      """WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 9),
+  // aggregation — exact integer arithmetic end to end; the CTE body
+  // through `cf` is ONE string shared by d17, the d18 quality board,
+  // and st27's refresh variant, so the three cannot drift
+  private val cdcCfCtes: String =
+      """docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 9),
          cs AS (SELECT doc_id, text,
             list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS c
           FROM docs),
@@ -1594,11 +1595,43 @@ object Dedup {
               substr(text, (bps[k] + 1)::INT, (bps[k+1] - bps[k])::INT))) AS chunk
           FROM bp),
          cf AS (SELECT DISTINCT doc_id, md5(chunk) AS h, length(chunk)::BIGINT AS clen
-                FROM ck WHERE length(chunk) >= 24),
+                FROM ck WHERE length(chunk) >= 24)"""
+
+  private val d17Sql: String =
+    s"""WITH $cdcCfCtes,
          keep AS (SELECT h FROM cf GROUP BY h HAVING count(*) <= 64),
          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.clen
                FROM cf a JOIN cf b USING (h) JOIN keep USING (h)
                WHERE a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, count(*)::BIGINT AS n_shared_chunks,
+           sum(clen)::BIGINT AS shared_chars
+         FROM p GROUP BY 1, 2"""
+
+  // st27's oracle: d17's arithmetic after a CORPUS REFRESH — the
+  // tombstoned corpus slice (doc_id % 7 = 3 among !is_new docs) is
+  // excluded from the signature universe (it left the store), the df
+  // cap is recomputed over the survivors (a chunk hot pre-delete can
+  // cool below 64 after — the engine's arrival-batch frequencies see
+  // exactly the post-delete store, so the arithmetic agrees), and
+  // only pairs with an arrival on at least one side remain (the
+  // refresh restarted the quarantine window; corpus-phase pairs aged
+  // out of the log).
+  private[graft] val cdcRefreshSql: String =
+    s"""WITH $cdcCfCtes,
+         flags AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 5 = 0 AS is_new
+           FROM documents),
+         surv AS (
+           SELECT cf.doc_id, cf.h, cf.clen
+           FROM cf JOIN flags USING (doc_id)
+           WHERE flags.is_new OR cf.doc_id % 7 <> 3),
+         keep AS (SELECT h FROM surv GROUP BY h HAVING count(*) <= 64),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.clen
+               FROM surv a JOIN surv b USING (h) JOIN keep USING (h)
+               JOIN flags fa ON fa.doc_id = a.doc_id
+               JOIN flags fb ON fb.doc_id = b.doc_id
+               WHERE a.doc_id < b.doc_id AND (fa.is_new OR fb.is_new))
          SELECT doc_a, doc_b, count(*)::BIGINT AS n_shared_chunks,
            sum(clen)::BIGINT AS shared_chars
          FROM p GROUP BY 1, 2"""

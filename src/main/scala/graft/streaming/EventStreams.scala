@@ -1398,6 +1398,62 @@ object EventStreams {
       .parquet(outDir)
   }
 
+  /** st27: CORPUS REFRESH over the st21 CDC chunk-signature store —
+    * st26's tombstone contract carried to the second standing index
+    * (the sig store had [[deleteFromStore]]'s delete path but no
+    * query-gate exercise). The gate: (1) build the standing index
+    * from corpus docs only, through the SAME micro-batch appends as
+    * st21 (their quarantine pairs land in the log as usual); (2) the
+    * refresh — tombstone-fold the deleted corpus slice (doc_id % 7 ==
+    * 3) out of the sig store AND restart the quarantine window by
+    * aging the pre-refresh pair log out via [[expireAppendLog]]
+    * (part-file mtimes ARE append times; the sleep puts the refresh
+    * boundary strictly between old and new appends); (3) the arrival
+    * batch probes the post-refresh store — its pair emission sees
+    * exactly the post-delete chunk frequencies, so a chunk that was
+    * df-capped pre-delete can legitimately cool below 64 and emit
+    * pairs, which is why the oracle recomputes the cap over the
+    * SURVIVORS, not the original corpus. The final answer is
+    * cdcPairsFinal against the converged (post-delete + arrivals)
+    * store; a ghost pair (deleted doc still matching) or a stale
+    * pre-refresh pair in the log is a hash mismatch. At 100 TB this
+    * is the CDC dedup service's nightly refresh: O(store) fold + a
+    * log-segment truncation, probes unchanged (STORE100_r10 measures
+    * the fold at the 100× layout).
+    */
+  def st27CdcRefresh(s: SparkSession, d: String): DataFrame = {
+    val chunks = stageDocChunks(s, d)
+    val sigStore = graft.core.Staging.tempAtExit("graft_st27_sigs_")
+    val pairDir = graft.core.Staging.tempAtExit("graft_st27_pairs_")
+    val isNew = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 5 === 0
+    val docSchema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(chunks)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        st21Batch(batch.filter(!isNew).select(col("doc_id"), col("text")),
+          sigStore, pairDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val deleted = Tables.documents(s, d)
+      .filter(!isNew && col("doc_id") % 7 === 3).select(col("doc_id"))
+    deleteFromStore(s, sigStore, "doc_id", deleted)
+    // restart the quarantine window: every pre-refresh append ages out
+    Thread.sleep(100)
+    expireAppendLog(pairDir, ttlMs = 50)
+    st21Batch(Tables.documents(s, d).filter(isNew)
+      .select(col("doc_id"), col("text")), sigStore, pairDir)
+    val shared = s.read
+      .schema("doc_a BIGINT, doc_b BIGINT, h STRING, clen BIGINT")
+      .parquet(pairDir)
+    val allSigs = s.read
+      .schema("doc_id BIGINT, h STRING, clen BIGINT").parquet(sigStore)
+    graft.queries.Dedup.cdcPairsFinal(shared, allSigs)
+  }
+
   /** st21: the CDC sub-document dedup tier (d17) as a corpus-refresh
     * STREAM — the st20 pattern applied to chunk signatures. Documents
     * replay as the same 4 modtime-ordered chunks; each foreachBatch
@@ -1735,6 +1791,7 @@ object EventStreams {
     (s, d) => withStatePartitions(s)(fn(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st27_cdc_refresh" -> gated(st27CdcRefresh),
     "st26_tombstone_dedup" -> gated(st26TombstoneDedup),
     "st25_stream_filtered_serve" -> gated(st25StreamFilteredServe),
     "st24_stream_ann_index" -> gated(st24StreamAnnIndex),
@@ -1789,6 +1846,10 @@ object EventStreams {
     // from the corpus side — a ghost match (deleted doc still in the
     // store) is a hash mismatch, not a silent leak
     "st26_tombstone_dedup" -> graft.queries.Dedup.tombstoneIncrementalSql,
+    // st27: d17's arithmetic after the corpus refresh — survivors-only
+    // signature universe, cap recomputed over them, arrival-sided
+    // pairs only (the log's pre-refresh segments aged out)
+    "st27_cdc_refresh" -> graft.queries.Dedup.cdcRefreshSql,
     // st22: the union of batch-local top-100s provably contains the
     // global top-100, so the final merge IS p08's answer — same val
     // per-vector bucketing is batch-boundary-invariant, so the

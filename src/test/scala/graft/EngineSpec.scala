@@ -2120,6 +2120,52 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("st27 refresh: a df-capped chunk cools below the cap and pairs surface") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the cap-recompute law behind st27's oracle: 66 corpus docs share
+    // a span, so its chunks are df-capped (>64) and emit no pairs;
+    // the refresh deletes 10 of them (df 56 <= 64), restarts the
+    // quarantine window, and the arrival batch's probe — seeing
+    // exactly the post-delete frequencies — must pair with EVERY
+    // survivor. A cap computed over the original corpus (or a log
+    // retaining pre-refresh segments) breaks this fixture loudly.
+    val rnd = new scala.util.Random(91)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(30000)).mkString(" ")
+    val span = words(60)
+    val corpus = (1L to 66L).map(i => (i, span + " " + words(2)))
+    val sigStore = graft.core.Staging.tempAtExit("graft_st27spec_sigs_")
+    val pairDir = graft.core.Staging.tempAtExit("graft_st27spec_pairs_")
+    graft.streaming.EventStreams.st21Batch(
+      corpus.toDF("doc_id", "text"), sigStore, pairDir)
+    val sigSchema = "doc_id BIGINT, h STRING, clen BIGINT"
+    val dfMax = spark.read.schema(sigSchema).parquet(sigStore)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).as[Long].head()
+    assert(dfMax == 66L,
+      s"fixture must make the span's chunks df-capped (66 > 64), got $dfMax")
+    val deleted = corpus.map(_._1).filter(_ % 7 == 3)
+    assert(deleted.size == 10)
+    graft.streaming.EventStreams.deleteFromStore(
+      spark, sigStore, "doc_id", deleted.toDF("doc_id"))
+    Thread.sleep(100)
+    graft.streaming.EventStreams.expireAppendLog(pairDir, ttlMs = 50)
+    graft.streaming.EventStreams.st21Batch(
+      Seq((101L, span + " " + words(2))).toDF("doc_id", "text"),
+      sigStore, pairDir)
+    val out = graft.queries.Dedup.cdcPairsFinal(
+      spark.read.schema("doc_a BIGINT, doc_b BIGINT, h STRING, clen BIGINT")
+        .parquet(pairDir),
+      spark.read.schema(sigSchema).parquet(sigStore))
+      .as[(Long, Long, Long, Long)].collect()
+    val survivors = corpus.map(_._1).toSet -- deleted
+    assert(out.forall(r => r._2 == 101L && survivors(r._1)),
+      s"post-refresh pairs must be arrival x survivor only: ${out.toSeq.take(5)}")
+    assert(out.map(_._1).toSet == survivors,
+      s"the cooled chunk must pair the arrival with EVERY survivor " +
+        s"(got ${out.length} of ${survivors.size})")
+  }
+
   test("tombstone fold: deleted docs leave the stores and never match again") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
