@@ -256,11 +256,19 @@ object PipelineOps {
     // test needs the init's checksum, and observing it here rides the
     // checkpoint action that runs anyway
     def chkCol = expr("bit_xor(xxhash64(vec_id, nbrs))").as("chk")
+    // the row count rides the SAME observe as a second invariant: a
+    // bit_xor collision between two different states (~2^-64) would
+    // need the states to ALSO hold equal vector counts to slip the
+    // gate — one more aggregate on an action already running, zero
+    // extra jobs
+    def cntCol = count(lit(1)).as("cnt")
+    def stateSig(o: org.apache.spark.sql.Observation) =
+      (Option(o.get("chk")), o.get("cnt"))
     val obs0 = org.apache.spark.sql.Observation(
       s"nnd_init_${System.nanoTime()}")
     var state = graft.core.Checkpoints.roundCheckpoint(
-      topK(initPairs).observe(obs0, chkCol))
-    var prevChk = Option(obs0.get("chk")) // None ⇔ empty state
+      topK(initPairs).observe(obs0, chkCol, cntCol))
+    var prevChk = stateSig(obs0) // chk None ⇔ empty state
     var release: () => Unit = nnRelease(state)
     // cap maxRounds (4 in e04): random init starts one hop "colder"
     // than the retired geometric seeding — per-round cost is linear,
@@ -298,11 +306,11 @@ object PipelineOps {
       // one-row-per-vec_id aggregate.
       val obs = org.apache.spark.sql.Observation(
         s"nnd_r${rounds}_${System.nanoTime()}")
-      val next = topK(non).observe(obs, chkCol)
+      val next = topK(non).observe(obs, chkCol, cntCol)
       // roundCheckpoint is eager, so the new state is materialized
       // before the previous round's blocks release
       state = graft.core.Checkpoints.roundCheckpoint(next)
-      val chk = Option(obs.get("chk"))
+      val chk = stateSig(obs)
       converged = chk == prevChk
       prevChk = chk
       release()
