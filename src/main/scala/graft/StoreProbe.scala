@@ -164,6 +164,20 @@ object StoreProbe {
           spark, s"$work/idx", "vec_id", ids.toDF("vec_id"))
       }
       val foldSec = (System.nanoTime() - t0) / 1e9
+      // the per-probe driver-side re-listing prunedStore pays (frame
+      // creation = InMemoryFileIndex listing + footer schema read),
+      // timed against the standing store: compaction bounds the file
+      // count at <= threshold x buckets however long the ingest ran,
+      // so this must stay milliseconds — the measured share of a
+      // multi-second batch that the documented benign-caveat claims
+      val mainStore = gate match {
+        case "st21" => s"$work/sigs"
+        case "st20" => s"$work/bands"
+        case "st24" => s"$work/idx"
+      }
+      val tl = System.nanoTime()
+      spark.read.parquet(mainStore)
+      val listSec = (System.nanoTime() - tl) / 1e9
       // replay batch 1's data as one more probe batch (a re-append of
       // known rows — fine for timing; the stores are torn down at exit)
       val batch = spark.read.parquet(s"$stagedRoot/b=1")
@@ -180,8 +194,9 @@ object StoreProbe {
       }
       val postSec = (System.nanoTime() - t1) / 1e9
       System.err.println(
-        f"[store] $gate tombstone fold $foldSec%6.2f s  post-fold batch $postSec%6.2f s")
-      s""","tomb_fold_sec":$foldSec,"post_fold_batch_sec":$postSec"""
+        f"[store] $gate tombstone fold $foldSec%6.2f s  post-fold batch " +
+          f"$postSec%6.2f s  store listing $listSec%6.3f s")
+      s""","tomb_fold_sec":$foldSec,"post_fold_batch_sec":$postSec,"store_list_sec":$listSec"""
     } else ""
     println(s"""{"metric":"store_econ","gate":"$gate","factor":$factor,"buckets":$nBuckets,"batches":$nBatches,""" +
       s""""median_first_half":$h1,"median_second_half":$h2,""" +
