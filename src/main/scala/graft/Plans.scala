@@ -44,7 +44,11 @@ object Plans {
       "q68_recursive_clusters", "q69_variant_json", "p08_weighted_sample",
       "q70_pipe_syntax", "q71_group_by_all", "e08_negative_sampling",
       "e09_hard_negatives", "e10_split_contamination",
-      "s31_hybrid_ann_rrf", "mr08_write_sink")
+      "s31_hybrid_ann_rrf", "mr08_write_sink",
+      // st27's auditable surface is the post-refresh readback: the
+      // survivors-capped pair aggregate over the refreshed store (the
+      // ingest/fold phases are actions, not a returned plan)
+      "st27_cdc_refresh")
     val sb = new StringBuilder
     sb ++= "# PLANS — physical plans of headline queries (sf0.01, AQE off for readability)\n\n"
     sb ++= "Regenerate: `sbt \"runMain graft.Plans\"`. What to look for per query\n"
