@@ -81,9 +81,25 @@ object Bench {
     def diskProbe(): Double = {
       var f: java.io.File = null
       try {
+        // resolve the checkpoint dir the way Checkpoints hands it to
+        // setCheckpointDir: plain paths and file: URIs probe in place
+        // (created if the first checkpoint hasn't yet); any other
+        // scheme (hdfs:, s3a: — unreachable via java.io) falls back
+        // to tmp LOUDLY, so the artifact's reader knows the recorded
+        // number is not the checkpoint filesystem's
         val dir = spark.conf.getOption("spark.graft.checkpointDir")
-          .filter(_.nonEmpty).map(new java.io.File(_)).filter(_.isDirectory)
-          .orNull // null → createTempFile's java.io.tmpdir default
+          .filter(_.nonEmpty).flatMap { d =>
+            val uri = try new java.net.URI(d) catch {
+              case _: java.net.URISyntaxException => null
+            }
+            val local =
+              if (uri == null || uri.getScheme == null) Some(new java.io.File(d))
+              else if (uri.getScheme == "file") Some(new java.io.File(uri))
+              else None
+            if (local.isEmpty) System.err.println(
+              s"[bench] disk probe: checkpointDir $d is not java.io-reachable; probing java.io.tmpdir instead")
+            local.map { x => x.mkdirs(); x }.filter(_.isDirectory)
+          }.orNull // null → createTempFile's java.io.tmpdir default
         f = java.io.File.createTempFile("graft_bench_disk_", ".bin", dir)
         val t0 = System.nanoTime()
         val out = new java.io.FileOutputStream(f)

@@ -99,11 +99,12 @@ object StoreProbe {
 
     val work = graft.core.Staging.tempAtExit(s"graft_storeprobe_${gate}_")
 
-    val times = Array.ofDim[Double](nBatches)
-    val files = Array.ofDim[Int](nBatches)
-    for (i <- 0 until nBatches) {
+    // ONE dispatch for the main series and the tomb leg's post-fold
+    // replay — a divergence between the two would make
+    // post_fold_batch_sec measure a different workload than the
+    // series it is compared against
+    def runBatch(i: Int): Unit = {
       val batch = spark.read.parquet(s"$stagedRoot/b=$i")
-      val t0 = System.nanoTime()
       gate match {
         case "st21" =>
           graft.streaming.EventStreams.st21Batch(
@@ -123,6 +124,13 @@ object StoreProbe {
         case "st24" =>
           graft.streaming.EventStreams.st24Batch(batch, s"$work/idx")
       }
+    }
+
+    val times = Array.ofDim[Double](nBatches)
+    val files = Array.ofDim[Int](nBatches)
+    for (i <- 0 until nBatches) {
+      val t0 = System.nanoTime()
+      runBatch(i)
       times(i) = (System.nanoTime() - t0) / 1e9
       files(i) = (gate match {
         case "st21" => Seq(s"$work/sigs")
@@ -179,19 +187,10 @@ object StoreProbe {
       spark.read.parquet(mainStore)
       val listSec = (System.nanoTime() - tl) / 1e9
       // replay batch 1's data as one more probe batch (a re-append of
-      // known rows — fine for timing; the stores are torn down at exit)
-      val batch = spark.read.parquet(s"$stagedRoot/b=1")
+      // known rows — fine for timing; the stores are torn down at
+      // exit), through the SAME dispatch as the main series
       val t1 = System.nanoTime()
-      gate match {
-        case "st21" => graft.streaming.EventStreams.st21Batch(
-          batch, s"$work/sigs", s"$work/pairs")
-        case "st20" => graft.streaming.EventStreams.st20Batch(
-          batch.withColumn("is_new",
-            expr(s"pmod(doc_id div $nBatches, 16) = 0")),
-          s"$work/bands", s"$work/sh", s"$work/out")
-        case "st24" => graft.streaming.EventStreams.st24Batch(
-          batch, s"$work/idx")
-      }
+      runBatch(1)
       val postSec = (System.nanoTime() - t1) / 1e9
       System.err.println(
         f"[store] $gate tombstone fold $foldSec%6.2f s  post-fold batch " +

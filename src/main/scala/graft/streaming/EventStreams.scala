@@ -1246,32 +1246,32 @@ object EventStreams {
             // side.
             val funnelMax = sp.conf.getOption("spark.graft.candFunnelMax")
               .map(_.toInt).getOrElse(100000)
-            // limit+collect lowers to executeTake, which defaults to
-            // INCREMENTAL partition waves (1, then 4×, …): a typical
-            // tiny candidate set exhausts every wave — 3-4 sequential
-            // jobs per micro-batch where the pre-guard collect() paid
-            // one (measured ~2× on the st20 gate, BENCH r8→r9). With
-            // initialNumPartitions ≥ the plan's partition count the
-            // take is ONE job again; driver traffic stays bounded by
-            // construction (each task ships ≤ funnelMax+1 rows of two
-            // longs). Set/restore around the collect: the concurrent
-            // append jobs on this session take no limits, so the
-            // scoped flip cannot affect them.
-            val prevInit = sp.conf.getOption("spark.sql.limit.initialNumPartitions")
-            sp.conf.set("spark.sql.limit.initialNumPartitions", "1000000")
-            val headRows =
-              try candFrame.limit(funnelMax + 1).collect()
-              finally prevInit match {
-                case Some(v) => sp.conf.set("spark.sql.limit.initialNumPartitions", v)
-                case None => sp.conf.unset("spark.sql.limit.initialNumPartitions")
-              }
-            if (headRows.nonEmpty) {
-              val local = headRows.length <= funnelMax
-              val candShared = if (local) null else candFrame.cache()
+            // STAGING SHAPE, third iteration (each measured): r8's
+            // bare collect() was ONE job but unbounded driver intake;
+            // r9's limit(max+1).collect() bounded intake but lowers
+            // to executeTake's INCREMENTAL partition waves (1, then
+            // 4×, …) — a typical tiny candidate set exhausts every
+            // wave, 3-4 sequential jobs per micro-batch (measured ~2×
+            // on the gate); a single-wave take (high
+            // initialNumPartitions) is one job but ships up to
+            // partitions × (max+1) rows in exactly the adversarial
+            // case the guard exists for. This shape is one COMPUTE
+            // job that materializes the cache while a fully
+            // distributed count rides it (partial-agg partials only —
+            // no row ever moves), then the local path drains ≤ max
+            // rows FROM THE CACHE (a read-only second job, no
+            // recompute): bounded intake at any partition count, and
+            // the adversarial batch never sends rows driver-ward at
+            // all.
+            val candShared = candFrame.cache()
+            val nCand = candShared.count()
+            if (nCand > 0) {
+              val local = nCand <= funnelMax
               val newSide = newDocs.select(col("doc_id").as("new_id"),
                 col("sh").as("sha"))
               val (cands, dbs) = if (local) {
-                val rows = headRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+                val rows = candShared.collect()
+                  .map(r => (r.getLong(0), r.getLong(1))).toSeq
                 (broadcast(rows.toDF("new_id", "corpus_id")),
                   rows.map(r => bucketOfLong(r._2)).distinct)
               } else {
@@ -1297,8 +1297,8 @@ object EventStreams {
                 .select(col("new_id"), col("corpus_id"), col("jaccard"))
                 .dropDuplicates("new_id", "corpus_id")
                 .write.mode("append").parquet(outDir)
-              if (candShared != null) candShared.unpersist()
             }
+            candShared.unpersist()
           }
         }
         val jobs = Seq(appendBands, appendSh, probe)

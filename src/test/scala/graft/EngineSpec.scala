@@ -2105,9 +2105,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       // first batch never probes; st21: 2 pair writes per run)
       val deadline = System.nanoTime() + 30e9.toLong
       def st(d: String) = Option(writeStats.get(d)).getOrElse(WriteStats(0, 0))
-      while ((st(locOut20).events < 1 || st(distOut20).events < 1 ||
-          st(locOut21).events < 2 || st(distOut21).events < 2) &&
-          System.nanoTime() < deadline) Thread.sleep(50)
+      def missing = Seq(locOut20 -> 1, distOut20 -> 1,
+        locOut21 -> 2, distOut21 -> 2)
+        .filter { case (d, n) => st(d).events < n }
+      while (missing.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      // distinguish listener-bus event loss (an infra flake) from a
+      // genuine hint regression before any equality assert runs
+      assert(missing.isEmpty,
+        s"listener events missing after 30s (bus drop?): " +
+          missing.map { case (d, n) => s"$d got ${st(d).events}/$n" }
+            .mkString(", "))
       assert(st(locOut20).hints >= 1 && st(locOut21).hints >= 1,
         s"detector control: the local-path writes must carry broadcast " +
           s"hints, got st20=${st(locOut20)} st21=${st(locOut21)}")
