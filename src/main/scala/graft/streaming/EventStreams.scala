@@ -1138,14 +1138,14 @@ object EventStreams {
     * stages the band prune and doubles as the arrivals test — an
     * empty bucket set means a corpus-only batch, which then pays
     * exactly the two store appends; (2) the candidate pairs —
-    * arrivals × band matches, typically small — come back to the
-    * driver ONCE when they fit under spark.graft.candFunnelMax,
-    * seeding both the shingle bucket list (bucketOfLong, locally — no
-    * second distributed round-trip) and the verify join's broadcast
-    * probe as a local relation; above the guard they stay DISTRIBUTED
-    * end-to-end (see the funnel-guard comment in the probe job —
-    * adversarial boilerplate-heavy batches never funnel through the
-    * driver); (3) the two store
+    * arrivals × band matches, typically small — are cache-counted
+    * (one compute job, no row shipped) and, when they fit under
+    * spark.graft.candFunnelMax, drained from the cache to seed both
+    * the shingle bucket list (bucketOfLong, locally) and the verify
+    * join's broadcast probe as a local relation; above the guard they
+    * stay DISTRIBUTED end-to-end (see the funnel-guard comment in the
+    * probe job — adversarial boilerplate-heavy batches never send
+    * rows driver-ward at all); (3) the two store
     * appends and the probe→verify chain touch disjoint inputs and
     * disjoint output dirs, so they are submitted as CONCURRENT jobs
     * (sharing the already-materialized sigs cache) and awaited
@@ -1233,17 +1233,17 @@ object EventStreams {
               .select(col("new_id"), col("corpus_id")).distinct()
             // CANDIDATE FUNNEL GUARD: the pair list is data-dependent —
             // typical arrivals batches yield a handful of pairs (the
-            // broadcast-local path below, one round-trip, measured
-            // fastest), but a boilerplate-heavy batch where every doc
-            // shares one band is O(arrivals × store-matches) and must
-            // NEVER ride through the driver. limit(max+1) makes the
-            // guard itself cost one bounded collect: at ≤ max rows the
-            // collected rows ARE the local path's probe relation (no
-            // second action); at max+1 the pairs stay distributed —
-            // shingle buckets come from a distinct-collect of bucket
-            // ids ONLY (bounded by StoreBuckets) and the verify join
-            // runs shuffle-side with no broadcast of either unbounded
-            // side.
+            // broadcast-local path below, measured fastest), but a
+            // boilerplate-heavy batch where every doc shares one band
+            // is O(arrivals × store-matches) and must NEVER ride
+            // through the driver. At ≤ max rows the cached pairs ARE
+            // the local path's probe relation; above, they stay
+            // distributed — shingle buckets come from a
+            // distinct-collect of bucket ids ONLY (bounded by
+            // StoreBuckets) and the verify join runs shuffle-side
+            // with no broadcast of either unbounded side
+            // (spec-pinned: both answer equality AND the no-hint plan
+            // property).
             val funnelMax = sp.conf.getOption("spark.graft.candFunnelMax")
               .map(_.toInt).getOrElse(100000)
             // STAGING SHAPE, third iteration (each measured): r8's
