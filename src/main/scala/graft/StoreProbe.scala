@@ -126,9 +126,26 @@ object StoreProbe {
       }
     }
 
+    // Bench's calib discipline, ported: this box shows hour-scale
+    // weather (same-code STORE100 series measured 1.3-1.4x apart),
+    // so a drift number without bracketing box-health readings can't
+    // be told from a real economics change. One fixed CPU probe every
+    // 8 batches rides the series into the artifact.
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1, 32)
+        .selectExpr("sum(cast(id AS double) * id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibs = scala.collection.mutable.ListBuffer[(Int, Double)]()
+    def probeCalib(at: Int): Unit = {
+      val c = calib(); calibs += ((at, c))
+      System.err.println(f"[store] calib @batch $at%3d  $c%6.2f s")
+    }
     val times = Array.ofDim[Double](nBatches)
     val files = Array.ofDim[Int](nBatches)
     for (i <- 0 until nBatches) {
+      if (i % 8 == 0) probeCalib(i)
       val t0 = System.nanoTime()
       runBatch(i)
       times(i) = (System.nanoTime() - t0) / 1e9
@@ -152,6 +169,9 @@ object StoreProbe {
     val h2 = median(times.slice(nBatches / 2, nBatches).toSeq)
     val js = times.indices.map(i =>
       s"""{"t":${times(i)},"files":${files(i)}}""").mkString(",")
+    probeCalib(nBatches)
+    val calibJson = calibs.map { case (at, c) => s"""{"batch":$at,"sec":$c}""" }
+      .mkString("[", ",", "]")
     val nBuckets = graft.streaming.EventStreams.StoreBuckets
     // tombstone leg: fold the slice out of every standing store, then
     // one more replayed batch at the post-fold store
@@ -199,7 +219,8 @@ object StoreProbe {
     } else ""
     println(s"""{"metric":"store_econ","gate":"$gate","factor":$factor,"buckets":$nBuckets,"batches":$nBatches,""" +
       s""""median_first_half":$h1,"median_second_half":$h2,""" +
-      s""""drift":${h2 / h1},"max_files":${files.max}$tombJson,"series":[$js]}""")
+      s""""drift":${h2 / h1},"max_files":${files.max}$tombJson,""" +
+      s""""calibs":$calibJson,"series":[$js]}""")
     spark.stop()
   }
 }
