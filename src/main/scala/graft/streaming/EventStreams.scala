@@ -969,26 +969,45 @@ object EventStreams {
       sp: SparkSession, dir: String, buckets: Seq[Int]): DataFrame =
     sp.read.parquet(dir).filter(col("bucket").isin(buckets: _*))
 
+  /** The store dirs' filesystem, resolved through Hadoop's FileSystem
+    * API from the active session's conf — NOT java.io.File, which
+    * silently reports an HDFS/object-store path as an empty local dir
+    * (listFiles → null → "store empty" → a standing index that never
+    * answers). Bare local paths resolve to the local FS exactly as
+    * before; on a cluster whose fs.defaultFS is HDFS the same store
+    * code runs against the durable filesystem. */
+  private def storeFs(dir: String): (org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()), p)
+  }
+
   /** True iff the store dir holds any part file, at any nesting — the
-    * flat `listFiles` check would miss bucket=…/part-… layouts. */
+    * flat listing would miss bucket=…/part-… layouts. */
   private[graft] def storeNonEmpty(dir: String): Boolean = {
-    def any(f: java.io.File): Boolean =
-      Option(f.listFiles()).exists(_.exists(c =>
-        (c.isFile && c.getName.startsWith("part-")) ||
-          (c.isDirectory && any(c))))
-    any(new java.io.File(dir))
+    val (fs, p) = storeFs(dir)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.startsWith("part-")
+      found
+    }
   }
 
   /** Largest part-file count in any single bucket= dir of a store —
     * the quantity compaction bounds (file count per bucket grows one
     * per appended batch between compactions). */
-  private[graft] def maxFilesPerBucket(dir: String): Int =
-    Option(new java.io.File(dir).listFiles()).map(_.collect {
-      case b if b.isDirectory && b.getName.startsWith("bucket=") =>
-        Option(b.listFiles())
-          .map(_.count(f => f.isFile && f.getName.startsWith("part-")))
-          .getOrElse(0)
-    } match { case a if a.nonEmpty => a.max; case _ => 0 }).getOrElse(0)
+  private[graft] def maxFilesPerBucket(dir: String): Int = {
+    val (fs, p) = storeFs(dir)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).collect {
+      case b if b.isDirectory && b.getPath.getName.startsWith("bucket=") =>
+        fs.listStatus(b.getPath)
+          .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    }.foldLeft(0)(math.max)
+  }
 
   /** COMPACTION for the bucket-clustered append stores: each batch
     * appends one file per bucket, so file count — and with it the
@@ -1028,27 +1047,31 @@ object EventStreams {
       sp: org.apache.spark.sql.SparkSession, dir: String,
       rows: DataFrame): Unit = {
     val base = dir.stripSuffix("/")
-    val tmp = new java.io.File(base + ".compacting")
-    val old = new java.io.File(base + ".old")
-    val live = new java.io.File(base)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      if (f.exists() && !f.delete()) throw new IllegalStateException(
-        s"store swap: failed to delete $f")
-    }
+    val (fs, live) = storeFs(base)
+    val tmp = new org.apache.hadoop.fs.Path(base + ".compacting")
+    val old = new org.apache.hadoop.fs.Path(base + ".old")
+    def rmTree(p: org.apache.hadoop.fs.Path): Unit =
+      if (fs.exists(p) && !fs.delete(p, true)) throw new IllegalStateException(
+        s"store swap: failed to delete $p")
     // leftovers from a previous crashed swap: a stale .old is garbage
     // (the live dir exists — the swap either completed or never
     // started); a stale .compacting is an incomplete write
-    if (old.exists()) rmTree(old)
-    if (tmp.exists()) rmTree(tmp)
+    rmTree(old)
+    rmTree(tmp)
     rows
       .repartition(StoreBuckets, col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.getPath)
-    if (!live.renameTo(old)) throw new IllegalStateException(
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
+    // dir renames are atomic on HDFS and posix filesystems; object
+    // stores emulate rename (copy+delete, non-atomic) — a deployment
+    // there fronts the store with an HDFS-semantics layer or a table
+    // format. Either way delete-last means no failure mode destroys
+    // data: the worst crash leaves the old store intact or one rename
+    // from live.
+    if (!fs.rename(live, old)) throw new IllegalStateException(
       s"store swap: rename aside failed: $live -> $old")
-    if (!tmp.renameTo(live)) {
+    if (!fs.rename(tmp, live)) {
       // roll back so the store is never left missing
-      old.renameTo(live)
+      fs.rename(old, live)
       throw new IllegalStateException(
         s"store swap: promote failed: $tmp -> $live (rolled back)")
     }
@@ -1333,15 +1356,18 @@ object EventStreams {
     */
   private[graft] def expireAppendLog(dir: String, ttlMs: Long): Unit = {
     val cutoff = System.currentTimeMillis() - ttlMs
-    def walk(f: java.io.File): Unit =
-      Option(f.listFiles()).foreach(_.foreach { c =>
-        if (c.isDirectory) walk(c)
-        else if (c.getName.startsWith("part-") && c.lastModified() < cutoff) {
-          if (!c.delete()) throw new IllegalStateException(
-            s"log expiry: failed to delete $c")
+    val (fs, p) = storeFs(dir)
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-") &&
+            f.getModificationTime < cutoff) {
+          if (!fs.delete(f.getPath, false)) throw new IllegalStateException(
+            s"log expiry: failed to delete ${f.getPath}")
         }
-      })
-    walk(new java.io.File(dir))
+      }
+    }
   }
 
   /** st26: CORPUS-REFRESH DELETION over the standing dedup index —
