@@ -979,8 +979,15 @@ object EventStreams {
   private def storeFs(dir: String): (org.apache.hadoop.fs.FileSystem,
       org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(org.apache.spark.sql.SparkSession.active
-      .sessionState.newHadoopConf()), p)
+    // the session's Hadoop conf when one exists (cluster fs.defaultFS,
+    // credentials); a bare Configuration otherwise — store helpers are
+    // callable before any session touch, and for file:/bare paths the
+    // two resolve identically
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
   }
 
   /** True iff the store dir holds any part file, at any nesting — the

@@ -2174,6 +2174,33 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"(got ${out.length} of ${survivors.size})")
   }
 
+  test("store machinery resolves scheme-qualified paths through the Hadoop FS API") {
+    import spark.implicits._
+    // the cluster path shape: store dirs addressed as URIs
+    // (fs.defaultFS-resolved on a real cluster). java.io.File silently
+    // read these as empty local dirs; the Hadoop-FS port must treat
+    // file:-qualified and bare paths identically — every store
+    // operation (emptiness, file census, fold+swap, expiry)
+    // round-trips here on a file: URI.
+    val dir = graft.core.Staging.tempAtExit("graft_fsuri_")
+    val uri = "file://" + dir
+    val es = graft.streaming.EventStreams
+    assert(!es.storeNonEmpty(uri), "fresh store must read empty via URI")
+    Seq((1L, 0), (2L, 1)).toDF("doc_id", "bucket")
+      .write.partitionBy("bucket").mode("append").parquet(uri)
+    assert(es.storeNonEmpty(uri), "appended store must read non-empty via URI")
+    assert(es.maxFilesPerBucket(uri) >= 1)
+    es.deleteFromStore(spark, uri, "doc_id", Seq(1L).toDF("doc_id"))
+    val left = spark.read.parquet(uri).select("doc_id").as[Long].collect().toSet
+    assert(left == Set(2L), s"tombstone fold through a URI store: $left")
+    assert(es.maxFilesPerBucket(uri) == 1,
+      "the fold's swap must leave one file per bucket on the URI store")
+    Thread.sleep(100)
+    es.expireAppendLog(uri, ttlMs = 50)
+    assert(!es.storeNonEmpty(uri),
+      "expiry through a URI store must drop the aged part files")
+  }
+
   test("tombstone fold: deleted docs leave the stores and never match again") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
