@@ -83,22 +83,30 @@ object Bench {
       try {
         // resolve the checkpoint dir the way Checkpoints hands it to
         // setCheckpointDir: plain paths and file: URIs probe in place
-        // (created if the first checkpoint hasn't yet); any other
-        // scheme (hdfs:, s3a: — unreachable via java.io) falls back
-        // to tmp LOUDLY, so the artifact's reader knows the recorded
-        // number is not the checkpoint filesystem's
+        // (created if the first checkpoint hasn't yet). ANY failure to
+        // land a usable local dir — a non-java.io scheme (hdfs:,
+        // s3a:), an authority-bearing file:// URI that java.io.File
+        // rejects, or a mkdirs that loses to a same-named plain file —
+        // falls back to tmp LOUDLY, so the artifact's reader always
+        // knows when the recorded number is not the checkpoint
+        // filesystem's (the silent-tmp and probe-abort holes were an
+        // r10 advisory finding)
         val dir = spark.conf.getOption("spark.graft.checkpointDir")
           .filter(_.nonEmpty).flatMap { d =>
-            val uri = try new java.net.URI(d) catch {
-              case _: java.net.URISyntaxException => null
-            }
-            val local =
+            val local = try {
+              val uri = try new java.net.URI(d) catch {
+                case _: java.net.URISyntaxException => null // plain path
+              }
               if (uri == null || uri.getScheme == null) Some(new java.io.File(d))
               else if (uri.getScheme == "file") Some(new java.io.File(uri))
               else None
-            if (local.isEmpty) System.err.println(
-              s"[bench] disk probe: checkpointDir $d is not java.io-reachable; probing java.io.tmpdir instead")
-            local.map { x => x.mkdirs(); x }.filter(_.isDirectory)
+            } catch { // e.g. file://host/p — File(uri) refuses authorities
+              case _: IllegalArgumentException => None
+            }
+            val usable = local.map { x => x.mkdirs(); x }.filter(_.isDirectory)
+            if (usable.isEmpty) System.err.println(
+              s"[bench] disk probe: checkpointDir $d is not java.io-usable; probing java.io.tmpdir instead")
+            usable
           }.orNull // null → createTempFile's java.io.tmpdir default
         f = java.io.File.createTempFile("graft_bench_disk_", ".bin", dir)
         val t0 = System.nanoTime()
@@ -135,11 +143,19 @@ object Bench {
     // is then visible IN the artifact next to the queries it poisoned,
     // instead of being inferred from two endpoint probes an hour apart.
     val calibEvery = sys.env.getOrElse("SPARK_GRAFT_CALIB_EVERY", "10").toInt
-    val calibs = scala.collection.mutable.ListBuffer[(String, Double)]()
+    // Each calibration point records BOTH probes: CPU and disk. The
+    // r9 misattribution lived in checkpoint/state-store IO that the
+    // CPU probe cannot see (the box's disk weather moves 3× across
+    // boots while CPU stays flat) — a drift read against a CPU-only
+    // series is blind to exactly the resource the streaming gates are
+    // bounded by. With io_mbps riding every point, a future
+    // regression arrives with its attribution in the artifact.
+    val calibs = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
     def probe(at: String): Unit = {
       val c = calib()
-      calibs += ((at, c))
-      System.err.println(f"[bench] calib @$at%-24s $c%8.2f s")
+      val io = diskProbe()
+      calibs += ((at, c, io))
+      System.err.println(f"[bench] calib @$at%-24s $c%8.2f s  io $io%7.1f MB/s")
     }
     probe("start")
     val names = SparkEntry.queries.keys.toSeq.filter(only).sorted
@@ -163,7 +179,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val calibArr = calibs.map { case (at, c) => s"""{"at":"$at","sec":$c}""" }
+    val calibArr = calibs.map { case (at, c, io) =>
+      s"""{"at":"$at","sec":$c,"io_mbps":$io}""" }
       .mkString("[", ",", "]")
     val calibStart = calibs.head._2; val calibEnd = calibs.last._2
     // Full-detail line FIRST: every query at full precision plus the

@@ -80,9 +80,16 @@ object StoreProbe {
     // stage one single-file chunk per batch ONCE (untimed), so each
     // replayed batch is an O(batch) read — the shape a file-source
     // micro-batch delivers. doc_id % N spreads replicas evenly.
+    // N = nBatches + 1: the main series replays chunks 0..nBatches-1
+    // and the LAST chunk is held out for the tomb leg's post-fold
+    // probe, so that batch appends genuinely NEW ids — replaying an
+    // already-ingested chunk (the r10 shape) ran against inflated
+    // per-chunk frequencies and duplicate band keys, a slightly
+    // different workload than the series it is compared with
+    val nSplits = nBatches + 1
     val stagedRoot = {
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$src:$nBatches".getBytes("UTF-8"))
+        .digest(s"$src:$nSplits".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(8)
       val dir = s"/tmp/graft_storeprobe_$key"
       if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
@@ -90,8 +97,8 @@ object StoreProbe {
           if (gate == "st24") ("vec_id", Seq(col("vec_id"), col("embedding")))
           else ("doc_id", Seq(col("doc_id"), col("text")))
         spark.read.parquet(src).select(cols: _*)
-          .withColumn("b", pmod(col(idCol), lit(nBatches.toLong)))
-          .repartition(nBatches, col("b"))
+          .withColumn("b", pmod(col(idCol), lit(nSplits.toLong)))
+          .repartition(nSplits, col("b"))
           .write.mode("overwrite").partitionBy("b").parquet(dir)
       }
       dir
@@ -112,14 +119,14 @@ object StoreProbe {
         case "st20" =>
           // ~1/16 of EVERY batch arrives as probes (mixed-batch
           // contract: the probe side unions the batch's own corpus).
-          // The flag keys on doc_id div nBatches, which enumerates
+          // The flag keys on doc_id div nSplits, which enumerates
           // 0,1,2,… WITHIN a batch (batches partition on doc_id %
-          // nBatches) — a doc_id % 16 flag aliases with the batch
-          // split whenever gcd(nBatches,16) > 1 (at the default 48,
+          // nSplits) — a doc_id % 16 flag aliases with the batch
+          // split whenever gcd(nSplits,16) > 1 (at 48 splits,
           // 3 batches were all-arrivals and 45 never probed)
           graft.streaming.EventStreams.st20Batch(
             batch.withColumn("is_new",
-              expr(s"pmod(doc_id div $nBatches, 16) = 0")),
+              expr(s"pmod(doc_id div $nSplits, 16) = 0")),
             s"$work/bands", s"$work/sh", s"$work/out")
         case "st24" =>
           graft.streaming.EventStreams.st24Batch(batch, s"$work/idx")
@@ -129,21 +136,50 @@ object StoreProbe {
     // Bench's calib discipline, ported: this box shows hour-scale
     // weather (same-code STORE100 series measured 1.3-1.4x apart),
     // so a drift number without bracketing box-health readings can't
-    // be told from a real economics change. One fixed CPU probe every
-    // 8 batches rides the series into the artifact.
+    // be told from a real economics change. Every 8 batches the series
+    // carries BOTH a fixed CPU probe and a fixed DISK probe (64 MiB
+    // write+fsync on the store's own filesystem): the r9/r10 lesson is
+    // that the inflation lives in store/checkpoint IO the CPU calib
+    // cannot see — STORE100_r10's five same-code series scattered
+    // 1.02–1.47 with no per-series IO trace to read the outlier
+    // against. Now each drift number ships with its IO curve.
     def calib(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 400000000L, 1, 32)
         .selectExpr("sum(cast(id AS double) * id)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibs = scala.collection.mutable.ListBuffer[(Int, Double)]()
+    def ioProbe(): Double = {
+      var f: java.io.File = null
+      try {
+        f = java.io.File.createTempFile("graft_store_io_", ".bin",
+          new java.io.File(work))
+        val t0 = System.nanoTime()
+        val out = new java.io.FileOutputStream(f)
+        val block = new Array[Byte](1 << 20)
+        try {
+          var i = 0
+          while (i < 64) { out.write(block); i += 1 }
+          out.getFD.sync()
+        } finally out.close()
+        64.0 / ((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[store] io probe failed: ${e.getMessage}"); -1.0
+      } finally if (f != null) f.delete()
+    }
+    val calibs = scala.collection.mutable.ListBuffer[(Int, Double, Double)]()
     def probeCalib(at: Int): Unit = {
-      val c = calib(); calibs += ((at, c))
-      System.err.println(f"[store] calib @batch $at%3d  $c%6.2f s")
+      val c = calib(); val io = ioProbe(); calibs += ((at, c, io))
+      System.err.println(f"[store] calib @batch $at%3d  $c%6.2f s  io $io%7.1f MB/s")
+    }
+    val mainStore = gate match {
+      case "st21" => s"$work/sigs"
+      case "st20" => s"$work/bands"
+      case "st24" => s"$work/idx"
     }
     val times = Array.ofDim[Double](nBatches)
     val files = Array.ofDim[Int](nBatches)
+    val listMs = Array.ofDim[Double](nBatches)
     for (i <- 0 until nBatches) {
       if (i % 8 == 0) probeCalib(i)
       val t0 = System.nanoTime()
@@ -154,8 +190,15 @@ object StoreProbe {
         case "st20" => Seq(s"$work/bands", s"$work/sh")
         case "st24" => Seq(s"$work/idx")
       }).map(graft.streaming.EventStreams.maxFilesPerBucket).max
+      // the listing share a probe pays for creating the store frame —
+      // census-served after every batch's refresh, so this must sit at
+      // ~0 ms however long the ingest has run (the r10 re-listing tax
+      // was 210–280 ms/batch at the 100× layout)
+      val tl = System.nanoTime()
+      graft.streaming.StoreCensus.read(spark, mainStore)
+      listMs(i) = (System.nanoTime() - tl) / 1e6
       System.err.println(
-        f"[store] $gate batch $i%3d  ${times(i)}%6.2f s  maxFiles ${files(i)}%3d")
+        f"[store] $gate batch $i%3d  ${times(i)}%6.2f s  maxFiles ${files(i)}%3d  list ${listMs(i)}%6.1f ms")
     }
     // steady-state drift: median of the second half vs the first half
     // past JVM warmup (batches 0-7 pay per-plan codegen; for short
@@ -168,9 +211,11 @@ object StoreProbe {
     val h1 = median(times.slice(warm, nBatches / 2).toSeq)
     val h2 = median(times.slice(nBatches / 2, nBatches).toSeq)
     val js = times.indices.map(i =>
-      s"""{"t":${times(i)},"files":${files(i)}}""").mkString(",")
+      s"""{"t":${times(i)},"files":${files(i)},"list_ms":${listMs(i)}}""")
+      .mkString(",")
     probeCalib(nBatches)
-    val calibJson = calibs.map { case (at, c) => s"""{"batch":$at,"sec":$c}""" }
+    val calibJson = calibs.map { case (at, c, io) =>
+      s"""{"batch":$at,"sec":$c,"io_mbps":$io}""" }
       .mkString("[", ",", "]")
     val nBuckets = graft.streaming.EventStreams.StoreBuckets
     // tombstone leg: fold the slice out of every standing store, then
@@ -192,30 +237,30 @@ object StoreProbe {
           spark, s"$work/idx", "vec_id", ids.toDF("vec_id"))
       }
       val foldSec = (System.nanoTime() - t0) / 1e9
-      // the per-probe driver-side re-listing prunedStore pays (frame
-      // creation = InMemoryFileIndex listing + footer schema read),
-      // timed against the standing store: compaction bounds the file
-      // count at <= threshold x buckets however long the ingest ran,
-      // so this must stay milliseconds — the measured share of a
-      // multi-second batch that the documented benign-caveat claims
-      val mainStore = gate match {
-        case "st21" => s"$work/sigs"
-        case "st20" => s"$work/bands"
-        case "st24" => s"$work/idx"
-      }
+      // frame-creation cost against the standing store, both ways:
+      // census-served (the path every probe takes — ~0 regardless of
+      // store size or age) vs cold (what the same frame costs without
+      // the census: InMemoryFileIndex listing + footer schema read,
+      // the r10 per-batch tax, still bounded by compaction)
       val tl = System.nanoTime()
-      spark.read.parquet(mainStore)
+      graft.streaming.StoreCensus.read(spark, mainStore)
       val listSec = (System.nanoTime() - tl) / 1e9
-      // replay batch 1's data as one more probe batch (a re-append of
-      // known rows — fine for timing; the stores are torn down at
-      // exit), through the SAME dispatch as the main series
+      val tc = System.nanoTime()
+      spark.read.parquet(mainStore)
+      val listColdSec = (System.nanoTime() - tc) / 1e9
+      // the HELD-OUT chunk (staged but never ingested by the main
+      // series) runs as one more probe batch, through the SAME
+      // dispatch — genuinely new ids, so the post-fold number
+      // measures the series' own workload against the post-fold
+      // store, not a duplicate re-append
       val t1 = System.nanoTime()
-      runBatch(1)
+      runBatch(nBatches)
       val postSec = (System.nanoTime() - t1) / 1e9
       System.err.println(
         f"[store] $gate tombstone fold $foldSec%6.2f s  post-fold batch " +
-          f"$postSec%6.2f s  store listing $listSec%6.3f s")
-      s""","tomb_fold_sec":$foldSec,"post_fold_batch_sec":$postSec,"store_list_sec":$listSec"""
+          f"$postSec%6.2f s  census listing $listSec%6.3f s  cold $listColdSec%6.3f s")
+      s""","tomb_fold_sec":$foldSec,"post_fold_batch_sec":$postSec,""" +
+        s""""store_list_sec":$listSec,"store_list_cold_sec":$listColdSec"""
     } else ""
     println(s"""{"metric":"store_econ","gate":"$gate","factor":$factor,"buckets":$nBuckets,"batches":$nBatches,""" +
       s""""median_first_half":$h1,"median_second_half":$h2,""" +
