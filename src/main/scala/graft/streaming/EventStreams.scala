@@ -958,16 +958,14 @@ object EventStreams {
     * store scan is the wrong foundation for the O(batch) contract.
     * The bucket list is ≤ StoreBuckets small ints off an
     * already-cached batch frame — the aggregate-broadcast shape.
-    * Listing caveat: each call re-enumerates the store's directory
-    * tree driver-side (InMemoryFileIndex) before pruning — metadata
-    * work that grows with TOTAL store files, not the batch. Benign
-    * here (≤ StoreBuckets dirs × a file per batch); a production
-    * deployment amortizes it with a catalog/metastore-backed file
-    * index, which is orthogonal to the data-scan economics the
-    * bucket layout buys. */
+    * Listing economics: frames are served off [[StoreCensus]], the
+    * catalog-backed file index — frame creation performs no
+    * filesystem listing and no footer read once a store is tracked
+    * (every mutation refreshes the census); an untracked store falls
+    * back to the raw read's per-call enumeration. */
   private[graft] def prunedStore(
       sp: SparkSession, dir: String, buckets: Seq[Int]): DataFrame =
-    sp.read.parquet(dir).filter(col("bucket").isin(buckets: _*))
+    StoreCensus.read(sp, dir).filter(col("bucket").isin(buckets: _*))
 
   /** The store dirs' filesystem, resolved through Hadoop's FileSystem
     * API from the active session's conf — NOT java.io.File, which
@@ -976,7 +974,7 @@ object EventStreams {
     * answers). Bare local paths resolve to the local FS exactly as
     * before; on a cluster whose fs.defaultFS is HDFS the same store
     * code runs against the durable filesystem. */
-  private def storeFs(dir: String): (org.apache.hadoop.fs.FileSystem,
+  private[streaming] def storeFs(dir: String): (org.apache.hadoop.fs.FileSystem,
       org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     // the session's Hadoop conf when one exists (cluster fs.defaultFS,
@@ -991,30 +989,34 @@ object EventStreams {
   }
 
   /** True iff the store dir holds any part file, at any nesting — the
-    * flat listing would miss bucket=…/part-… layouts. */
-  private[graft] def storeNonEmpty(dir: String): Boolean = {
-    val (fs, p) = storeFs(dir)
-    fs.exists(p) && {
-      val it = fs.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext)
-        found = it.next().getPath.getName.startsWith("part-")
-      found
+    * flat listing would miss bucket=…/part-… layouts. Census-tracked
+    * stores answer from driver memory (zero filesystem calls). */
+  private[graft] def storeNonEmpty(dir: String): Boolean =
+    StoreCensus.nonEmpty(dir).getOrElse {
+      val (fs, p) = storeFs(dir)
+      fs.exists(p) && {
+        val it = fs.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext)
+          found = it.next().getPath.getName.startsWith("part-")
+        found
+      }
     }
-  }
 
   /** Largest part-file count in any single bucket= dir of a store —
     * the quantity compaction bounds (file count per bucket grows one
-    * per appended batch between compactions). */
-  private[graft] def maxFilesPerBucket(dir: String): Int = {
-    val (fs, p) = storeFs(dir)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).collect {
-      case b if b.isDirectory && b.getPath.getName.startsWith("bucket=") =>
-        fs.listStatus(b.getPath)
-          .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
-    }.foldLeft(0)(math.max)
-  }
+    * per appended batch between compactions). Census-tracked stores
+    * answer from driver memory (zero filesystem calls). */
+  private[graft] def maxFilesPerBucket(dir: String): Int =
+    StoreCensus.maxFilesPerBucket(dir).getOrElse {
+      val (fs, p) = storeFs(dir)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).collect {
+        case b if b.isDirectory && b.getPath.getName.startsWith("bucket=") =>
+          fs.listStatus(b.getPath)
+            .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      }.foldLeft(0)(math.max)
+    }
 
   /** COMPACTION for the bucket-clustered append stores: each batch
     * appends one file per bucket, so file count — and with it the
@@ -1035,7 +1037,7 @@ object EventStreams {
       sp: org.apache.spark.sql.SparkSession, dir: String,
       threshold: Int = 8): Unit = {
     if (maxFilesPerBucket(dir) >= threshold)
-      rewriteStore(sp, dir, sp.read.parquet(dir))
+      rewriteStore(sp, dir, StoreCensus.read(sp, dir))
   }
 
   /** Fold `rows` back into `dir` as one file per bucket, swapping the
@@ -1050,39 +1052,79 @@ object EventStreams {
     * result is checked loudly. Shared by compaction and the tombstone
     * fold ([[deleteFromStore]]), which are the same operation with
     * different row sets. */
+  /** Directory renames are atomic on HDFS and posix filesystems;
+    * object stores EMULATE rename (copy + delete, non-atomic) — a
+    * crash mid-"rename" there can leave the live dir half-copied,
+    * exactly the corruption the swap choreography exists to prevent.
+    * The r10 FS port made such stores reachable, so the caveat is now
+    * CODE, not a docstring: schemes on this list are refused loudly
+    * unless `spark.graft.store.allowNonAtomicRename=true` opts in
+    * (for a deployment that fronts the store with an HDFS-semantics
+    * layer it knows to be safe, or accepts the crash window). The
+    * durable answers remain: an atomic-rename filesystem, or a table
+    * format whose commit protocol replaces the swap. */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb", "wasbs")
+
   private[graft] def rewriteStore(
       sp: org.apache.spark.sql.SparkSession, dir: String,
       rows: DataFrame): Unit = {
     val base = dir.stripSuffix("/")
     val (fs, live) = storeFs(base)
+    val scheme = fs.makeQualified(live).toUri.getScheme
+    if (NonAtomicRenameSchemes.contains(scheme)) {
+      val allow = sp.conf
+        .getOption("spark.graft.store.allowNonAtomicRename")
+        .exists(_.toBoolean)
+      if (!allow) throw new IllegalStateException(
+        s"store swap: filesystem scheme '$scheme' does not rename " +
+          "directories atomically (object-store copy+delete emulation) " +
+          "— a crash mid-swap can corrupt the live store. Front the " +
+          "store with an HDFS-semantics layer or a table format, or " +
+          "set spark.graft.store.allowNonAtomicRename=true to accept " +
+          "the crash window.")
+      System.err.println(
+        s"[graft] WARNING: store swap on non-atomic-rename scheme " +
+          s"'$scheme' ($live) — allowed by conf; a crash mid-swap can " +
+          "corrupt the live store")
+    }
     val tmp = new org.apache.hadoop.fs.Path(base + ".compacting")
     val old = new org.apache.hadoop.fs.Path(base + ".old")
     def rmTree(p: org.apache.hadoop.fs.Path): Unit =
       if (fs.exists(p) && !fs.delete(p, true)) throw new IllegalStateException(
         s"store swap: failed to delete $p")
-    // leftovers from a previous crashed swap: a stale .old is garbage
-    // (the live dir exists — the swap either completed or never
-    // started); a stale .compacting is an incomplete write
-    rmTree(old)
-    rmTree(tmp)
-    rows
-      .repartition(StoreBuckets, col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
-    // dir renames are atomic on HDFS and posix filesystems; object
-    // stores emulate rename (copy+delete, non-atomic) — a deployment
-    // there fronts the store with an HDFS-semantics layer or a table
-    // format. Either way delete-last means no failure mode destroys
-    // data: the worst crash leaves the old store intact or one rename
-    // from live.
-    if (!fs.rename(live, old)) throw new IllegalStateException(
-      s"store swap: rename aside failed: $live -> $old")
-    if (!fs.rename(tmp, live)) {
-      // roll back so the store is never left missing
-      fs.rename(old, live)
-      throw new IllegalStateException(
-        s"store swap: promote failed: $tmp -> $live (rolled back)")
+    try {
+      // leftovers from a previous crashed swap: a stale .old is garbage
+      // (the live dir exists — the swap either completed or never
+      // started); a stale .compacting is an incomplete write
+      rmTree(old)
+      rmTree(tmp)
+      rows
+        .repartition(StoreBuckets, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
+      // delete-last means no failure mode destroys data: the worst
+      // crash leaves the old store intact or one rename from live
+      // (failure-injected per step in StoreFsSpec, not just argued)
+      if (!fs.rename(live, old)) throw new IllegalStateException(
+        s"store swap: rename aside failed: $live -> $old")
+      if (!fs.rename(tmp, live)) {
+        // roll back so the store is never left missing
+        fs.rename(old, live)
+        throw new IllegalStateException(
+          s"store swap: promote failed: $tmp -> $live (rolled back)")
+      }
+      rmTree(old)
+      // the swap is the store's only rewriter: install the post-swap
+      // census (one listing) so every probe until the next mutation
+      // reads from driver memory
+      StoreCensus.refresh(sp, base)
+    } catch { case e: Throwable =>
+      // on ANY failure the on-disk state is one of the readable
+      // recovery states above, but it no longer matches the cached
+      // census — drop it so reads fall back to live listings
+      StoreCensus.invalidate(base)
+      throw e
     }
-    rmTree(old)
   }
 
   /** TOMBSTONES for the standing stores — the corpus-refresh delete
@@ -1103,7 +1145,7 @@ object EventStreams {
     if (storeNonEmpty(dir)) {
       val tomb = ids.toDF(idCol)
       rewriteStore(sp, dir,
-        sp.read.parquet(dir).join(tomb, Seq(idCol), "left_anti"))
+        StoreCensus.read(sp, dir).join(tomb, Seq(idCol), "left_anti"))
     }
   }
 
@@ -1209,20 +1251,22 @@ object EventStreams {
         // concurrent jobs share, and an empty set = no arrivals
         val kbs = newBands.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
-        // pre-append store snapshots (file listing happens at frame
-        // creation; the bucket filters below prune that static index).
+        // pre-append store snapshots, served off the census (tracked
+        // stores: zero listings, zero footer reads — the bucket
+        // filters below prune the cached index exactly as before).
         // Created only when arrivals exist — the probe path is their
         // sole consumer, and a corpus-only batch (the steady-state
-        // case) must not pay two DataSource resolutions + leaf-file
-        // listings for frames it never reads. Still BEFORE the
-        // appends launch, so the probe reads a pre-append snapshot.
+        // case) must not pay frame resolutions it never reads. Still
+        // BEFORE the appends launch — and since the census refreshes
+        // only after the appends settle, the pre-append snapshot is
+        // now exact by construction, not by racing a live listing.
         val storeBandsDf =
           if (kbs.nonEmpty && storeNonEmpty(bandStore))
-            Some(sp.read.parquet(bandStore))
+            Some(StoreCensus.read(sp, bandStore))
           else None
         val storeShDf =
           if (kbs.nonEmpty && storeNonEmpty(shStore))
-            Some(sp.read.parquet(shStore))
+            Some(StoreCensus.read(sp, shStore))
           else None
         // with arrivals present, corpusBands feeds BOTH the append job
         // and the probe's own-batch band side — cache it so the
@@ -1294,6 +1338,12 @@ object EventStreams {
             // the adversarial batch never sends rows driver-ward at
             // all.
             val candShared = candFrame.cache()
+            // finally, not happy-path: a verify-join failure must not
+            // leave the cached candidate frame (O(arrivals ×
+            // store-matches) in the adversarial case) pinned in
+            // executor storage for the JVM's remaining lifetime —
+            // st21Batch's sigs/slice discipline (r10 advisory)
+            try {
             val nCand = candShared.count()
             if (nCand > 0) {
               val local = nCand <= funnelMax
@@ -1328,7 +1378,7 @@ object EventStreams {
                 .dropDuplicates("new_id", "corpus_id")
                 .write.mode("append").parquet(outDir)
             }
-            candShared.unpersist()
+            } finally candShared.unpersist()
           }
         }
         val jobs = Seq(appendBands, appendSh, probe)
@@ -1339,6 +1389,11 @@ object EventStreams {
           // executors for the rest of the JVM
           jobs.foreach(Await.ready(_, Duration.Inf))
           jobs.foreach(Await.result(_, Duration.Inf))
+          // the appends are this batch's only store mutations: one
+          // census listing each replaces every later probe's
+          // re-listing (and feeds maybeCompactStore's file counts)
+          StoreCensus.refresh(sp, bandStore)
+          StoreCensus.refresh(sp, shStore)
           maybeCompactStore(sp, bandStore)
           maybeCompactStore(sp, shStore)
         } finally {
@@ -1362,6 +1417,9 @@ object EventStreams {
     * the next append recreates them anyway).
     */
   private[graft] def expireAppendLog(dir: String, ttlMs: Long): Unit = {
+    // pair logs are not census-tracked today, but if a caller ever
+    // expires a tracked dir the cached file list must not outlive it
+    StoreCensus.invalidate(dir)
     val cutoff = System.currentTimeMillis() - ttlMs
     val (fs, p) = storeFs(dir)
     if (fs.exists(p)) {
@@ -1453,6 +1511,17 @@ object EventStreams {
     * is the CDC dedup service's nightly refresh: O(store) fold + a
     * log-segment truncation, probes unchanged (STORE100_r10 measures
     * the fold at the 100× layout).
+    *
+    * Expiry-clock assumption, stated: the quarantine restart keys on
+    * part-file MODIFICATION TIMES being faithful append times — true
+    * on local/HDFS filesystems where this gate runs, NOT guaranteed
+    * on object stores or under writer/expiry clock skew, where a
+    * pre-refresh segment could out-survive its TTL and surface stale
+    * pairs. A cluster deployment keys expiry on a monotonic segment
+    * marker instead (e.g. batch-id subdirectories appended by the
+    * writer), which [[expireAppendLog]]'s file-level delete supports
+    * unchanged — the gate keeps mtimes because its writer and its
+    * expirer share one clock by construction.
     */
   def st27CdcRefresh(s: SparkSession, d: String): DataFrame = {
     val chunks = stageDocChunks(s, d)
@@ -1627,6 +1696,8 @@ object EventStreams {
       // settle both jobs before rethrowing (see st20Batch's await)
       jobs.foreach(Await.ready(_, Duration.Inf))
       jobs.foreach(Await.result(_, Duration.Inf))
+      // census refresh after the one mutation (see st20Batch)
+      StoreCensus.refresh(sp, sigStore)
       maybeCompactStore(sp, sigStore)
     } finally {
       if (slice != null) slice.unpersist()
@@ -1758,6 +1829,8 @@ object EventStreams {
       .withColumn("bucket", bucketOf(col("lsh")))
       .repartition(col("bucket")) // one file per bucket per batch
       .write.partitionBy("bucket").mode("append").parquet(store)
+    // census refresh after the one mutation (see st20Batch)
+    StoreCensus.refresh(sp, store)
     maybeCompactStore(sp, store)
     ()
   }
@@ -1771,9 +1844,12 @@ object EventStreams {
     */
   private[graft] def annStoreSlice(s: SparkSession, store: String,
       buckets: Seq[Int]): DataFrame =
-    s.read
-      .schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, lsh BIGINT")
-      .parquet(store)
+    (if (StoreCensus.nonEmpty(store).contains(true)) StoreCensus.read(s, store)
+     else s.read // untracked or empty store: the explicit schema keeps a
+       // vector-less corpus readable (inference throws on a dir with
+       // no part files — st21's hazard)
+       .schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, lsh BIGINT")
+       .parquet(store))
       .filter(col("bucket").isin(buckets: _*))
 
   private def streamAnnServe(s: SparkSession, d: String,
