@@ -1197,6 +1197,12 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q68 is a DEMO-SCALE declarative surface (recursive-CTE cluster
+    // walk, factorial in cluster size): it two-tier-guards its input
+    // and REFUSES graphs with >100k pair edges or any component >12
+    // nodes/~2e6 estimated paths (guard spec-pinned in EngineSpec).
+    // For production graphs of any size use d07_dup_clusters — the
+    // pointer-jumping log-round design with identical labels.
     "q68_recursive_clusters" -> q68RecursiveClusters,
     "d18_cdc_quality" -> d18CdcQuality,
     "d17_cdc_chunk_overlap" -> d17CdcChunkOverlap,
