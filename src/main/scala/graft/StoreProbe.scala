@@ -62,6 +62,10 @@ object StoreProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buckets.foreach(b => spark.conf.set("spark.graft.storeBuckets", b.toString))
+    // SPARK_GRAFT_CENSUS=false A/Bs the catalog-backed file index
+    // itself (reads take the raw listing path; semantics unchanged)
+    sys.env.get("SPARK_GRAFT_CENSUS").foreach(v =>
+      spark.conf.set("spark.graft.storeCensus.enabled", v))
     graft.functions.VectorExpressions.register(spark)
 
     // resolve the CURRENT scheme's 10× twin via ScaleProbe's staging
@@ -79,17 +83,17 @@ object StoreProbe {
 
     // stage one single-file chunk per batch ONCE (untimed), so each
     // replayed batch is an O(batch) read — the shape a file-source
-    // micro-batch delivers. doc_id % N spreads replicas evenly.
-    // N = nBatches + 1: the main series replays chunks 0..nBatches-1
-    // and the LAST chunk is held out for the tomb leg's post-fold
-    // probe, so that batch appends genuinely NEW ids — replaying an
-    // already-ingested chunk (the r10 shape) ran against inflated
-    // per-chunk frequencies and duplicate band keys, a slightly
-    // different workload than the series it is compared with
-    val nSplits = nBatches + 1
+    // micro-batch delivers. doc_id % N spreads replicas evenly. The
+    // split count stays EXACTLY nBatches (not nBatches+1): the
+    // synthesized twins replicate docs at a fixed id stride, so the
+    // split modulus decides how replicas cluster into batches — a
+    // different modulus is a DIFFERENT workload, and series would stop
+    // being comparable across rounds (measured: a 49-way restage
+    // moved per-batch medians ~2x). The tomb leg gets its genuinely
+    // new ids by OFFSET instead (below).
     val stagedRoot = {
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$src:$nSplits".getBytes("UTF-8"))
+        .digest(s"$src:$nBatches".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(8)
       val dir = s"/tmp/graft_storeprobe_$key"
       if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
@@ -97,8 +101,8 @@ object StoreProbe {
           if (gate == "st24") ("vec_id", Seq(col("vec_id"), col("embedding")))
           else ("doc_id", Seq(col("doc_id"), col("text")))
         spark.read.parquet(src).select(cols: _*)
-          .withColumn("b", pmod(col(idCol), lit(nSplits.toLong)))
-          .repartition(nSplits, col("b"))
+          .withColumn("b", pmod(col(idCol), lit(nBatches.toLong)))
+          .repartition(nBatches, col("b"))
           .write.mode("overwrite").partitionBy("b").parquet(dir)
       }
       dir
@@ -109,9 +113,16 @@ object StoreProbe {
     // ONE dispatch for the main series and the tomb leg's post-fold
     // replay — a divergence between the two would make
     // post_fold_batch_sec measure a different workload than the
-    // series it is compared against
-    def runBatch(i: Int): Unit = {
+    // series it is compared against. `idOffset` (tomb leg only) maps
+    // the replayed chunk onto ids the store has never seen, so the
+    // post-fold batch appends genuinely NEW rows with the series'
+    // own workload shape — a plain re-append of known ids (the r10
+    // shape) ran against inflated per-chunk frequencies and duplicate
+    // band keys (an r10 advisory finding).
+    def runBatch(i: Int, idOffset: Long = 0L): Unit = {
+      val idCol = if (gate == "st24") "vec_id" else "doc_id"
       val batch = spark.read.parquet(s"$stagedRoot/b=$i")
+        .withColumn(idCol, col(idCol) + lit(idOffset))
       gate match {
         case "st21" =>
           graft.streaming.EventStreams.st21Batch(
@@ -119,14 +130,14 @@ object StoreProbe {
         case "st20" =>
           // ~1/16 of EVERY batch arrives as probes (mixed-batch
           // contract: the probe side unions the batch's own corpus).
-          // The flag keys on doc_id div nSplits, which enumerates
+          // The flag keys on doc_id div nBatches, which enumerates
           // 0,1,2,… WITHIN a batch (batches partition on doc_id %
-          // nSplits) — a doc_id % 16 flag aliases with the batch
-          // split whenever gcd(nSplits,16) > 1 (at 48 splits,
+          // nBatches) — a doc_id % 16 flag aliases with the batch
+          // split whenever gcd(nBatches,16) > 1 (at the default 48,
           // 3 batches were all-arrivals and 45 never probed)
           graft.streaming.EventStreams.st20Batch(
             batch.withColumn("is_new",
-              expr(s"pmod(doc_id div $nSplits, 16) = 0")),
+              expr(s"pmod(doc_id div $nBatches, 16) = 0")),
             s"$work/bands", s"$work/sh", s"$work/out")
         case "st24" =>
           graft.streaming.EventStreams.st24Batch(batch, s"$work/idx")
@@ -248,13 +259,15 @@ object StoreProbe {
       val tc = System.nanoTime()
       spark.read.parquet(mainStore)
       val listColdSec = (System.nanoTime() - tc) / 1e9
-      // the HELD-OUT chunk (staged but never ingested by the main
-      // series) runs as one more probe batch, through the SAME
-      // dispatch — genuinely new ids, so the post-fold number
-      // measures the series' own workload against the post-fold
-      // store, not a duplicate re-append
+      // batch 1's data replayed on OFFSET ids (far past the corpus id
+      // range), through the SAME dispatch — genuinely new ids, so the
+      // post-fold number measures the series' own workload against
+      // the post-fold store, not a duplicate re-append. The is_new
+      // flag re-derives from the offset ids: offset ≡ 0 mod (16 ×
+      // nBatches) keeps the flagged fraction and batch alignment
+      // identical to the replayed chunk's original run.
       val t1 = System.nanoTime()
-      runBatch(nBatches)
+      runBatch(1, idOffset = 16L * nBatches * 100000000L)
       val postSec = (System.nanoTime() - t1) / 1e9
       System.err.println(
         f"[store] $gate tombstone fold $foldSec%6.2f s  post-fold batch " +

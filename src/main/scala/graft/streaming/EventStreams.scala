@@ -1231,6 +1231,16 @@ object EventStreams {
   private[graft] def st20Batch(batch: DataFrame, bandStore: String,
       shStore: String, outDir: String): Unit = {
         val sp = batch.sparkSession
+        // GRAFT_PHASES=1 prints per-phase wall times (stage → jobs →
+        // refresh → compact) to stderr — the attribution tool that
+        // found r11's census-refresh fork-per-file tax in minutes
+        // after whole-batch numbers had only said "slower". Env-gated;
+        // one AtomicLong swap per phase when off.
+        val phT = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+        def ph(name: String): Unit = if (sys.env.contains("GRAFT_PHASES")) {
+          val now = System.nanoTime()
+          System.err.println(f"[phase] $name%-8s ${(now - phT.getAndSet(now)) / 1e9}%6.2f s")
+        } else phT.set(System.nanoTime())
         graft.functions.VectorExpressions.register(sp)
         import sp.implicits._
         val sigs = batch
@@ -1251,6 +1261,7 @@ object EventStreams {
         // concurrent jobs share, and an empty set = no arrivals
         val kbs = newBands.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
+        ph("stage")
         // pre-append store snapshots, served off the census (tracked
         // stores: zero listings, zero footer reads — the bucket
         // filters below prune the cached index exactly as before).
@@ -1389,13 +1400,16 @@ object EventStreams {
           // executors for the rest of the JVM
           jobs.foreach(Await.ready(_, Duration.Inf))
           jobs.foreach(Await.result(_, Duration.Inf))
+          ph("jobs")
           // the appends are this batch's only store mutations: one
           // census listing each replaces every later probe's
           // re-listing (and feeds maybeCompactStore's file counts)
           StoreCensus.refresh(sp, bandStore)
           StoreCensus.refresh(sp, shStore)
+          ph("refresh")
           maybeCompactStore(sp, bandStore)
           maybeCompactStore(sp, shStore)
+          ph("compact")
         } finally {
           if (kbs.nonEmpty) corpusBandsShared.unpersist()
           newBands.unpersist()

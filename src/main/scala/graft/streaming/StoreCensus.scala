@@ -69,6 +69,16 @@ private[graft] object StoreCensus {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
+  /** Kill switch (`spark.graft.storeCensus.enabled=false`): every
+    * lookup misses, so reads/emptiness/file-count probes take the raw
+    * listing path while refresh/invalidate keep maintaining entries —
+    * a deployment can flip census serving off without changing any
+    * store semantics, and the probes can A/B the census itself. */
+  private def enabled: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.storeCensus.enabled"))
+      .forall(_.toBoolean)
+
   /** Qualified-URI key (r10's store-addressing rule: two spellings of
     * one dir — bare path vs file: URI — must hit one entry). */
   private def qualified(dir: String): (org.apache.hadoop.fs.FileSystem, Path) = {
@@ -77,8 +87,11 @@ private[graft] object StoreCensus {
   }
 
   private[graft] def lookup(dir: String): Option[Entry] = {
-    val (_, q) = qualified(dir)
-    Option(entries.get(q.toString))
+    if (!enabled) None
+    else {
+      val (_, q) = qualified(dir)
+      Option(entries.get(q.toString))
+    }
   }
 
   /** Re-list the store (the one metadata read a mutation pays) and
@@ -88,13 +101,22 @@ private[graft] object StoreCensus {
   private[graft] def refresh(sp: SparkSession, dir: String): Unit = {
     val (fs, q) = qualified(dir)
     val files = scala.collection.mutable.ArrayBuffer[FileStatus]()
-    if (fs.exists(q)) {
-      val it = fs.listFiles(q, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.startsWith("part-")) files += f
-      }
+    // listStatus walk, NOT fs.listFiles(recursive): listFiles wraps
+    // every entry in a LocatedFileStatus whose constructor forces the
+    // lazy permission load — on a RawLocalFileSystem without the
+    // Hadoop native library that is one `ls -ld` FORK PER FILE
+    // (measured ~3 ms/file: a 512-file census cost 1.9 s and grew
+    // linearly with the store — the very tax this module removes).
+    // listStatus keeps permissions lazy and nothing downstream reads
+    // them. Trade, documented: the statuses carry no block locality,
+    // so on HDFS the scan loses locality PREFERENCE (not correctness)
+    // for these bucket-probe stores — acceptable against a listing
+    // that the probe path would otherwise pay per batch.
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
+      if (s.isDirectory) walk(s.getPath)
+      else if (s.getPath.getName.startsWith("part-")) files += s
     }
+    if (fs.exists(q)) walk(q)
     val prior = Option(entries.get(q.toString)).flatMap(_.schema)
     val schema = prior.orElse {
       if (files.isEmpty) None
@@ -149,7 +171,7 @@ private[graft] object StoreCensus {
     * mount and raw inference throws on it, same as today). */
   private[graft] def read(sp: SparkSession, dir: String): DataFrame = {
     val (_, q) = qualified(dir)
-    Option(entries.get(q.toString)) match {
+    lookup(dir) match {
       case Some(Entry(files, Some(full))) if files.nonEmpty =>
         val idx = new InMemoryFileIndex(sp, Seq(q),
           Map.empty[String, String], Some(full), new PinnedCache(q, files))
