@@ -1643,6 +1643,12 @@ object EventStreams {
   private[graft] def st21Batch(batch: DataFrame, sigStore: String,
       pairDir: String): Unit = {
     val sp = batch.sparkSession
+    // st20Batch's GRAFT_PHASES attribution timer, symmetric here
+    val phT = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    def ph(name: String): Unit = if (sys.env.contains("GRAFT_PHASES")) {
+      val now = System.nanoTime()
+      System.err.println(f"[phase21] $name%-8s ${(now - phT.getAndSet(now)) / 1e9}%6.2f s")
+    } else phT.set(System.nanoTime())
     val sigs = graft.queries.Dedup
       .cdcSigs(batch.select(col("doc_id"), col("text")))
       .withColumn("bucket", bucketOf(col("h"))).cache()
@@ -1651,6 +1657,7 @@ object EventStreams {
     val bcnt = sigs.groupBy(col("bucket"))
       .agg(count(lit(1)).as("c")).collect()
     val hbs = bcnt.map(_.getInt(0)).toSeq
+    ph("stage")
     // FUNNEL GUARD (st20's, applied to the broadcast sides): the two
     // broadcasts below are O(batch) — fastest for the typical
     // micro-batch, but a bulk-backfill batch must not ride the
@@ -1710,9 +1717,12 @@ object EventStreams {
       // settle both jobs before rethrowing (see st20Batch's await)
       jobs.foreach(Await.ready(_, Duration.Inf))
       jobs.foreach(Await.result(_, Duration.Inf))
+      ph("jobs")
       // census refresh after the one mutation (see st20Batch)
       StoreCensus.refresh(sp, sigStore)
+      ph("refresh")
       maybeCompactStore(sp, sigStore)
+      ph("compact")
     } finally {
       if (slice != null) slice.unpersist()
       sigs.unpersist()

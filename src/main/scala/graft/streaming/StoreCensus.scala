@@ -37,7 +37,12 @@ import org.apache.spark.sql.types.StructType
   * writers (specs, ad-hoc tools) see today's behavior unchanged. The
   * one listing a mutation pays (O(buckets) directory reads, bounded
   * by compaction at ≤ threshold × buckets files) replaces the
-  * 2–4 listings + footer job every PROBE used to pay.
+  * 2–4 listings + footer job every PROBE used to pay. One corollary
+  * worth naming: a DELETED store dir later recreated at the SAME
+  * path by a non-census writer would be served stale — the gates
+  * never recycle paths (store dirs are unique per gate per JVM), and
+  * a long-lived service that does recycle them must route the
+  * recreate through [[refresh]]/[[invalidate]] like any mutation.
   *
   * Consistency with st20Batch's concurrency: the census entry a probe
   * reads is by construction the PRE-append snapshot (refresh runs on
