@@ -50,8 +50,15 @@ object StoreProbe {
     // standing store) at the FULL store size, then replay one more
     // probe batch — the fold is O(store) by design (a compaction with
     // a filter); the claim under measure is that probes afterwards
-    // cost the same as before
+    // cost the same as before.
+    // "tombmid" instead folds HALF the corpus out MID-SERIES (at
+    // batch 2N/3) and keeps replaying: the claim under measure is the
+    // design's central retention assertion — per-batch probe cost at
+    // the saturating workload tracks STANDING-STORE size, so a
+    // refresh-window fold RESETS the growth rather than probes
+    // degrading with all of history
     val tomb = args.lift(4).contains("tomb")
+    val tombMid = args.lift(4).contains("tombmid")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -188,11 +195,43 @@ object StoreProbe {
       case "st20" => s"$work/bands"
       case "st24" => s"$work/idx"
     }
+    // one fold implementation for both tomb legs — deletion is a
+    // compaction with a filter over every standing store of the gate
+    def foldStores(ids: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      gate match {
+        case "st21" => graft.streaming.EventStreams.deleteFromStore(
+          spark, s"$work/sigs", "doc_id", ids.toDF("doc_id"))
+        case "st20" =>
+          graft.streaming.EventStreams.deleteFromStore(
+            spark, s"$work/bands", "corpus_id", ids.toDF("corpus_id"))
+          graft.streaming.EventStreams.deleteFromStore(
+            spark, s"$work/sh", "doc_id", ids.toDF("doc_id"))
+        case "st24" => graft.streaming.EventStreams.deleteFromStore(
+          spark, s"$work/idx", "vec_id", ids.toDF("vec_id"))
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val srcIdCol = if (gate == "st24") "vec_id" else "doc_id"
+    val midAt = 2 * nBatches / 3
+    var midFoldSec = -1.0
     val times = Array.ofDim[Double](nBatches)
     val files = Array.ofDim[Int](nBatches)
     val listMs = Array.ofDim[Double](nBatches)
     for (i <- 0 until nBatches) {
       if (i % 8 == 0) probeCalib(i)
+      if (tombMid && i == midAt) {
+        // the refresh-window fold: half the corpus ages out of the
+        // standing index mid-ingest (untimed in the series; recorded
+        // separately) — subsequent batches must drop back toward
+        // early-series levels, or "retention bounds the growth" is
+        // just a docstring
+        midFoldSec = foldStores(spark.read.parquet(src)
+          .select(col(srcIdCol).as("id"))
+          .filter(pmod(col("id"), lit(2L)) === 0L))
+        System.err.println(
+          f"[store] $gate MID-SERIES fold at batch $i%3d  $midFoldSec%6.2f s")
+      }
       val t0 = System.nanoTime()
       runBatch(i)
       times(i) = (System.nanoTime() - t0) / 1e9
@@ -232,22 +271,9 @@ object StoreProbe {
     // tombstone leg: fold the slice out of every standing store, then
     // one more replayed batch at the post-fold store
     val tombJson = if (tomb) {
-      val ids = spark.read.parquet(src)
-        .select(col(if (gate == "st24") "vec_id" else "doc_id").as("id"))
-        .filter(pmod(col("id"), lit(7L)) === 3L)
-      val t0 = System.nanoTime()
-      gate match {
-        case "st21" => graft.streaming.EventStreams.deleteFromStore(
-          spark, s"$work/sigs", "doc_id", ids.toDF("doc_id"))
-        case "st20" =>
-          graft.streaming.EventStreams.deleteFromStore(
-            spark, s"$work/bands", "corpus_id", ids.toDF("corpus_id"))
-          graft.streaming.EventStreams.deleteFromStore(
-            spark, s"$work/sh", "doc_id", ids.toDF("doc_id"))
-        case "st24" => graft.streaming.EventStreams.deleteFromStore(
-          spark, s"$work/idx", "vec_id", ids.toDF("vec_id"))
-      }
-      val foldSec = (System.nanoTime() - t0) / 1e9
+      val foldSec = foldStores(spark.read.parquet(src)
+        .select(col(srcIdCol).as("id"))
+        .filter(pmod(col("id"), lit(7L)) === 3L))
       // frame-creation cost against the standing store, both ways:
       // census-served (the path every probe takes — ~0 regardless of
       // store size or age) vs cold (what the same frame costs without
@@ -275,7 +301,9 @@ object StoreProbe {
       s""","tomb_fold_sec":$foldSec,"post_fold_batch_sec":$postSec,""" +
         s""""store_list_sec":$listSec,"store_list_cold_sec":$listColdSec"""
     } else ""
-    println(s"""{"metric":"store_econ","gate":"$gate","factor":$factor,"buckets":$nBuckets,"batches":$nBatches,""" +
+    val midJson = if (tombMid)
+      s""""mid_fold_at":$midAt,"mid_fold_sec":$midFoldSec,""" else ""
+    println(s"""{"metric":"store_econ","gate":"$gate","factor":$factor,"buckets":$nBuckets,"batches":$nBatches,$midJson""" +
       s""""median_first_half":$h1,"median_second_half":$h2,""" +
       s""""drift":${h2 / h1},"max_files":${files.max}$tombJson,""" +
       s""""calibs":$calibJson,"series":[$js]}""")
