@@ -216,6 +216,40 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "census-tracked emptiness/file-count probes must not list")
   }
 
+  test("a census-served probe frame still partition-prunes to the probed buckets") {
+    import spark.implicits._
+    val dir = tmpDir("graft_censprune_")
+    (0 until 4).foreach { b =>
+      (b * 4000 until (b + 1) * 4000).toDF("k")
+        .withColumn("bucket", ES.bucketOf(col("k")))
+        .write.partitionBy("bucket").mode("append").parquet(dir)
+    }
+    // track the store — from here every read is the census relation
+    // (HadoopFsRelation over the pinned index), and the economics
+    // claim must survive the swap of file-index implementations:
+    // the bucket IN-list lands in PartitionFilters and the scan
+    // touches only the probed bucket dirs' files
+    StoreCensus.refresh(spark, dir)
+    val total = StoreCensus.lookup(dir).get.files.length
+    val buckets = Seq(17).toDF("k")
+      .select(ES.bucketOf(col("k")).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val probe = ES.prunedStore(spark, dir, buckets)
+    assert(probe.collect().length >= 1, "probed bucket must contain its key")
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "census probe must be a file-source scan")
+    val scanStr = scans.head.toString
+    val pf = scanStr.substring(scanStr.indexOf("PartitionFilters: ["))
+    assert(pf.take(pf.indexOf("]") + 1).contains("bucket#"),
+      s"bucket IN-list must land in the census relation's PartitionFilters:\n" +
+        scanStr.take(400))
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    assert(scanned > 0 && scanned * 10 < total,
+      s"census probe must scan ~1/16 of the store, got $scanned of $total files")
+  }
+
   /** Builds a small bucketed store on the graftfs scheme and returns
     * (storeDir, its rows) — the fixture every swap-failure case
     * starts from. */
