@@ -174,6 +174,65 @@ object Bench {
       } else n -> first
     }
     probe("end")
+    // CROSS-ROUND REGRESSION FLAGS: the standing discipline — every
+    // per-query mover >1.3x AND >0.3s against the prior round's local
+    // artifact gets a same-boot alternating A/B before it is believed —
+    // used to be applied by hand-curated lists; the artifact now
+    // GENERATES the A/B worklist itself. Prior = the newest
+    // BENCH_r*_local.json in the working dir (the reference series the
+    // A/B rule is defined against), overridable via
+    // SPARK_GRAFT_PRIOR_BENCH. A flag is a to-verify marker, not a
+    // verdict: this box's hour-scale weather (see the throttle comment
+    // above) moves queries 1.3x with zero code cause, which is exactly
+    // why flagged movers get the A/B instead of a revert.
+    val (priorPath, priorQ): (String, Map[String, Double]) = {
+      val auto = {
+        val dir = new java.io.File(System.getProperty("user.dir"))
+        val re = "BENCH_r(\\d+)_local\\.json".r
+        Option(dir.listFiles()).toSeq.flatten
+          .flatMap(f => f.getName match {
+            case re(n) => Some((n.toInt, f.getPath))
+            case _ => None
+          })
+          .sortBy(-_._1).headOption.map(_._2)
+      }
+      sys.env.get("SPARK_GRAFT_PRIOR_BENCH").orElse(auto) match {
+        case None => ("", Map.empty[String, Double])
+        case Some(p) =>
+          try {
+            val om = new com.fasterxml.jackson.databind.ObjectMapper()
+            val srcF = scala.io.Source.fromFile(p)
+            val lines = try srcF.getLines().toList finally srcF.close()
+            // the artifact carries a full-precision line and a compact
+            // slowest-20 line — take the line with the biggest map
+            val best = lines.map(_.trim).filter(_.startsWith("{"))
+              .flatMap(l => scala.util.Try(om.readTree(l)).toOption)
+              .filter(n => n.has("queries") && n.get("queries").isObject)
+              .sortBy(-_.get("queries").size()).headOption
+            val m = best.map { node =>
+              import scala.jdk.CollectionConverters._
+              node.get("queries").fields().asScala
+                .map(e => e.getKey -> e.getValue.asDouble()).toMap
+            }.getOrElse(Map.empty[String, Double])
+            (p, m)
+          } catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] prior artifact unreadable ($p): ${e.getMessage}")
+            ("", Map.empty[String, Double])
+          }
+      }
+    }
+    val flags = results.flatMap { case (n, v) =>
+      priorQ.get(n)
+        .filter(pv => pv > 0 && v > 0 && v > pv * 1.3 && v - pv > 0.3)
+        .map(pv => (n, pv, v))
+    }
+    flags.foreach { case (n, pv, v) => System.err.println(
+      f"[bench] FLAG $n%-28s $pv%7.2f -> $v%7.2f s (${v / pv}%.2fx) — " +
+        "same-boot A/B required before belief") }
+    val flagsJson = flags.map { case (n, pv, v) =>
+      f"""{"q":"$n","prior":$pv%.3f,"now":$v%.3f,"ratio":${v / pv}%.2f}""" }
+      .mkString("[", ",", "]")
     val diskMbps = Seq(diskProbe(), diskProbe()).max // page-cache warm pass
     System.err.println(f"[bench] disk probe $diskMbps%8.1f MB/s")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -186,7 +245,7 @@ object Bench {
     // Full-detail line FIRST: every query at full precision plus the
     // interleaved calibration series (repo-local sweeps capture all of
     // stdout, so nothing is lost for analysis).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,"disk_mbps":$diskMbps},"calibs":$calibArr}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,"disk_mbps":$diskMbps},"calibs":$calibArr,"flags":$flagsJson,"flags_prior":"$priorPath"}""")
     // Compact summary LAST: the driver keeps only the final ~2,000
     // chars of stdout, and with 125 queries the full line is ~6 KB —
     // the r2/r3 artifacts show it beheaded mid-map ("parsed": null).
@@ -195,7 +254,8 @@ object Bench {
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$slow,"queries_note":"slowest 20 of ${results.size}; full map on the first metric line","sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,"disk_mbps":${f"$diskMbps%.1f"}}}""")
+    val flagNames = flags.map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$slow,"queries_note":"slowest 20 of ${results.size}; full map on the first metric line","sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,"disk_mbps":${f"$diskMbps%.1f"}},"n_flags":${flags.size},"flags":$flagNames}""")
     spark.stop()
   }
 }

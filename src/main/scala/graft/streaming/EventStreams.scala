@@ -997,8 +997,14 @@ object EventStreams {
       fs.exists(p) && {
         val it = fs.listFiles(p, true)
         var found = false
-        while (!found && it.hasNext)
-          found = it.next().getPath.getName.startsWith("part-")
+        while (!found && it.hasNext) {
+          val f = it.next().getPath
+          // ignore uncommitted task files under an aborted job's
+          // _temporary tree — Spark's listing filters hidden dirs, and
+          // emptiness must answer what a read would actually see
+          found = f.getName.startsWith("part-") &&
+            !f.toString.contains("/_") && !f.toString.contains("/.")
+        }
         found
       }
     }
@@ -1060,11 +1066,36 @@ object EventStreams {
     * CODE, not a docstring: schemes on this list are refused loudly
     * unless `spark.graft.store.allowNonAtomicRename=true` opts in
     * (for a deployment that fronts the store with an HDFS-semantics
-    * layer it knows to be safe, or accepts the crash window). The
-    * durable answers remain: an atomic-rename filesystem, or a table
-    * format whose commit protocol replaces the swap. */
+    * layer it knows to be safe, or accepts the crash window). abfs/
+    * abfss are listed too: ADLS accounts WITHOUT hierarchical
+    * namespace emulate rename non-atomically, and the scheme alone
+    * cannot tell HNS from non-HNS — an HNS deployment opts in via the
+    * same conf (the accepted false positive) or advertises
+    * [[AtomicRenameCapability]] through a wrapping FS. The durable
+    * answers remain: an atomic-rename filesystem, or a table format
+    * whose commit protocol replaces the swap. */
   private val NonAtomicRenameSchemes =
-    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb", "wasbs")
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift",
+      "wasb", "wasbs", "abfs", "abfss")
+
+  /** Schemes whose directory rename is atomic by the filesystem's own
+    * contract — the swap's trusting path. Everything else is decided
+    * by capability, not by default (below). */
+  private val KnownAtomicRenameSchemes = Set("file", "hdfs", "viewfs")
+
+  /** UNKNOWN schemes are fail-safe, not trust-by-default (the r11
+    * blocklist's gap: a new connector or custom FS silently got the
+    * trusting path). Hadoop has no standard atomic-rename capability
+    * string in CommonPathCapabilities, but the PathCapabilities
+    * interface is extensible by design — a connector that knows its
+    * rename is atomic advertises this capability (hasPathCapability
+    * returns true for it) and gets the trusting path; otherwise the
+    * swap refuses with the same message and opt-in conf as the
+    * blocklist. The blocklist stays authoritative for the schemes it
+    * names: an s3a wrapper claiming atomicity is almost certainly
+    * wrong, so a capability claim does not override it. */
+  private[graft] val AtomicRenameCapability =
+    "graft.capability.atomic.directory.rename"
 
   private[graft] def rewriteStore(
       sp: org.apache.spark.sql.SparkSession, dir: String,
@@ -1072,21 +1103,35 @@ object EventStreams {
     val base = dir.stripSuffix("/")
     val (fs, live) = storeFs(base)
     val scheme = fs.makeQualified(live).toUri.getScheme
-    if (NonAtomicRenameSchemes.contains(scheme)) {
-      val allow = sp.conf
-        .getOption("spark.graft.store.allowNonAtomicRename")
-        .exists(_.toBoolean)
+    val allow = sp.conf
+      .getOption("spark.graft.store.allowNonAtomicRename")
+      .exists(_.toBoolean)
+    def refuseOrWarn(why: String): Unit = {
       if (!allow) throw new IllegalStateException(
-        s"store swap: filesystem scheme '$scheme' does not rename " +
-          "directories atomically (object-store copy+delete emulation) " +
+        s"store swap: filesystem scheme '$scheme' $why " +
           "— a crash mid-swap can corrupt the live store. Front the " +
-          "store with an HDFS-semantics layer or a table format, or " +
-          "set spark.graft.store.allowNonAtomicRename=true to accept " +
+          "store with an HDFS-semantics layer or a table format, " +
+          s"advertise $AtomicRenameCapability via PathCapabilities if " +
+          "the rename is in fact atomic, or set " +
+          "spark.graft.store.allowNonAtomicRename=true to accept " +
           "the crash window.")
       System.err.println(
-        s"[graft] WARNING: store swap on non-atomic-rename scheme " +
-          s"'$scheme' ($live) — allowed by conf; a crash mid-swap can " +
-          "corrupt the live store")
+        s"[graft] WARNING: store swap on scheme '$scheme' ($live) $why " +
+          "— allowed by conf; a crash mid-swap can corrupt the live store")
+    }
+    if (NonAtomicRenameSchemes.contains(scheme))
+      refuseOrWarn("does not rename directories atomically " +
+        "(object-store copy+delete emulation)")
+    else if (!KnownAtomicRenameSchemes.contains(scheme)) {
+      // fail-safe for unknown schemes: trust only an explicit
+      // capability claim (probe failure = no claim)
+      val claims =
+        try fs.hasPathCapability(live, AtomicRenameCapability)
+        catch { case _: Throwable => false }
+      if (!claims)
+        refuseOrWarn("is not a known atomic-rename filesystem and " +
+          s"does not advertise $AtomicRenameCapability, so directory " +
+          "renames cannot be assumed atomic")
     }
     val tmp = new org.apache.hadoop.fs.Path(base + ".compacting")
     val old = new org.apache.hadoop.fs.Path(base + ".old")
@@ -1410,6 +1455,16 @@ object EventStreams {
           maybeCompactStore(sp, bandStore)
           maybeCompactStore(sp, shStore)
           ph("compact")
+        } catch { case e: Throwable =>
+          // mirror rewriteStore's failure path: a sibling append that
+          // already committed (bands landed, sh failed) would leave the
+          // census serving the stale pre-append snapshot to any caller
+          // that catches this failure and keeps running — drop both
+          // entries so reads fall back to live listings until the next
+          // successful mutation
+          StoreCensus.invalidate(bandStore)
+          StoreCensus.invalidate(shStore)
+          throw e
         } finally {
           if (kbs.nonEmpty) corpusBandsShared.unpersist()
           newBands.unpersist()
@@ -1723,6 +1778,12 @@ object EventStreams {
       ph("refresh")
       maybeCompactStore(sp, sigStore)
       ph("compact")
+    } catch { case e: Throwable =>
+      // st20Batch's failure discipline: a committed sibling write with
+      // a failed await must not leave the census pre-append stale for
+      // a caller that catches and continues
+      StoreCensus.invalidate(sigStore)
+      throw e
     } finally {
       if (slice != null) slice.unpersist()
       sigs.unpersist()
@@ -1845,17 +1906,24 @@ object EventStreams {
   private[graft] def st24Batch(batch: DataFrame, store: String): Unit = {
     val sp = batch.sparkSession
     graft.functions.VectorExpressions.register(sp)
-    batch
-      .selectExpr("vec_id",
-        "transform(embedding, x -> cast(x AS double)) AS v")
-      .selectExpr("vec_id", "v", "sqrt(graft_sumsq(v)) AS nrm",
-        "graft_lsh_bucket(v) AS lsh")
-      .withColumn("bucket", bucketOf(col("lsh")))
-      .repartition(col("bucket")) // one file per bucket per batch
-      .write.partitionBy("bucket").mode("append").parquet(store)
-    // census refresh after the one mutation (see st20Batch)
-    StoreCensus.refresh(sp, store)
-    maybeCompactStore(sp, store)
+    try {
+      batch
+        .selectExpr("vec_id",
+          "transform(embedding, x -> cast(x AS double)) AS v")
+        .selectExpr("vec_id", "v", "sqrt(graft_sumsq(v)) AS nrm",
+          "graft_lsh_bucket(v) AS lsh")
+        .withColumn("bucket", bucketOf(col("lsh")))
+        .repartition(col("bucket")) // one file per bucket per batch
+        .write.partitionBy("bucket").mode("append").parquet(store)
+      // census refresh after the one mutation (see st20Batch)
+      StoreCensus.refresh(sp, store)
+      maybeCompactStore(sp, store)
+    } catch { case e: Throwable =>
+      // a partially-committed append must not be served from a stale
+      // census (st20Batch's failure discipline)
+      StoreCensus.invalidate(store)
+      throw e
+    }
     ()
   }
 

@@ -38,11 +38,42 @@ import org.apache.spark.sql.types.StructType
   * one listing a mutation pays (O(buckets) directory reads, bounded
   * by compaction at ≤ threshold × buckets files) replaces the
   * 2–4 listings + footer job every PROBE used to pay. One corollary
-  * worth naming: a DELETED store dir later recreated at the SAME
-  * path by a non-census writer would be served stale — the gates
-  * never recycle paths (store dirs are unique per gate per JVM), and
-  * a long-lived service that does recycle them must route the
-  * recreate through [[refresh]]/[[invalidate]] like any mutation.
+  * worth naming (spec-pinned in StoreFsSpec): ANY mutation of a
+  * tracked store by a non-census writer — an out-of-band append, or
+  * a deleted dir recreated at the SAME path — is served stale until
+  * [[invalidate]]/[[refresh]] runs; the gates never recycle paths
+  * (store dirs are unique per gate per JVM), and a long-lived
+  * service with external writers must route them through the hooks
+  * like any mutation.
+  *
+  * RESTART RECOVERY (r11 gap closed): entries are JVM memory, so a
+  * restarted driver that only PROBES an existing store would
+  * otherwise fall back to the raw per-probe listing path forever —
+  * the exact tax the census removes, silently reinstated. The first
+  * [[refresh]] of a non-empty store therefore drops a zero-byte
+  * `_graft_census` marker at the store root (detected for free
+  * during the refresh walk; hidden from every parquet reader by the
+  * leading underscore), and the first lookup MISS of a marked dir
+  * lazily rebuilds the entry through the same [[refresh]] — one
+  * listing plus one footer read, exactly what a mutation refresh
+  * pays, once per store per JVM. Unmarked dirs (external writers'
+  * stores) pay at most ONE marker stat per JVM and keep live-listing
+  * semantics; [[invalidate]] suppresses the rebuild until the next
+  * successful refresh, because invalidation means the on-disk state
+  * is mid-mutation or unknown — recovering a census from it would
+  * re-cache exactly the uncertainty the caller just declared.
+  *
+  * SCHEMA-EVOLUTION FENCE: the pinned-schema invariant (store
+  * schemas never change — see [[Entry]]) is enforced, not assumed.
+  * A refresh that finds part files not in the prior entry reads ONE
+  * new footer (driver-side, no Spark job) and compares top-level
+  * field names (footer columns plus the path's partition columns)
+  * against the pinned schema; a widened/renamed append fails the
+  * refresh loudly, naming the store and both column sets, and
+  * invalidates the entry so reads fall back to live resolution. The
+  * name-level check catches the evolution shapes a writer actually
+  * produces (added/renamed columns); a same-name type change still
+  * surfaces loudly at scan time as a parquet decode error.
   *
   * Consistency with st20Batch's concurrency: the census entry a probe
   * reads is by construction the PRE-append snapshot (refresh runs on
@@ -74,6 +105,23 @@ private[graft] object StoreCensus {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
+  /** Restart-recovery marker dropped at the store root by the first
+    * refresh of a non-empty store (see the class doc). Underscore
+    * prefix = hidden from Spark/Hadoop path filters. */
+  private[graft] val MarkerName = "_graft_census"
+
+  /** Dirs whose lazy-recovery decision is settled for this JVM: a
+    * successful refresh (entry serves), a consumed marker probe (no
+    * marker → stay on live listings), or an [[invalidate]] (on-disk
+    * state declared unknown → stay on live listings until the next
+    * refresh). Bounds the recovery path to at most one marker stat
+    * per dir per JVM. */
+  private val settled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test hook: simulate a driver restart (fresh JVM census state). */
+  private[graft] def clearForTest(): Unit = { entries.clear(); settled.clear() }
+
   /** Kill switch (`spark.graft.storeCensus.enabled=false`): every
     * lookup misses, so reads/emptiness/file-count probes take the raw
     * listing path while refresh/invalidate keep maintaining entries —
@@ -94,8 +142,33 @@ private[graft] object StoreCensus {
   private[graft] def lookup(dir: String): Option[Entry] = {
     if (!enabled) None
     else {
-      val (_, q) = qualified(dir)
-      Option(entries.get(q.toString))
+      val (fs, q) = qualified(dir)
+      Option(entries.get(q.toString)).orElse(maybeRecover(fs, q))
+    }
+  }
+
+  /** Lazy restart recovery (class doc): on the first lookup miss of a
+    * dir this JVM, one marker stat decides — marked dirs were
+    * census-managed by a prior driver and rebuild through [[refresh]]
+    * (one listing + one footer, the mutation-refresh price); unmarked
+    * dirs keep live-listing semantics and are never probed again. */
+  private def maybeRecover(fs: org.apache.hadoop.fs.FileSystem,
+      q: Path): Option[Entry] = {
+    val key = q.toString
+    val sp = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    // no session → cannot pin a schema; leave the decision unsettled
+    // so a later in-session lookup can still recover
+    if (sp.isEmpty || !settled.add(key)) None
+    else {
+      val marked =
+        try fs.exists(new Path(q, MarkerName))
+        catch { case _: Throwable => false }
+      if (!marked) None
+      else {
+        refresh(sp.get, key)
+        Option(entries.get(key))
+      }
     }
   }
 
@@ -105,39 +178,122 @@ private[graft] object StoreCensus {
     * + one footer, once per store lifetime — see [[Entry]]). */
   private[graft] def refresh(sp: SparkSession, dir: String): Unit = {
     val (fs, q) = qualified(dir)
-    val files = scala.collection.mutable.ArrayBuffer[FileStatus]()
-    // listStatus walk, NOT fs.listFiles(recursive): listFiles wraps
-    // every entry in a LocatedFileStatus whose constructor forces the
-    // lazy permission load — on a RawLocalFileSystem without the
-    // Hadoop native library that is one `ls -ld` FORK PER FILE
-    // (measured ~3 ms/file: a 512-file census cost 1.9 s and grew
-    // linearly with the store — the very tax this module removes).
-    // listStatus keeps permissions lazy and nothing downstream reads
-    // them. Trade, documented: the statuses carry no block locality,
-    // so on HDFS the scan loses locality PREFERENCE (not correctness)
-    // for these bucket-probe stores — acceptable against a listing
-    // that the probe path would otherwise pay per batch.
-    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
-      if (s.isDirectory) walk(s.getPath)
-      else if (s.getPath.getName.startsWith("part-")) files += s
+    try {
+      val files = scala.collection.mutable.ArrayBuffer[FileStatus]()
+      var hasMarker = false
+      // listStatus walk, NOT fs.listFiles(recursive): listFiles wraps
+      // every entry in a LocatedFileStatus whose constructor forces the
+      // lazy permission load — on a RawLocalFileSystem without the
+      // Hadoop native library that is one `ls -ld` FORK PER FILE
+      // (measured ~3 ms/file: a 512-file census cost 1.9 s and grew
+      // linearly with the store — the very tax this module removes).
+      // listStatus keeps permissions lazy and nothing downstream reads
+      // them. Trade, documented: the statuses carry no block locality,
+      // so on HDFS the scan loses locality PREFERENCE (not correctness)
+      // for these bucket-probe stores — acceptable against a listing
+      // that the probe path would otherwise pay per batch. An HDFS
+      // deployment that wants the locality back flips the conf below:
+      // listLocatedStatus is one RPC per directory there (locations
+      // ride along); on a local FS it is the fork-per-file tax, hence
+      // default off.
+      val located = org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(_.conf.getOption("spark.graft.storeCensus.locatedStatus"))
+        .exists(_.toBoolean)
+      def list(p: Path): Iterator[FileStatus] =
+        if (!located) fs.listStatus(p).iterator
+        else {
+          val it = fs.listLocatedStatus(p)
+          new Iterator[FileStatus] {
+            def hasNext = it.hasNext; def next() = it.next()
+          }
+        }
+      // skip hidden dirs exactly as Spark's own listing does: a failed
+      // append can leave an aborted job's _temporary tree behind, and
+      // its uncommitted task part-files must never enter the census (a
+      // cold read filters them; the census must answer identically)
+      def walk(p: Path, depth: Int): Unit = list(p).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory) {
+          if (!n.startsWith("_") && !n.startsWith(".")) walk(s.getPath, depth + 1)
+        }
+        else if (n.startsWith("part-")) files += s
+        else if (depth == 0 && n == MarkerName) hasMarker = true
+      }
+      if (fs.exists(q)) walk(q, 0)
+      val priorEntry = Option(entries.get(q.toString))
+      val prior = priorEntry.flatMap(_.schema)
+      // schema-evolution fence (class doc): new part files must carry
+      // the pinned columns — one driver-side footer read per refresh
+      // that added files, never a Spark job
+      prior.foreach { pinned =>
+        val known = priorEntry.get.files.map(_.getPath.toString).toSet
+        files.find(f => !known.contains(f.getPath.toString))
+          .foreach(fresh => fenceSchema(fs, q, fresh, pinned, dir))
+      }
+      val schema = prior.orElse {
+        if (files.isEmpty) None
+        else Some(sp.read.parquet(dir).schema)
+      }
+      // restart-recovery marker (class doc), detected for free during
+      // the walk; dropped once per store lifetime
+      if (files.nonEmpty && !hasMarker)
+        fs.create(new Path(q, MarkerName), true).close()
+      entries.put(q.toString, Entry(files.toArray, schema))
+      settled.add(q.toString)
+      ()
+    } catch { case e: Throwable =>
+      // a refresh that dies mid-way (listing error, fence violation,
+      // cold schema read) must not leave the PREVIOUS entry serving a
+      // store whose on-disk state already moved — drop it so reads
+      // fall back to live listings until the next successful refresh
+      invalidate(dir)
+      throw e
     }
-    if (fs.exists(q)) walk(q)
-    val prior = Option(entries.get(q.toString)).flatMap(_.schema)
-    val schema = prior.orElse {
-      if (files.isEmpty) None
-      else Some(sp.read.parquet(dir).schema)
+  }
+
+  /** The fence's comparison: the new file's footer columns plus its
+    * path's partition columns must equal the pinned schema's columns
+    * as a name set. */
+  private def fenceSchema(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      fresh: FileStatus, pinned: StructType, dir: String): Unit = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(fresh, fs.getConf))
+    val footerNames =
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+      } finally reader.close()
+    var partNames = Set.empty[String]
+    var p = fresh.getPath.getParent
+    while (p != null && p.toString != root.toString) {
+      val n = p.getName; val i = n.indexOf('=')
+      if (i > 0) partNames += n.substring(0, i)
+      p = p.getParent
     }
-    entries.put(q.toString, Entry(files.toArray, schema))
-    ()
+    val found = footerNames ++ partNames
+    val expect = pinned.fieldNames.toSet
+    if (found != expect) throw new IllegalStateException(
+      s"store census: schema drift detected in $dir — new file " +
+        s"${fresh.getPath.getName} carries columns " +
+        s"${found.toSeq.sorted.mkString("[", ",", "]")} but the store's " +
+        s"pinned schema has ${expect.toSeq.sorted.mkString("[", ",", "]")}. " +
+        "Store schemas are immutable by contract (bucket layout and " +
+        "columns are baked at creation); route an evolution through a " +
+        "new store, or rebuild this one.")
   }
 
   /** Drop the entry — called when a store's on-disk state is no
-    * longer known (a failed swap) or the dir was mutated by a
-    * non-census path. Reads fall back to raw listing until the next
-    * refresh. */
+    * longer known (a failed swap or append, a dying refresh) or the
+    * dir was mutated by a non-census path. Reads fall back to raw
+    * listing until the next successful refresh; lazy restart
+    * recovery is suppressed too (settled), because rebuilding a
+    * census from a state the caller just declared unknown would
+    * re-cache exactly that uncertainty. */
   private[graft] def invalidate(dir: String): Unit = {
     val (_, q) = qualified(dir)
     entries.remove(q.toString)
+    settled.add(q.toString)
     ()
   }
 
@@ -147,11 +303,16 @@ private[graft] object StoreCensus {
     lookup(dir).map(_.files.nonEmpty)
 
   /** Census-served files-per-bucket maximum (compaction's trigger
-    * quantity) — grouped by leaf dir, driver-memory only. */
+    * quantity) — driver-memory only, grouped by `bucket=` leaf dirs
+    * ONLY, matching the raw-listing fallback's semantics exactly: a
+    * stray root-level part file must not count as its own "bucket",
+    * or flipping the census kill switch would change when compaction
+    * fires for such a store. */
   private[graft] def maxFilesPerBucket(dir: String): Option[Int] =
     lookup(dir).map { e =>
-      if (e.files.isEmpty) 0
-      else e.files.groupBy(_.getPath.getParent).valuesIterator
+      e.files.iterator
+        .filter(_.getPath.getParent.getName.startsWith("bucket="))
+        .toSeq.groupBy(_.getPath.getParent).valuesIterator
         .map(_.length).foldLeft(0)(math.max)
     }
 

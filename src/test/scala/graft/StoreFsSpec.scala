@@ -63,6 +63,14 @@ class GraftTestFs extends RawLocalFileSystem {
       throw new java.io.IOException(s"injected create failure: $f")
     super.createOutputStreamWithMode(f, append, permission)
   }
+  // graftfs advertises the swap guard's atomic-rename capability (it
+  // IS local-rename-backed); any other scheme this class serves (the
+  // unlisted `graftns` stand-in) makes no claim — exercising both
+  // sides of the capability probe
+  override def hasPathCapability(path: Path, capability: String): Boolean =
+    if (capability == graft.streaming.EventStreams.AtomicRenameCapability)
+      myScheme == null || myScheme == "graftfs"
+    else super.hasPathCapability(path, capability)
 }
 
 object GraftTestFs {
@@ -121,6 +129,10 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
     sp.sparkContext.hadoopConfiguration
       .set("fs.s3a.impl", classOf[GraftTestFs].getName)
+    // graftns: an UNLISTED scheme that advertises nothing — the
+    // fail-safe side of the swap guard's capability probe
+    sp.sparkContext.hadoopConfiguration
+      .set("fs.graftns.impl", classOf[GraftTestFs].getName)
     sp
   }
   import graft.streaming.{EventStreams => ES, StoreCensus}
@@ -184,6 +196,14 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cold = spark.read.parquet(store).collect().toSet
     assert(census == cold, "census/cold divergence after tombstone fold")
     assert(ES.maxFilesPerBucket(store) == 1, "fold must reset files/bucket")
+    // the HDFS-locality refresh variant (listLocatedStatus) must build
+    // an identical census
+    spark.conf.set("spark.graft.storeCensus.locatedStatus", "true")
+    try {
+      StoreCensus.refresh(spark, store)
+      assert(StoreCensus.read(spark, store).collect().toSet == cold,
+        "locatedStatus refresh must census the same files")
+    } finally spark.conf.unset("spark.graft.storeCensus.locatedStatus")
   }
 
   test("a census-served probe frame makes zero store metadata calls (cold read as positive control)") {
@@ -347,6 +367,148 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "census must not survive a failed swap")
     assert(ES.storeNonEmpty(store)) // fallback path answers
     assert(StoreCensus.read(spark, store).collect().toSet == before)
+  }
+
+  test("census survives a driver restart: probe-only reads regain zero-listing from the second read on") {
+    graft.functions.VectorExpressions.register(spark)
+    val local = tmpDir("graft_censrec_sigs_")
+    val store = "graftfs:" + local
+    val pairs = "graftfs:" + tmpDir("graft_censrec_pairs_")
+    ES.st21Batch(docBatch(0 until 30), store, pairs)
+    ES.st21Batch(docBatch(30 until 60), store, pairs)
+    val cold = spark.read.parquet(store).collect().toSet
+    // simulated restart: entries are JVM memory and are gone
+    StoreCensus.clearForTest()
+    // first probe-only read pays the lazy rebuild — one marker stat +
+    // one listing + one footer, the same price a mutation refresh pays
+    GraftTestFs.reset()
+    val first = ES.prunedStore(spark, store, 0 until 16)
+    assert(GraftTestFs.metadataCalls(local) > 0,
+      "first post-restart read must rebuild (marker stat + listing)")
+    assert(first.collect().toSet == cold)
+    // ...and from the second read on the census serves again: ZERO
+    // filesystem calls — without recovery this would be the raw
+    // per-probe listing tax forever (the r11 gap)
+    GraftTestFs.reset()
+    val second = ES.prunedStore(spark, store, 0 until 16)
+    assert(GraftTestFs.metadataCalls(local) == 0,
+      s"post-restart reads must be census-served again: " +
+        s"${GraftTestFs.metadataCalls(local)} calls")
+    assert(second.collect().toSet == cold)
+    // an UNMARKED dir (external writer's store) keeps live-listing
+    // semantics and pays at most one marker stat per JVM
+    import spark.implicits._
+    val ext = "graftfs:" + tmpDir("graft_censrec_ext_")
+    (0L until 8L).toDF("doc_id").write.mode("overwrite").parquet(ext)
+    assert(ES.storeNonEmpty(ext))
+    assert(StoreCensus.nonEmpty(ext).isEmpty,
+      "an unmarked external store must not be adopted by the census")
+  }
+
+  test("docstring corollary pinned: out-of-band mutation of a tracked store is served stale until invalidate/refresh") {
+    import spark.implicits._
+    val (store, before) = freshStore("stale_corollary")
+    StoreCensus.refresh(spark, store)
+    // a non-census writer appends behind the census' back
+    (100L until 116L).map(i => (i, s"ext_$i"))
+      .toDF("doc_id", "text")
+      .withColumn("bucket", pmod(hash(col("doc_id")), lit(4)))
+      .write.partitionBy("bucket").mode("append").parquet(store)
+    val censusRows = StoreCensus.read(spark, store).collect().toSet
+    val coldRows = spark.read.parquet(store).collect().toSet
+    assert(censusRows == before && coldRows.size > before.size,
+      "a tracked store mutated out-of-band MUST be served stale — " +
+        "this pins the documented hazard, not an aspiration")
+    // the documented repair: route the mutation through the hooks
+    StoreCensus.invalidate(store)
+    assert(StoreCensus.read(spark, store).collect().toSet == coldRows,
+      "after invalidate, reads must fall back to live state")
+    StoreCensus.refresh(spark, store)
+    assert(StoreCensus.read(spark, store).collect().toSet == coldRows)
+  }
+
+  test("schema-evolution fence: a widened append fails the refresh loudly and drops the census") {
+    import spark.implicits._
+    val (store, _) = freshStore("fence")
+    StoreCensus.refresh(spark, store) // pins the (doc_id, text, bucket) schema
+    // a future writer appends a WIDENED schema — serving the stale
+    // pinned schema silently is the red case
+    (200L until 208L).map(i => (i, s"w_$i", i * 2))
+      .toDF("doc_id", "text", "extra_col")
+      .withColumn("bucket", pmod(hash(col("doc_id")), lit(4)))
+      .write.partitionBy("bucket").mode("append").parquet(store)
+    val e = intercept[IllegalStateException] { StoreCensus.refresh(spark, store) }
+    assert(e.getMessage.contains("schema drift") &&
+      e.getMessage.contains("extra_col"), e.getMessage)
+    assert(StoreCensus.nonEmpty(store).isEmpty,
+      "a fence violation must invalidate the entry, not serve the stale schema")
+    assert(ES.storeNonEmpty(store), "fallback paths must still answer")
+  }
+
+  test("a failed append invalidates the census (no stale pre-append snapshot for callers that catch and continue)") {
+    graft.functions.VectorExpressions.register(spark)
+    val local = tmpDir("graft_censfail_sigs_")
+    val store = "graftfs:" + local
+    val pairs = "graftfs:" + tmpDir("graft_censfail_pairs_")
+    ES.st21Batch(docBatch(0 until 30), store, pairs)
+    assert(StoreCensus.nonEmpty(store).contains(true))
+    val preAppend = spark.read.parquet(store).collect().toSet
+    // the sig-store append write fails mid-task; the sibling pair
+    // write may have committed — the census must not keep serving the
+    // pre-append snapshot to a caller that catches the batch failure
+    GraftTestFs.failCreateUnder = "censfail_sigs"
+    val e = intercept[Throwable] {
+      ES.st21Batch(docBatch(30 until 60), store, pairs)
+    }
+    GraftTestFs.reset()
+    assert(e.getMessage != null)
+    assert(StoreCensus.nonEmpty(store).isEmpty,
+      "census must not survive a failed append")
+    // fallback reads answer the live on-disk state, whatever the
+    // failed job left committed
+    assert(StoreCensus.read(spark, store).collect().toSet ==
+      spark.read.parquet(store).collect().toSet)
+    // an append failure never loses pre-append rows
+    assert(preAppend.subsetOf(spark.read.parquet(store).collect().toSet))
+    // the next successful mutation re-installs the census
+    ES.st21Batch(docBatch(60 until 90), store, pairs)
+    assert(StoreCensus.nonEmpty(store).contains(true))
+    assert(StoreCensus.read(spark, store).collect().toSet ==
+      spark.read.parquet(store).collect().toSet)
+  }
+
+  test("unknown schemes without an atomic-rename capability claim are refused (fail-safe), a claim is honored") {
+    import spark.implicits._
+    val local = tmpDir("graft_ns_store_")
+    val store = "graftns:" + local
+    val df = (0L until 16L).map(i => (i, s"p$i")).toDF("doc_id", "text")
+      .withColumn("bucket", pmod(hash(col("doc_id")), lit(4)))
+    df.repartition(4, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(store)
+    // graftns is on NO list and advertises nothing → refused loudly
+    val e = intercept[IllegalStateException] {
+      ES.rewriteStore(spark, store, spark.read.parquet(store))
+    }
+    assert(e.getMessage.contains("atomic") &&
+      e.getMessage.contains("allowNonAtomicRename") &&
+      e.getMessage.contains(ES.AtomicRenameCapability), e.getMessage)
+    // the same conf opt-in as the blocklist unblocks it
+    spark.conf.set("spark.graft.store.allowNonAtomicRename", "true")
+    try {
+      val before = spark.read.parquet(store).collect().toSet
+      ES.rewriteStore(spark, store,
+        spark.read.parquet(store).filter(col("doc_id") =!= 0L))
+      assert(spark.read.parquet(store).collect().toSet ==
+        before.filterNot(_.getLong(0) == 0L))
+    } finally spark.conf.unset("spark.graft.store.allowNonAtomicRename")
+    // the capability claim (graftfs advertises it) takes the trusting
+    // path — every swap-failure test above already rides it; assert
+    // the guard explicitly here so the two sides sit together
+    val (cstore, cbefore) = freshStore("cap_ok")
+    ES.rewriteStore(spark, cstore,
+      spark.read.parquet(cstore).filter(col("doc_id") =!= 0L))
+    assert(spark.read.parquet(cstore).collect().toSet ==
+      cbefore.filterNot(_.getLong(0) == 0L))
   }
 
   test("non-atomic-rename schemes are refused loudly unless opted in") {
