@@ -205,9 +205,13 @@ object Bench {
             val lines = try srcF.getLines().toList finally srcF.close()
             // the artifact carries a full-precision line and a compact
             // slowest-20 line — take the line with the biggest map
+            // only compare like scale factors: a sf0.01 dev sweep
+            // diffed against the sf0.1 reference series flags
+            // everything and means nothing
             val best = lines.map(_.trim).filter(_.startsWith("{"))
               .flatMap(l => scala.util.Try(om.readTree(l)).toOption)
-              .filter(n => n.has("queries") && n.get("queries").isObject)
+              .filter(n => n.has("queries") && n.get("queries").isObject &&
+                (!n.has("sf") || n.get("sf").asText() == sfDir))
               .sortBy(-_.get("queries").size()).headOption
             val m = best.map { node =>
               import scala.jdk.CollectionConverters._
