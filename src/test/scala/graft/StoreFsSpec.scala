@@ -405,6 +405,29 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "an unmarked external store must not be adopted by the census")
   }
 
+  test("the restart marker survives a compaction swap (recovery stays armed after rewrites)") {
+    import spark.implicits._
+    val (store, before) = freshStore("marker_swap")
+    StoreCensus.refresh(spark, store) // first refresh drops the marker
+    val localRoot = store.stripPrefix("graftfs:")
+    def markerOnDisk: Boolean = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(localRoot, StoreCensus.MarkerName))
+    assert(markerOnDisk, "first refresh must drop the marker")
+    // the swap renames the live dir aside (marker travels into .old and
+    // is deleted with it) and promotes the rewritten tree — the
+    // post-swap refresh must re-drop the marker or restart recovery
+    // silently dies for every compacted store
+    ES.rewriteStore(spark, store,
+      spark.read.parquet(store).filter(col("doc_id") =!= 0L))
+    assert(markerOnDisk, "post-swap refresh must re-drop the marker")
+    StoreCensus.clearForTest() // simulated restart AFTER a compaction
+    val cold = spark.read.parquet(store).collect().toSet
+    assert(StoreCensus.read(spark, store).collect().toSet == cold)
+    assert(StoreCensus.nonEmpty(store).contains(true),
+      "recovery must have re-installed the entry")
+    assert(cold == before.filterNot(_.getLong(0) == 0L))
+  }
+
   test("docstring corollary pinned: out-of-band mutation of a tracked store is served stale until invalidate/refresh") {
     import spark.implicits._
     val (store, before) = freshStore("stale_corollary")
