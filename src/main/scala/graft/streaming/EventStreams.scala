@@ -995,15 +995,20 @@ object EventStreams {
     StoreCensus.nonEmpty(dir).getOrElse {
       val (fs, p) = storeFs(dir)
       fs.exists(p) && {
+        val root = fs.makeQualified(p).toString
         val it = fs.listFiles(p, true)
         var found = false
         while (!found && it.hasNext) {
           val f = it.next().getPath
           // ignore uncommitted task files under an aborted job's
           // _temporary tree — Spark's listing filters hidden dirs, and
-          // emptiness must answer what a read would actually see
+          // emptiness must answer what a read would actually see. Only
+          // components BELOW the store root count as hidden: a store
+          // legitimately rooted under a dot-dir (~/.cache/...) must
+          // not read as empty.
+          val rel = f.toString.stripPrefix(root)
           found = f.getName.startsWith("part-") &&
-            !f.toString.contains("/_") && !f.toString.contains("/.")
+            !rel.contains("/_") && !rel.contains("/.")
         }
         found
       }

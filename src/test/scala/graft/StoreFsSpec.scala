@@ -534,6 +534,28 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       cbefore.filterNot(_.getLong(0) == 0L))
   }
 
+  test("emptiness fallback: hidden components below the root hide files; a hidden-rooted store still answers") {
+    import spark.implicits._
+    // a store legitimately rooted under a dot-dir must not read empty
+    val hiddenRoot = "/tmp/.graft_hidden_r12/store_" + System.nanoTime()
+    (0L until 4L).toDF("doc_id").write.mode("overwrite").parquet(hiddenRoot)
+    assert(ES.storeNonEmpty(hiddenRoot),
+      "a store under a dot-dir must not be reported empty")
+    // ...while an aborted job's _temporary leftovers below the root
+    // must not make an otherwise-empty store read non-empty
+    val ghost = tmpDir("graft_ghost_store_")
+    val tmpTask = java.nio.file.Paths.get(ghost, "_temporary", "0")
+    java.nio.file.Files.createDirectories(tmpTask)
+    java.nio.file.Files.write(tmpTask.resolve("part-00000-ghost"),
+      Array[Byte](1, 2, 3))
+    assert(!ES.storeNonEmpty(ghost),
+      "uncommitted _temporary task files must not count as store content")
+    // and the census walk agrees: refresh sees no files either
+    StoreCensus.refresh(spark, ghost)
+    assert(StoreCensus.nonEmpty(ghost).contains(false),
+      "census walk must skip hidden dirs exactly like the fallback")
+  }
+
   test("non-atomic-rename schemes are refused loudly unless opted in") {
     import spark.implicits._
     val local = tmpDir("graft_s3a_store_")
