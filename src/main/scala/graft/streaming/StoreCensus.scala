@@ -162,12 +162,17 @@ private[graft] object StoreCensus {
     if (sp.isEmpty || !settled.add(key)) None
     else {
       val marked =
-        try fs.exists(new Path(q, MarkerName))
-        catch { case _: Throwable => false }
-      if (!marked) None
-      else {
-        refresh(sp.get, key)
-        Option(entries.get(key))
+        try Some(fs.exists(new Path(q, MarkerName)))
+        catch { case _: Throwable => None }
+      marked match {
+        case None =>
+          // transient FS error: the one recovery attempt must not be
+          // consumed by a hiccup — un-settle so a later lookup retries
+          settled.remove(key); None
+        case Some(false) => None
+        case Some(true) =>
+          refresh(sp.get, key)
+          Option(entries.get(key))
       }
     }
   }
