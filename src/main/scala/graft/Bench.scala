@@ -175,20 +175,30 @@ object Bench {
     }
     probe("end")
     // CROSS-ROUND REGRESSION FLAGS: the standing discipline — every
-    // per-query mover >1.3x AND >0.3s against the prior round's local
-    // artifact gets a same-boot alternating A/B before it is believed —
-    // used to be applied by hand-curated lists; the artifact now
-    // GENERATES the A/B worklist itself. Prior = the newest
-    // BENCH_r*_local.json in the working dir (the reference series the
-    // A/B rule is defined against), overridable via
-    // SPARK_GRAFT_PRIOR_BENCH. A flag is a to-verify marker, not a
-    // verdict: this box's hour-scale weather (see the throttle comment
-    // above) moves queries 1.3x with zero code cause, which is exactly
-    // why flagged movers get the A/B instead of a revert.
+    // per-query mover >1.3x AND >0.3s against the prior round's
+    // LIKE-FOR-LIKE artifact gets a same-boot alternating A/B before
+    // it is believed — used to be applied by hand-curated lists; the
+    // artifact now GENERATES the A/B worklist itself. Like-for-like
+    // (VERDICT r12 item 2): the driver harness and the repo-local
+    // sweeps are different environments, and the r12 driver artifact
+    // diffed against a LOCAL prior grew 27 flags of pure environment
+    // delta that buried the mechanism's signal. The artifact KIND
+    // picks the prior series — local sweeps (tools/bench_local.sh
+    // exports SPARK_GRAFT_BENCH_KIND=local) diff against the newest
+    // BENCH_r*_local.json; anything else (the driver harness exports
+    // no kind) diffs against the driver's own BENCH_r*.json. No
+    // same-kind prior → no flags: a cross-kind diff is the noise this
+    // fix removes, not a fallback. SPARK_GRAFT_PRIOR_BENCH still
+    // overrides both. A flag is a to-verify marker, not a verdict:
+    // this box's hour-scale weather (see the throttle comment above)
+    // moves queries 1.3x with zero code cause, which is exactly why
+    // flagged movers get the A/B instead of a revert.
     val (priorPath, priorQ): (String, Map[String, Double]) = {
+      val kind = sys.env.getOrElse("SPARK_GRAFT_BENCH_KIND", "driver")
       val auto = {
         val dir = new java.io.File(System.getProperty("user.dir"))
-        val re = "BENCH_r(\\d+)_local\\.json".r
+        val re = if (kind == "local") "BENCH_r(\\d+)_local\\.json".r
+                 else "BENCH_r(\\d+)\\.json".r
         Option(dir.listFiles()).toSeq.flatten
           .flatMap(f => f.getName match {
             case re(n) => Some((n.toInt, f.getPath))
@@ -202,14 +212,23 @@ object Bench {
           try {
             val om = new com.fasterxml.jackson.databind.ObjectMapper()
             val srcF = scala.io.Source.fromFile(p)
-            val lines = try srcF.getLines().toList finally srcF.close()
-            // the artifact carries a full-precision line and a compact
-            // slowest-20 line — take the line with the biggest map
-            // only compare like scale factors: a sf0.01 dev sweep
-            // diffed against the sf0.1 reference series flags
-            // everything and means nothing
-            val best = lines.map(_.trim).filter(_.startsWith("{"))
+            val text = try srcF.mkString finally srcF.close()
+            // candidate nodes, covering both artifact shapes: raw
+            // stdout sweeps carry one JSON per line (full-precision
+            // line + compact slowest-20 line — take the biggest map);
+            // the driver's artifact is ONE pretty-printed object whose
+            // query map sits under "parsed" (slowest 20 only — flags
+            // are then limited to those, which is exactly the set
+            // worth watching). Only compare like scale factors: a
+            // sf0.01 dev sweep diffed against the sf0.1 reference
+            // series flags everything and means nothing.
+            val lineNodes = text.linesIterator.map(_.trim)
+              .filter(_.startsWith("{"))
               .flatMap(l => scala.util.Try(om.readTree(l)).toOption)
+              .toList
+            val wholeNodes = scala.util.Try(om.readTree(text)).toOption
+              .toList.flatMap(n => n :: Option(n.get("parsed")).toList)
+            val best = (lineNodes ++ wholeNodes)
               .filter(n => n.has("queries") && n.get("queries").isObject &&
                 (!n.has("sf") || n.get("sf").asText() == sfDir))
               .sortBy(-_.get("queries").size()).headOption
@@ -218,6 +237,8 @@ object Bench {
               node.get("queries").fields().asScala
                 .map(e => e.getKey -> e.getValue.asDouble()).toMap
             }.getOrElse(Map.empty[String, Double])
+            System.err.println(
+              s"[bench] prior ($kind kind): $p — ${m.size} queries")
             (p, m)
           } catch { case e: Throwable =>
             System.err.println(

@@ -1129,10 +1129,11 @@ object EventStreams {
         "(object-store copy+delete emulation)")
     else if (!KnownAtomicRenameSchemes.contains(scheme)) {
       // fail-safe for unknown schemes: trust only an explicit
-      // capability claim (probe failure = no claim)
+      // capability claim (probe failure = no claim; NonFatal only —
+      // an OOM mid-probe must not be converted into "no claim")
       val claims =
         try fs.hasPathCapability(live, AtomicRenameCapability)
-        catch { case _: Throwable => false }
+        catch { case scala.util.control.NonFatal(_) => false }
       if (!claims)
         refuseOrWarn("is not a known atomic-rename filesystem and " +
           s"does not advertise $AtomicRenameCapability, so directory " +

@@ -65,15 +65,26 @@ import org.apache.spark.sql.types.StructType
   *
   * SCHEMA-EVOLUTION FENCE: the pinned-schema invariant (store
   * schemas never change — see [[Entry]]) is enforced, not assumed.
-  * A refresh that finds part files not in the prior entry reads ONE
-  * new footer (driver-side, no Spark job) and compares top-level
-  * field names (footer columns plus the path's partition columns)
-  * against the pinned schema; a widened/renamed append fails the
-  * refresh loudly, naming the store and both column sets, and
-  * invalidates the entry so reads fall back to live resolution. The
-  * name-level check catches the evolution shapes a writer actually
-  * produces (added/renamed columns); a same-name type change still
-  * surfaces loudly at scan time as a parquet decode error.
+  * A refresh that finds part files not in the prior entry reads the
+  * footer of EVERY new file (driver-side, no Spark job) and compares
+  * top-level field names (footer columns plus the path's partition
+  * columns) against the pinned schema; a widened/renamed append
+  * fails the refresh loudly, naming the store and both column sets,
+  * and invalidates the entry so reads fall back to live resolution.
+  * Every-file, not first-found (the r12 seam): a mixed-schema
+  * multi-file append where one conforming file happens to list first
+  * must not slip the fence on walk order. Cost stays bounded and
+  * driver-side: an append adds ≤ one file per touched bucket, a
+  * compaction swap renews ≤ one file per bucket — each a local
+  * footer read, never a Spark job. A part file written directly at
+  * the store ROOT (tolerated by [[maxFilesPerBucket]] since r12) is
+  * likewise not drift when its footer carries exactly the pinned
+  * DATA columns — partition columns absent from a root-level PATH
+  * are a layout quirk, not schema evolution ([[fenceViolation]]
+  * holds the exact rule). The name-level check catches the evolution
+  * shapes a writer actually produces (added/renamed columns); a
+  * same-name type change still surfaces loudly at scan time as a
+  * parquet decode error.
   *
   * Consistency with st20Batch's concurrency: the census entry a probe
   * reads is by construction the PRE-append snapshot (refresh runs on
@@ -163,7 +174,7 @@ private[graft] object StoreCensus {
     else {
       val marked =
         try Some(fs.exists(new Path(q, MarkerName)))
-        catch { case _: Throwable => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       marked match {
         case None =>
           // transient FS error: the one recovery attempt must not be
@@ -171,8 +182,24 @@ private[graft] object StoreCensus {
           settled.remove(key); None
         case Some(false) => None
         case Some(true) =>
-          refresh(sp.get, key)
-          Option(entries.get(key))
+          // recovery rides lookup(), a pure probe path that never threw
+          // before r12 — a transient listing/footer error here must
+          // DEGRADE (fall back to live listing), not propagate, and
+          // must not permanently settle: refresh's own failure path
+          // calls invalidate (which settles), so un-settle afterwards
+          // or one FS hiccup would disable restart recovery for this
+          // store for the JVM's lifetime — the exact tax this feature
+          // exists to remove
+          try {
+            refresh(sp.get, key)
+            Option(entries.get(key))
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] store census: restart recovery of $key failed " +
+                s"(${e.getMessage}); serving live listings, will retry")
+            settled.remove(key)
+            None
+          }
       }
     }
   }
@@ -201,8 +228,12 @@ private[graft] object StoreCensus {
       // listLocatedStatus is one RPC per directory there (locations
       // ride along); on a local FS it is the fork-per-file tax, hence
       // default off.
-      val located = org.apache.spark.sql.SparkSession.getActiveSession
-        .flatMap(_.conf.getOption("spark.graft.storeCensus.locatedStatus"))
+      // read from the PASSED session, not getActiveSession: recovery
+      // may resolve sp from getDefaultSession with no active session
+      // on this thread, and a multi-session driver must honor the
+      // caller's conf, not another session's
+      val located = sp.conf
+        .getOption("spark.graft.storeCensus.locatedStatus")
         .exists(_.toBoolean)
       def list(p: Path): Iterator[FileStatus] =
         if (!located) fs.listStatus(p).iterator
@@ -227,22 +258,44 @@ private[graft] object StoreCensus {
       if (fs.exists(q)) walk(q, 0)
       val priorEntry = Option(entries.get(q.toString))
       val prior = priorEntry.flatMap(_.schema)
-      // schema-evolution fence (class doc): new part files must carry
-      // the pinned columns — one driver-side footer read per refresh
-      // that added files, never a Spark job
+      // schema-evolution fence (class doc): EVERY new part file must
+      // carry the pinned columns — driver-side footer reads bounded
+      // by the mutation's width (append: ≤ touched buckets; swap:
+      // ≤ buckets), never a Spark job, never listing-order-dependent
       prior.foreach { pinned =>
         val known = priorEntry.get.files.map(_.getPath.toString).toSet
-        files.find(f => !known.contains(f.getPath.toString))
-          .foreach(fresh => fenceSchema(fs, q, fresh, pinned, dir))
+        val freshFiles = files.filter(f => !known.contains(f.getPath.toString))
+        if (freshFiles.nonEmpty) {
+          // the store's partition columns, derived from the listing
+          // itself (k=v path segments across ALL files) — what the
+          // root-level-file tolerance in fenceViolation compares against
+          val storeParts = files.iterator
+            .map(f => pathPartitionNames(f, q)).foldLeft(Set.empty[String])(_ ++ _)
+          freshFiles.foreach(fresh =>
+            fenceSchema(fs, q, fresh, storeParts, pinned, dir))
+        }
       }
       val schema = prior.orElse {
         if (files.isEmpty) None
         else Some(sp.read.parquet(dir).schema)
       }
       // restart-recovery marker (class doc), detected for free during
-      // the walk; dropped once per store lifetime
-      if (files.nonEmpty && !hasMarker)
-        fs.create(new Path(q, MarkerName), true).close()
+      // the walk; dropped once per store lifetime. The marker is an
+      // OPTIMIZATION (it only gates post-restart lazy rebuild), so a
+      // create failure must not fail the refresh — the mutation that
+      // triggered it already committed; the store is then served by
+      // raw listing after a restart until the next mutation's refresh
+      // retries the drop (the crash-window contract, spec-pinned in
+      // StoreFsSpec)
+      if (files.nonEmpty && !hasMarker) {
+        try fs.create(new Path(q, MarkerName), true).close()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] store census: could not drop restart marker in " +
+              s"$dir (${e.getMessage}); recovery re-arms at the next " +
+              "mutation's refresh")
+        }
+      }
       entries.put(q.toString, Entry(files.toArray, schema))
       settled.add(q.toString)
       ()
@@ -256,11 +309,53 @@ private[graft] object StoreCensus {
     }
   }
 
-  /** The fence's comparison: the new file's footer columns plus its
-    * path's partition columns must equal the pinned schema's columns
-    * as a name set. */
+  /** The `k=v` partition-column names on a file's path between the
+    * store root and the file — the columns the PATH contributes to
+    * the file's read schema. */
+  private def pathPartitionNames(f: FileStatus, root: Path): Set[String] = {
+    var names = Set.empty[String]
+    var p = f.getPath.getParent
+    while (p != null && p.toString != root.toString) {
+      val n = p.getName; val i = n.indexOf('=')
+      if (i > 0) names += n.substring(0, i)
+      p = p.getParent
+    }
+    names
+  }
+
+  /** The fence's comparison rule, factored pure so it is
+    * property-testable (StoreFsSpec's ScalaCheck block). A new file
+    * CONFORMS when the columns it contributes — footer fields plus
+    * its path's `k=v` partition components — equal the pinned name
+    * set; with ONE tolerance: a file whose path carries none of some
+    * store partition columns (e.g. a stray part file at the store
+    * root, which maxFilesPerBucket already tolerates) may omit
+    * exactly those columns, because a missing PATH component is a
+    * layout quirk, while an added/renamed/dropped DATA column is
+    * drift. Returns the violation message, or None when conforming.
+    */
+  private[graft] def fenceViolation(footerNames: Set[String],
+      filePartNames: Set[String], storePartNames: Set[String],
+      pinned: Set[String]): Option[String] = {
+    val found = footerNames ++ filePartNames
+    // partition columns this file's PATH does not carry (root-level
+    // or shallower-than-layout files) — tolerated as absent, never as
+    // renamed: any other difference is drift
+    val missing = (storePartNames & pinned) -- filePartNames
+    if (found == pinned || (missing.nonEmpty && found == pinned -- missing))
+      None
+    else Some(
+      s"carries columns ${found.toSeq.sorted.mkString("[", ",", "]")} " +
+        s"but the store's pinned schema has " +
+        s"${pinned.toSeq.sorted.mkString("[", ",", "]")}")
+  }
+
+  /** Footer one new file (driver-side parquet metadata read) and
+    * apply [[fenceViolation]]; drift throws, naming the store, the
+    * file, and both column sets. */
   private def fenceSchema(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      fresh: FileStatus, pinned: StructType, dir: String): Unit = {
+      fresh: FileStatus, storeParts: Set[String], pinned: StructType,
+      dir: String): Unit = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(fresh, fs.getConf))
     val footerNames =
@@ -269,23 +364,15 @@ private[graft] object StoreCensus {
         reader.getFooter.getFileMetaData.getSchema.getFields.asScala
           .map(_.getName).toSet
       } finally reader.close()
-    var partNames = Set.empty[String]
-    var p = fresh.getPath.getParent
-    while (p != null && p.toString != root.toString) {
-      val n = p.getName; val i = n.indexOf('=')
-      if (i > 0) partNames += n.substring(0, i)
-      p = p.getParent
+    fenceViolation(footerNames, pathPartitionNames(fresh, root),
+      storeParts, pinned.fieldNames.toSet).foreach { why =>
+      throw new IllegalStateException(
+        s"store census: schema drift detected in $dir — new file " +
+          s"${fresh.getPath.getName} $why. " +
+          "Store schemas are immutable by contract (bucket layout and " +
+          "columns are baked at creation); route an evolution through a " +
+          "new store, or rebuild this one.")
     }
-    val found = footerNames ++ partNames
-    val expect = pinned.fieldNames.toSet
-    if (found != expect) throw new IllegalStateException(
-      s"store census: schema drift detected in $dir — new file " +
-        s"${fresh.getPath.getName} carries columns " +
-        s"${found.toSeq.sorted.mkString("[", ",", "]")} but the store's " +
-        s"pinned schema has ${expect.toSeq.sorted.mkString("[", ",", "]")}. " +
-        "Store schemas are immutable by contract (bucket layout and " +
-        "columns are baked at creation); route an evolution through a " +
-        "new store, or rebuild this one.")
   }
 
   /** Drop the entry — called when a store's on-disk state is no

@@ -34,6 +34,13 @@ class GraftTestFs extends RawLocalFileSystem {
     s.getModificationTime, s.getAccessTime, null, null, null, s.getPath)
   override def listStatus(f: Path): Array[FileStatus] = {
     GraftTestFs.record("list", f)
+    if (GraftTestFs.failListOnce != null &&
+        f.toString.contains(GraftTestFs.failListOnce)) {
+      // self-clearing: models a TRANSIENT hiccup — the very next
+      // listing of the same path succeeds
+      GraftTestFs.failListOnce = null
+      throw new java.io.IOException(s"injected transient list failure: $f")
+    }
     super.listStatus(f).map(solid)
   }
   override def getFileStatus(f: Path): FileStatus = {
@@ -78,6 +85,7 @@ object GraftTestFs {
   @volatile var failRenameSrcSuffix: String = null
   @volatile var failDeleteSuffix: String = null
   @volatile var failCreateUnder: String = null
+  @volatile var failListOnce: String = null
   private val ops = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
   def record(op: String, p: Path): Unit = { ops.add((op, p.toString)); () }
   /** list+stat calls whose path contains `fragment`. */
@@ -92,7 +100,7 @@ object GraftTestFs {
   def reset(): Unit = {
     ops.clear()
     failRenameDstSuffix = null; failRenameSrcSuffix = null
-    failDeleteSuffix = null; failCreateUnder = null
+    failDeleteSuffix = null; failCreateUnder = null; failListOnce = null
   }
 }
 
@@ -554,6 +562,181 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     StoreCensus.refresh(spark, ghost)
     assert(StoreCensus.nonEmpty(ghost).contains(false),
       "census walk must skip hidden dirs exactly like the fallback")
+  }
+
+  /** Writes `df` as ONE parquet part file and moves it to
+    * `target/name` with raw java.nio — an out-of-band writer the
+    * census hooks never see, landing files the way a foreign tool
+    * would. */
+  private def plantPartFile(df: org.apache.spark.sql.DataFrame,
+      target: java.nio.file.Path, name: String): Unit = {
+    val stage = tmpDir("graft_plant_")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    java.nio.file.Files.createDirectories(target)
+    java.nio.file.Files.move(liveFiles(stage).head, target.resolve(name))
+    ()
+  }
+
+  test("schema fence footers EVERY new file — a mixed-schema multi-file append cannot slip on listing order") {
+    import spark.implicits._
+    val (store, _) = freshStore("fence_multi")
+    StoreCensus.refresh(spark, store) // pins (doc_id, text, bucket)
+    val b0 = java.nio.file.Paths.get(store.stripPrefix("graftfs:"), "bucket=0")
+    // one CONFORMING new file (footer = the pinned data columns)...
+    plantPartFile((900L to 903L).map(i => (i, s"ok_$i")).toDF("doc_id", "text"),
+      b0, "part-00000-conforming.parquet")
+    // ...and one WIDENED file in the SAME mutation window — under the
+    // r12 first-found fence (mutation: `files.find` back in refresh)
+    // this slipped whenever the conforming file happened to list
+    // first, and "first" was filesystem-order luck
+    plantPartFile((904L to 907L).map(i => (i, s"w_$i", i * 2))
+        .toDF("doc_id", "text", "extra_col"),
+      b0, "part-00001-widened.parquet")
+    val e = intercept[IllegalStateException] { StoreCensus.refresh(spark, store) }
+    assert(e.getMessage.contains("schema drift") &&
+      e.getMessage.contains("extra_col"), e.getMessage)
+    assert(StoreCensus.nonEmpty(store).isEmpty,
+      "a fence violation must invalidate the entry")
+    assert(ES.storeNonEmpty(store), "fallback paths must still answer")
+  }
+
+  test("schema fence tolerates a stray root-level part file carrying the pinned DATA columns (widened root files still fire)") {
+    import spark.implicits._
+    val (store, _) = freshStore("fence_root")
+    StoreCensus.refresh(spark, store)
+    val root = java.nio.file.Paths.get(store.stripPrefix("graftfs:"))
+    val before = StoreCensus.lookup(store).get.files.length
+    // r12's fence false-positived here: a root-level path carries no
+    // k=v components, so `found` lacked `bucket` and a schema-exact
+    // file failed as "drift" — inconsistent with maxFilesPerBucket,
+    // which tolerates stray root files by design (ADVICE r12)
+    plantPartFile((910L to 913L).map(i => (i, s"r_$i")).toDF("doc_id", "text"),
+      root, "part-00000-stray-root.parquet")
+    StoreCensus.refresh(spark, store) // must NOT throw
+    assert(StoreCensus.lookup(store).get.files.length == before + 1,
+      "the stray root file must be censused, not fenced out")
+    // ...while an actually-widened root-level file is still drift
+    plantPartFile((914L to 915L).map(i => (i, s"w_$i", i * 3))
+        .toDF("doc_id", "text", "wide_col"),
+      root, "part-00001-widened-root.parquet")
+    val e = intercept[IllegalStateException] { StoreCensus.refresh(spark, store) }
+    assert(e.getMessage.contains("schema drift") &&
+      e.getMessage.contains("wide_col"), e.getMessage)
+  }
+
+  test("fence comparator laws: fires iff a non-path-explicable name difference exists (seeded sweep)") {
+    val pool = ('a' to 'j').map("c" + _)
+    val rnd = new scala.util.Random(13)
+    (1 to 500).foreach { _ =>
+      val shuffled = rnd.shuffle(pool)
+      val data = shuffled.take(1 + rnd.nextInt(6)).toSet
+      val parts = rnd.shuffle(pool.filterNot(data)).take(rnd.nextInt(3)).toSet
+      val pinned = data ++ parts
+      def fence(footer: Set[String], fileParts: Set[String]) =
+        StoreCensus.fenceViolation(footer, fileParts, parts, pinned)
+      // a conforming bucket-dir file never fires
+      assert(fence(data, parts).isEmpty)
+      // a root-level file missing ONLY path-partition columns never fires
+      assert(fence(data, Set.empty).isEmpty)
+      val extra = pool.filterNot(pinned.contains).headOption
+      extra.foreach { e =>
+        // widened footer fires in both placements
+        assert(fence(data + e, parts).nonEmpty)
+        assert(fence(data + e, Set.empty).nonEmpty)
+        // a NEW partition key appearing in the path fires
+        assert(fence(data, parts + e).nonEmpty)
+      }
+      if (data.size > 1) {
+        // dropped data column fires even at the root (absence of a
+        // DATA column is never path-explicable)
+        val dropped = data - data.head
+        assert(fence(dropped, parts).nonEmpty)
+        assert(fence(dropped, Set.empty).nonEmpty)
+        // renamed data column (drop one, add one) fires
+        extra.foreach(e => assert(fence(dropped + e, parts).nonEmpty))
+      }
+    }
+  }
+
+  test("a transient FS error during restart recovery degrades to live listing and retries — never throws from a probe, never settles permanently") {
+    val (store, before) = freshStore("hiccup")
+    StoreCensus.refresh(spark, store) // drops the marker
+    StoreCensus.clearForTest()        // simulated restart
+    val localRoot = store.stripPrefix("graftfs:")
+    // the recovery refresh's FIRST listing dies (transient); the probe
+    // read must fall back to live listing and answer — r12 threw the
+    // error out of lookup() (a pure probe path that never threw) AND
+    // permanently settled the dir via refresh's invalidate-on-failure,
+    // silently reinstating the per-probe listing tax for the JVM's
+    // lifetime (ADVICE r12, medium; mutation: remove maybeRecover's
+    // catch)
+    GraftTestFs.failListOnce = localRoot
+    val rows = StoreCensus.read(spark, store).collect().toSet
+    assert(rows == before, "hiccup read must fall back and stay correct")
+    // a later lookup RETRIES recovery and succeeds...
+    assert(ES.storeNonEmpty(store))
+    // ...after which reads are census-served again: FRAME CREATION
+    // makes zero metadata calls (the scan itself may open files)
+    GraftTestFs.reset()
+    val frame = StoreCensus.read(spark, store)
+    assert(GraftTestFs.metadataCalls(localRoot) == 0,
+      s"recovery must have retried after the hiccup: " +
+        s"${GraftTestFs.metadataCalls(localRoot)} metadata calls")
+    assert(frame.collect().toSet == before)
+  }
+
+  test("marker crash window pinned: a refresh that cannot drop the marker still commits; recovery re-arms at the next mutation") {
+    val (store, before) = freshStore("marker_crash")
+    val localRoot = store.stripPrefix("graftfs:")
+    def markerOnDisk: Boolean = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(localRoot, StoreCensus.MarkerName))
+    // the first refresh lists and installs the entry but dies at the
+    // marker create — the marker only gates post-restart lazy rebuild,
+    // so the refresh (and the mutation that triggered it) must still
+    // succeed (mutation: unwrap the marker create's catch)
+    GraftTestFs.failCreateUnder = StoreCensus.MarkerName
+    StoreCensus.refresh(spark, store)
+    GraftTestFs.reset()
+    assert(!markerOnDisk, "the injection must have suppressed the marker")
+    assert(StoreCensus.nonEmpty(store).contains(true),
+      "a marker-create failure must not fail the refresh")
+    // restart INSIDE the window: the store is unmarked, so reads take
+    // the correct-but-slower live-listing path — the designed shape
+    StoreCensus.clearForTest()
+    assert(StoreCensus.read(spark, store).collect().toSet == before)
+    assert(StoreCensus.nonEmpty(store).isEmpty,
+      "an unmarked store must not be adopted mid-window")
+    // the window CLOSES at the next mutation: its refresh re-drops the
+    // marker, and recovery works after the next restart — by design,
+    // not by accident
+    StoreCensus.refresh(spark, store)
+    assert(markerOnDisk, "the next refresh must re-drop the marker")
+    StoreCensus.clearForTest()
+    assert(StoreCensus.read(spark, store).collect().toSet == before)
+    assert(StoreCensus.nonEmpty(store).contains(true),
+      "recovery must be re-armed once the window closes")
+  }
+
+  test("gate-level census kill-switch equivalence: st24 end-to-end, census-on == census-off") {
+    // CENSUS_AB_r12 proved this once, manually, for all st2x gates;
+    // this is the standing in-suite analogue (VERDICT r12 item 3) so
+    // the property cannot rot between artifact rounds. One
+    // representative store gate, full pipeline — staged chunks,
+    // micro-batch ingest, compaction, store-served probes — run both
+    // ways; sorted-row equality. Mutation: a census serving a wrong
+    // file set (e.g. skip refresh after append) turns it red.
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).isDirectory)
+    def run(): Seq[String] =
+      ES.st24StreamAnnIndex(spark, sf).collect().map(_.toString).sorted.toSeq
+    val on = run()
+    spark.conf.set("spark.graft.storeCensus.enabled", "false")
+    val off =
+      try run()
+      finally spark.conf.unset("spark.graft.storeCensus.enabled")
+    assert(on.nonEmpty, "the gate must produce rows")
+    assert(on == off,
+      "census-on and census-off must be row-identical end-to-end")
   }
 
   test("non-atomic-rename schemes are refused loudly unless opted in") {
