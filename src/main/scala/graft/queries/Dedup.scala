@@ -305,64 +305,61 @@ object Dedup {
     registerRelease(() => { pairs.unpersist(); () })
     // LOUD GUARD: the walk enumerates simple paths — factorial in
     // cluster size — so refuse inputs it cannot enumerate instead of
-    // exploding. Two tiers: bound the edge count BEFORE anything
-    // reaches the driver, then union-find the (certified-tiny) edge
-    // list driver-side and bound the largest component. A 13-node
-    // cluster already means ~12! ≈ 5·10⁸ paths; d07DupClusters is
-    // the log-round design for anything the guard rejects.
+    // exploding. Two tiers: bound the edge count, then bound the
+    // worst component by size AND density. Both tiers run DISTRIBUTED
+    // (r12 VERDICT's optional item: the guard used to collect() the
+    // edge list and union-find it driver-side; now the pointer-jump
+    // loop labels components and one join+agg pipeline reduces them
+    // to per-component bounds — only the single worst offender's
+    // (n, m, dmax) row ever reaches the driver). A 13-node cluster
+    // already means ~12! ≈ 5·10⁸ paths; d07DupClusters is the
+    // log-round design for anything the guard rejects.
     val nPairs = pairs.count()
     if (nPairs > 100000L) throw new IllegalStateException(
       s"q68: $nPairs dup pairs — the simple-path walk is a declarative-surface " +
         "demo for small graphs; use d07DupClusters (pointer-jumping) instead")
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
-    edges.foreach { case (ea, eb) =>
-      val (a, b) = (find(ea), find(eb))
-      if (a != b) parent(math.max(a, b)) = math.min(a, b)
-    }
-    // every non-root node holds exactly one parent entry, so component
-    // size = (#keys resolving to its root) + 1; snapshot keys before
-    // find() path-compression mutates the map
-    val ks = parent.keys.toList
-    val compSize = ks.map(find).groupBy(identity)
-      .map { case (r, ms) => r -> (ms.size + 1) }
-    val edgeCnt = edges.groupBy { case (a, _) => find(a) }
-      .map { case (r, es) => r -> es.length }
-    // per-component MAX degree: the avg-degree (2m/n) branching model
+    // component labels via the same BSP loop d07 ships (ccBody: no
+    // entry releaseCaches, which would drop the pair cache above)
+    val labels = ccBody(pairs).select(col("node"), col("label"))
+    // per-component n / m / max-degree. Degree counts DISTINCT
+    // undirected neighbors; the avg-degree (2m/n) branching model
     // underestimated irregular components — a 10-clique plus 2
     // pendants averages b≈3.9 and slipped under the bound while truly
-    // enumerating ~1e7 prefix rows. Degree is counted over the
-    // undirected neighbor sets.
-    val nbrCnt = edges.iterator
-      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .toSeq.distinct.groupBy(_._1).map { case (v, es) => v -> es.size }
-    val maxDeg = nbrCnt.groupBy { case (v, _) => find(v) }
-      .map { case (r, ds) => r -> ds.values.max }
+    // enumerating ~1e7 prefix rows, hence MAX degree.
+    val und = pairs.select(col("doc_a").as("v"), col("doc_b").as("w"))
+      .union(pairs.select(col("doc_b"), col("doc_a"))).distinct()
+    val deg = und.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val nComp = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val mComp = pairs.join(labels, pairs("doc_a") === labels("node"))
+      .groupBy(col("label")).agg(count(lit(1)).as("m"))
+    val dComp = deg.join(labels, deg("v") === labels("node"))
+      .groupBy(col("label")).agg(max(col("deg")).as("dmax"))
     // tier 2 is size AND density aware: the walk starts a path from
     // every DIRECTED edge (2m starts, not one per node), and each
     // extension multiplies by at most (dmax - 1) unvisited next hops
     // (every neighbor but the one just arrived from), and never by
     // more than the nodes still unvisited — est = 2m · Π_i max(1,
-    // min(dmax-1, n-2-i)). Max degree (not avg = 2m/n) UPPER-bounds
-    // irregular components: a dense core inside a sparse component
-    // drives dmax even when pendant nodes dilute the average. A
-    // 12-node CHAIN (dmax 2 → est = 2m ≈ 22 rows) walks fine; a
+    // min(dmax-1, n-2-i)), the same fold as the old driver loop,
+    // expressed as a SQL aggregate over sequence(0, n-3) (guarded:
+    // sequence(0, -1) would DESCEND, so n ≤ 2 short-circuits to 2m).
+    // A 12-node CHAIN (dmax 2 → est = 2m ≈ 22 rows) walks fine; a
     // 12-node CLIQUE (est ~5e9, true ~1.3e9 rows, each dragging a
     // visited array) is exactly the hang this guard exists to refuse.
     // The node-count ceiling stays as the path-length backstop.
-    compSize.foreach { case (r, n) =>
-      val m = edgeCnt.getOrElse(r, 0)
-      val dmax = maxDeg.getOrElse(r, 1)
-      val est = (0 until math.max(0, n - 2)).foldLeft(2.0 * m) {
-        (acc, i) => acc * math.max(1.0, math.min(dmax - 1.0, n - 2.0 - i)) }
-      if (n > 12 || est > 2e6) throw new IllegalStateException(
+    val offender = nComp.join(mComp, "label").join(dComp, "label")
+      .withColumn("est", expr(
+        "CASE WHEN n <= 2 THEN cast(2 * m AS double) ELSE " +
+          "aggregate(sequence(0, cast(n AS int) - 3), " +
+          "cast(2 * m AS double), (acc, i) -> acc * greatest(1.0d, " +
+          "least(cast(dmax AS double) - 1.0d, " +
+          "cast(n AS double) - 2.0d - i))) END"))
+      .filter(col("n") > 12 || col("est") > 2e6)
+      .orderBy(col("est").desc, col("n").desc)
+      .limit(1).collect()
+    offender.foreach { r =>
+      val (n, m, dmax, est) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      throw new IllegalStateException(
         f"q68: a dup cluster with $n nodes / $m edges (max degree $dmax) " +
           f"enumerates ~$est%.0f simple-path rows — the walk is factorial " +
           "in dense clusters; use d07DupClusters (pointer-jumping) instead")
@@ -390,6 +387,13 @@ object Dedup {
     */
   def connectedComponents(pairs0: DataFrame): DataFrame = {
     releaseCaches()
+    ccBody(pairs0)
+  }
+
+  /** [[connectedComponents]] without the entry releaseCaches — for
+    * callers (q68's guard) that hold their own registered caches the
+    * entry release would drop mid-flight. */
+  private def ccBody(pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.toDF("doc_a", "doc_b").cache()
     // Size the iteration's parallelism to the EDGE count, not the
     // session default: dup-pair graphs are tiny relative to the corpus
