@@ -320,7 +320,8 @@ object Dedup {
         "demo for small graphs; use d07DupClusters (pointer-jumping) instead")
     // component labels via the same BSP loop d07 ships (ccBody: no
     // entry releaseCaches, which would drop the pair cache above)
-    val labels = ccBody(pairs).select(col("node"), col("label"))
+    val labels = ccBody(pairs, reuseCallerCache = true)
+      .select(col("node"), col("label"))
     // per-component n / m / max-degree. Degree counts DISTINCT
     // undirected neighbors; the avg-degree (2m/n) branching model
     // underestimated irregular components — a 10-clique plus 2
@@ -329,11 +330,13 @@ object Dedup {
     val und = pairs.select(col("doc_a").as("v"), col("doc_b").as("w"))
       .union(pairs.select(col("doc_b"), col("doc_a"))).distinct()
     val deg = und.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val nComp = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    // n and dmax share the labels join (every labeled node has ≥1
+    // edge, so the join is inner and lossless); m joins on doc_a
+    val nd = labels.join(deg, labels("node") === deg("v"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), max(col("deg")).as("dmax"))
     val mComp = pairs.join(labels, pairs("doc_a") === labels("node"))
       .groupBy(col("label")).agg(count(lit(1)).as("m"))
-    val dComp = deg.join(labels, deg("v") === labels("node"))
-      .groupBy(col("label")).agg(max(col("deg")).as("dmax"))
     // tier 2 is size AND density aware: the walk starts a path from
     // every DIRECTED edge (2m starts, not one per node), and each
     // extension multiplies by at most (dmax - 1) unvisited next hops
@@ -346,7 +349,8 @@ object Dedup {
     // 12-node CLIQUE (est ~5e9, true ~1.3e9 rows, each dragging a
     // visited array) is exactly the hang this guard exists to refuse.
     // The node-count ceiling stays as the path-length backstop.
-    val offender = nComp.join(mComp, "label").join(dComp, "label")
+    val offender = nd.join(mComp, "label")
+      .select(col("label"), col("n"), col("m"), col("dmax"))
       .withColumn("est", expr(
         "CASE WHEN n <= 2 THEN cast(2 * m AS double) ELSE " +
           "aggregate(sequence(0, cast(n AS int) - 3), " +
@@ -392,9 +396,19 @@ object Dedup {
 
   /** [[connectedComponents]] without the entry releaseCaches — for
     * callers (q68's guard) that hold their own registered caches the
-    * entry release would drop mid-flight. */
-  private def ccBody(pairs0: DataFrame): DataFrame = {
-    val pairs = pairs0.toDF("doc_a", "doc_b").cache()
+    * entry release would drop mid-flight. `reuseCallerCache` skips
+    * the internal pairs cache AND its exit unpersist: `toDF` with
+    * the frame's own column names is a no-op whose normalized plan
+    * EQUALS the input's, so unpersisting "our" cache here silently
+    * dropped the CALLER's cache entry for an already-cached input —
+    * measured as q68's walk re-running the LSH pipeline per
+    * recursion round (2.2 s → ~15 s) after the guard went
+    * distributed. */
+  private def ccBody(pairs0: DataFrame,
+      reuseCallerCache: Boolean = false): DataFrame = {
+    val pairs =
+      if (reuseCallerCache) pairs0.toDF("doc_a", "doc_b")
+      else pairs0.toDF("doc_a", "doc_b").cache()
     // Size the iteration's parallelism to the EDGE count, not the
     // session default: dup-pair graphs are tiny relative to the corpus
     // (256 edges at sf0.1), and per-round fixed cost is partitions ×
@@ -489,7 +503,8 @@ object Dedup {
     val out = labels.cache()
     out.count()
     releasePrev()
-    edges.unpersist(); pairs.unpersist()
+    edges.unpersist()
+    if (!reuseCallerCache) pairs.unpersist()
     registerRelease(() => out.unpersist())
     out
   }
