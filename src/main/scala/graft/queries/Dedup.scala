@@ -320,7 +320,8 @@ object Dedup {
         "demo for small graphs; use d07DupClusters (pointer-jumping) instead")
     // component labels via the same BSP loop d07 ships (ccBody: no
     // entry releaseCaches, which would drop the pair cache above)
-    val labels = ccBody(pairs, reuseCallerCache = true)
+    val labels = ccBody(pairs, reuseCallerCache = true,
+        knownCount = Some(nPairs))
       .select(col("node"), col("label"))
     // per-component n / m / max-degree. Degree counts DISTINCT
     // undirected neighbors; the avg-degree (2m/n) branching model
@@ -405,7 +406,8 @@ object Dedup {
     * recursion round (2.2 s → ~15 s) after the guard went
     * distributed. */
   private def ccBody(pairs0: DataFrame,
-      reuseCallerCache: Boolean = false): DataFrame = {
+      reuseCallerCache: Boolean = false,
+      knownCount: Option[Long] = None): DataFrame = {
     val pairs =
       if (reuseCallerCache) pairs0.toDF("doc_a", "doc_b")
       else pairs0.toDF("doc_a", "doc_b").cache()
@@ -416,7 +418,7 @@ object Dedup {
     // same formula scales the rounds out.
     val nParts = math.max(1, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism,
-      (pairs.count() / 50000L + 1).toInt))
+      (knownCount.getOrElse(pairs.count()) / 50000L + 1).toInt))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").repartition(nParts, col("dst")).cache()
     val base = edges.select(col("src").as("node")).distinct()

@@ -126,20 +126,39 @@ private[graft] object StoreCensus {
     * marker → stay on live listings), or an [[invalidate]] (on-disk
     * state declared unknown → stay on live listings until the next
     * refresh). Bounds the recovery path to at most one marker stat
-    * per dir per JVM. */
+    * per dir per JVM — except across TRANSIENT recovery failures,
+    * which un-settle for a bounded number of retries (below). */
   private val settled =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Failed lazy-recovery attempts per dir. Transient errors retry
+    * (un-settle); once a dir fails [[MaxRecoveryAttempts]] times the
+    * failure is treated as persistent — a corrupt file, a dead ACL —
+    * and the dir settles on live listings for good, because otherwise
+    * EVERY probe of a broken-but-marked store would re-pay a failed
+    * walk + schema read forever (a worse tax than the one recovery
+    * removes), with a log line each time. A later successful
+    * [[refresh]] (the next mutation) clears the count and re-arms. */
+  private val recoveryFailures =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[graft] val MaxRecoveryAttempts = 3
+
   /** Test hook: simulate a driver restart (fresh JVM census state). */
-  private[graft] def clearForTest(): Unit = { entries.clear(); settled.clear() }
+  private[graft] def clearForTest(): Unit = {
+    entries.clear(); settled.clear(); recoveryFailures.clear()
+  }
 
   /** Kill switch (`spark.graft.storeCensus.enabled=false`): every
     * lookup misses, so reads/emptiness/file-count probes take the raw
     * listing path while refresh/invalidate keep maintaining entries —
     * a deployment can flip census serving off without changing any
-    * store semantics, and the probes can A/B the census itself. */
+    * store semantics, and the probes can A/B the census itself.
+    * Resolved active-then-default, matching [[maybeRecover]]'s session
+    * resolution: a probe thread with no ACTIVE session must still see
+    * the deployment's kill switch, not treat it as unset. */
   private def enabled: Boolean =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .flatMap(_.conf.getOption("spark.graft.storeCensus.enabled"))
       .forall(_.toBoolean)
 
@@ -194,10 +213,21 @@ private[graft] object StoreCensus {
             refresh(sp.get, key)
             Option(entries.get(key))
           } catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(
+            // bounded retries: transient errors un-settle so a later
+            // lookup tries again; a PERSISTENTLY failing store settles
+            // for good after MaxRecoveryAttempts (see recoveryFailures)
+            // rather than re-paying a failed walk per probe forever
+            val n = recoveryFailures.merge(key, 1, (a, b) => a + b)
+            if (n < MaxRecoveryAttempts) {
+              System.err.println(
+                s"[graft] store census: restart recovery of $key failed " +
+                  s"(${e.getMessage}); serving live listings, will retry " +
+                  s"($n/$MaxRecoveryAttempts)")
+              settled.remove(key)
+            } else System.err.println(
               s"[graft] store census: restart recovery of $key failed " +
-                s"(${e.getMessage}); serving live listings, will retry")
-            settled.remove(key)
+                s"$n times (${e.getMessage}); serving live listings " +
+                "until the next mutation refresh")
             None
           }
       }
@@ -297,6 +327,7 @@ private[graft] object StoreCensus {
       }
       entries.put(q.toString, Entry(files.toArray, schema))
       settled.add(q.toString)
+      recoveryFailures.remove(q.toString) // success re-arms recovery
       ()
     } catch { case e: Throwable =>
       // a refresh that dies mid-way (listing error, fence violation,

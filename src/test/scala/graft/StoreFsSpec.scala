@@ -34,6 +34,10 @@ class GraftTestFs extends RawLocalFileSystem {
     s.getModificationTime, s.getAccessTime, null, null, null, s.getPath)
   override def listStatus(f: Path): Array[FileStatus] = {
     GraftTestFs.record("list", f)
+    if (GraftTestFs.failListUnder != null &&
+        f.toString.contains(GraftTestFs.failListUnder))
+      // persistent: models a broken store (dead ACL, corrupt dir)
+      throw new java.io.IOException(s"injected persistent list failure: $f")
     if (GraftTestFs.failListOnce != null &&
         f.toString.contains(GraftTestFs.failListOnce)) {
       // self-clearing: models a TRANSIENT hiccup — the very next
@@ -86,6 +90,7 @@ object GraftTestFs {
   @volatile var failDeleteSuffix: String = null
   @volatile var failCreateUnder: String = null
   @volatile var failListOnce: String = null
+  @volatile var failListUnder: String = null
   private val ops = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
   def record(op: String, p: Path): Unit = { ops.add((op, p.toString)); () }
   /** list+stat calls whose path contains `fragment`. */
@@ -100,7 +105,8 @@ object GraftTestFs {
   def reset(): Unit = {
     ops.clear()
     failRenameDstSuffix = null; failRenameSrcSuffix = null
-    failDeleteSuffix = null; failCreateUnder = null; failListOnce = null
+    failDeleteSuffix = null; failCreateUnder = null
+    failListOnce = null; failListUnder = null
   }
 }
 
@@ -683,6 +689,34 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"recovery must have retried after the hiccup: " +
         s"${GraftTestFs.metadataCalls(localRoot)} metadata calls")
     assert(frame.collect().toSet == before)
+  }
+
+  test("a PERSISTENTLY failing recovery settles after MaxRecoveryAttempts — no per-probe refresh storm") {
+    val (store, _) = freshStore("storm")
+    StoreCensus.refresh(spark, store) // drops the marker
+    StoreCensus.clearForTest()        // simulated restart
+    val localRoot = store.stripPrefix("graftfs:")
+    // a broken-but-marked store (dead ACL, corrupt dir): transient
+    // retries must be BOUNDED — without the cap every probe of the
+    // store re-pays a failed walk forever, a worse tax than the one
+    // recovery removes (mutation: drop the recoveryFailures cap)
+    GraftTestFs.failListUnder = localRoot
+    try {
+      (1 to StoreCensus.MaxRecoveryAttempts).foreach { i =>
+        assert(StoreCensus.nonEmpty(store).isEmpty,
+          s"attempt $i must fail and degrade, not serve")
+      }
+      // after the cap: settled — probes are FREE (no stat, no walk)
+      val before = GraftTestFs.metadataCalls(localRoot)
+      (1 to 5).foreach(_ => assert(StoreCensus.nonEmpty(store).isEmpty))
+      assert(GraftTestFs.metadataCalls(localRoot) == before,
+        "post-cap probes must make zero filesystem calls")
+    } finally GraftTestFs.reset()
+    // the next mutation's refresh (store repaired) re-installs the
+    // entry and re-arms; probes serve again
+    StoreCensus.refresh(spark, store)
+    assert(StoreCensus.nonEmpty(store).contains(true),
+      "a successful mutation refresh must restore census serving")
   }
 
   test("marker crash window pinned: a refresh that cannot drop the marker still commits; recovery re-arms at the next mutation") {
