@@ -131,21 +131,57 @@ private[graft] object StoreCensus {
   private val settled =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Failed lazy-recovery attempts per dir. Transient errors retry
-    * (un-settle); once a dir fails [[MaxRecoveryAttempts]] times the
-    * failure is treated as persistent — a corrupt file, a dead ACL —
-    * and the dir settles on live listings for good, because otherwise
-    * EVERY probe of a broken-but-marked store would re-pay a failed
-    * walk + schema read forever (a worse tax than the one recovery
-    * removes), with a log line each time. A later successful
-    * [[refresh]] (the next mutation) clears the count and re-arms. */
-  private val recoveryFailures =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private[graft] val MaxRecoveryAttempts = 3
+  /** Failed lazy-recovery state per dir: (attempt count, epoch-ms
+    * before which no retry runs). Failures retry with exponential
+    * backoff — 10 s, 100 s, then every 10 min — which bounds BOTH
+    * bad shapes at once: a persistently broken store (corrupt file,
+    * dead ACL) costs one failed attempt per window instead of a
+    * failed walk + log line per probe, and a store that was merely
+    * unreachable for a burst (object-store throttling) recovers at
+    * the next window instead of being settled dead for the JVM's
+    * lifetime — a hard attempt cap would permanently reinstate the
+    * per-probe listing tax for probe-only workloads, the exact case
+    * restart recovery exists for, off one brief outage. Probes inside
+    * the window pay one map read, nothing else. Covers BOTH failure
+    * points: the recovery refresh dying AND the marker stat itself
+    * dying (a dead ACL usually breaks the stat too). A successful
+    * [[refresh]] clears the entry and re-arms cleanly. */
+  private val recoveryBackoff =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+
+  private def backoffMs(attempt: Int): Long =
+    math.min(600000L, 10000L * math.pow(10, (attempt - 1).toDouble).toLong)
+
+  /** Record a recovery failure: bump the attempt count, open the next
+    * backoff window, log ONCE (per attempt, not per probe), and
+    * un-settle so the next out-of-window lookup retries. */
+  private def noteRecoveryFailure(key: String, what: String,
+      e: Throwable): Unit = {
+    val prior = recoveryBackoff.get(key)
+    val n = (if (prior == null) 0 else prior._1) + 1
+    val wait = backoffMs(n)
+    recoveryBackoff.put(key, (n, System.currentTimeMillis() + wait))
+    System.err.println(
+      s"[graft] store census: restart recovery of $key failed " +
+        s"($what: ${e.getMessage}); attempt $n, serving live listings, " +
+        s"retry in ${wait / 1000} s")
+    settled.remove(key)
+    ()
+  }
 
   /** Test hook: simulate a driver restart (fresh JVM census state). */
   private[graft] def clearForTest(): Unit = {
-    entries.clear(); settled.clear(); recoveryFailures.clear()
+    entries.clear(); settled.clear(); recoveryBackoff.clear()
+  }
+
+  /** Test hook: force a dir's backoff window to expire NOW (keeps the
+    * attempt count), so specs can walk the retry schedule without
+    * sleeping through it. */
+  private[graft] def expireRecoveryBackoffForTest(dir: String): Unit = {
+    val (_, q) = qualified(dir)
+    val prior = recoveryBackoff.get(q.toString)
+    if (prior != null) recoveryBackoff.put(q.toString, (prior._1, 0L))
+    ()
   }
 
   /** Kill switch (`spark.graft.storeCensus.enabled=false`): every
@@ -189,46 +225,34 @@ private[graft] object StoreCensus {
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
     // no session → cannot pin a schema; leave the decision unsettled
     // so a later in-session lookup can still recover
-    if (sp.isEmpty || !settled.add(key)) None
+    // inside a failure-backoff window: free miss (one map read) —
+    // neither a stat nor a walk, however often the store is probed
+    val bo = recoveryBackoff.get(key)
+    if (bo != null && System.currentTimeMillis() < bo._2) None
+    else if (sp.isEmpty || !settled.add(key)) None
     else {
       val marked =
-        try Some(fs.exists(new Path(q, MarkerName)))
-        catch { case scala.util.control.NonFatal(_) => None }
+        try Right(fs.exists(new Path(q, MarkerName)))
+        catch { case scala.util.control.NonFatal(e) => Left(e) }
       marked match {
-        case None =>
-          // transient FS error: the one recovery attempt must not be
-          // consumed by a hiccup — un-settle so a later lookup retries
-          settled.remove(key); None
-        case Some(false) => None
-        case Some(true) =>
+        case Left(e) =>
+          // the stat ITSELF failed (a dead ACL breaks this before the
+          // walk) — same backoff as a failed refresh, so neither shape
+          // degenerates into a per-probe retry storm
+          noteRecoveryFailure(key, "marker stat", e); None
+        case Right(false) => None
+        case Right(true) =>
           // recovery rides lookup(), a pure probe path that never threw
-          // before r12 — a transient listing/footer error here must
-          // DEGRADE (fall back to live listing), not propagate, and
-          // must not permanently settle: refresh's own failure path
-          // calls invalidate (which settles), so un-settle afterwards
-          // or one FS hiccup would disable restart recovery for this
-          // store for the JVM's lifetime — the exact tax this feature
-          // exists to remove
+          // before r12 — a listing/footer error here must DEGRADE
+          // (fall back to live listing), not propagate, and must not
+          // permanently settle: refresh's failure path calls invalidate
+          // (which settles), so noteRecoveryFailure un-settles and the
+          // next out-of-window lookup retries
           try {
             refresh(sp.get, key)
             Option(entries.get(key))
           } catch { case scala.util.control.NonFatal(e) =>
-            // bounded retries: transient errors un-settle so a later
-            // lookup tries again; a PERSISTENTLY failing store settles
-            // for good after MaxRecoveryAttempts (see recoveryFailures)
-            // rather than re-paying a failed walk per probe forever
-            val n = recoveryFailures.merge(key, 1, (a, b) => a + b)
-            if (n < MaxRecoveryAttempts) {
-              System.err.println(
-                s"[graft] store census: restart recovery of $key failed " +
-                  s"(${e.getMessage}); serving live listings, will retry " +
-                  s"($n/$MaxRecoveryAttempts)")
-              settled.remove(key)
-            } else System.err.println(
-              s"[graft] store census: restart recovery of $key failed " +
-                s"$n times (${e.getMessage}); serving live listings " +
-                "until the next mutation refresh")
-            None
+            noteRecoveryFailure(key, "refresh", e); None
           }
       }
     }
@@ -327,7 +351,7 @@ private[graft] object StoreCensus {
       }
       entries.put(q.toString, Entry(files.toArray, schema))
       settled.add(q.toString)
-      recoveryFailures.remove(q.toString) // success re-arms recovery
+      recoveryBackoff.remove(q.toString) // success re-arms recovery
       ()
     } catch { case e: Throwable =>
       // a refresh that dies mid-way (listing error, fence violation,

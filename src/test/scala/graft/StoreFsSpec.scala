@@ -679,7 +679,9 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftTestFs.failListOnce = localRoot
     val rows = StoreCensus.read(spark, store).collect().toSet
     assert(rows == before, "hiccup read must fall back and stay correct")
-    // a later lookup RETRIES recovery and succeeds...
+    // a later lookup — once the failure's backoff window passes
+    // (test hook; 10 s wall otherwise) — RETRIES recovery and wins...
+    StoreCensus.expireRecoveryBackoffForTest(store)
     assert(ES.storeNonEmpty(store))
     // ...after which reads are census-served again: FRAME CREATION
     // makes zero metadata calls (the scan itself may open files)
@@ -691,32 +693,49 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frame.collect().toSet == before)
   }
 
-  test("a PERSISTENTLY failing recovery settles after MaxRecoveryAttempts — no per-probe refresh storm") {
-    val (store, _) = freshStore("storm")
+  test("recovery failures back off exponentially — no per-probe storm, never permanently dead") {
+    val (store, before) = freshStore("storm")
     StoreCensus.refresh(spark, store) // drops the marker
     StoreCensus.clearForTest()        // simulated restart
     val localRoot = store.stripPrefix("graftfs:")
-    // a broken-but-marked store (dead ACL, corrupt dir): transient
-    // retries must be BOUNDED — without the cap every probe of the
-    // store re-pays a failed walk forever, a worse tax than the one
-    // recovery removes (mutation: drop the recoveryFailures cap)
+    // a broken-but-marked store (dead ACL, corrupt dir): the first
+    // probe pays one failed attempt and opens a backoff window...
     GraftTestFs.failListUnder = localRoot
     try {
-      (1 to StoreCensus.MaxRecoveryAttempts).foreach { i =>
-        assert(StoreCensus.nonEmpty(store).isEmpty,
-          s"attempt $i must fail and degrade, not serve")
-      }
-      // after the cap: settled — probes are FREE (no stat, no walk)
-      val before = GraftTestFs.metadataCalls(localRoot)
+      assert(StoreCensus.nonEmpty(store).isEmpty,
+        "attempt 1 must degrade, not serve")
+      // ...inside the window every probe is FREE (one map read):
+      // without the backoff gate every probe of a broken store
+      // re-pays a failed walk + log line forever, a worse tax than
+      // the one recovery removes (mutation: drop the window check in
+      // maybeRecover)
+      val baseline = GraftTestFs.metadataCalls(localRoot)
       (1 to 5).foreach(_ => assert(StoreCensus.nonEmpty(store).isEmpty))
-      assert(GraftTestFs.metadataCalls(localRoot) == before,
-        "post-cap probes must make zero filesystem calls")
+      assert(GraftTestFs.metadataCalls(localRoot) == baseline,
+        "in-window probes must make zero filesystem calls")
+      // when the window expires the next probe RETRIES (one more
+      // attempt, longer window): persistent failure costs one attempt
+      // per window, not one per probe
+      StoreCensus.expireRecoveryBackoffForTest(store)
+      assert(StoreCensus.nonEmpty(store).isEmpty)
+      assert(GraftTestFs.metadataCalls(localRoot) > baseline,
+        "an out-of-window probe must retry recovery")
+      val after2 = GraftTestFs.metadataCalls(localRoot)
+      (1 to 5).foreach(_ => assert(StoreCensus.nonEmpty(store).isEmpty))
+      assert(GraftTestFs.metadataCalls(localRoot) == after2,
+        "the second window must gate probes like the first")
+      // and when the OUTAGE clears (not the JVM), the next
+      // out-of-window probe recovers — a hard attempt cap would have
+      // settled the store dead for the JVM's lifetime off one brief
+      // outage, silently reinstating the per-probe listing tax for
+      // probe-only workloads, the exact case recovery exists for
+      // (mutation: settle permanently after N failures)
+      GraftTestFs.reset()
+      StoreCensus.expireRecoveryBackoffForTest(store)
+      assert(StoreCensus.nonEmpty(store).contains(true),
+        "recovery must succeed once the outage clears")
+      assert(StoreCensus.read(spark, store).collect().toSet == before)
     } finally GraftTestFs.reset()
-    // the next mutation's refresh (store repaired) re-installs the
-    // entry and re-arms; probes serve again
-    StoreCensus.refresh(spark, store)
-    assert(StoreCensus.nonEmpty(store).contains(true),
-      "a successful mutation refresh must restore census serving")
   }
 
   test("marker crash window pinned: a refresh that cannot drop the marker still commits; recovery re-arms at the next mutation") {
