@@ -27,6 +27,13 @@ object Verify {
       .enableHiveSupport()
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CENSUS=false A/Bs the catalog-backed store file
+    // index at the CORRECTNESS gate itself (StoreProbe's hook,
+    // mirrored): the driver never sets it, so default runs are
+    // untouched; a local `st2` subset run both ways + a hash compare
+    // is the all-gates kill-switch equivalence artifact (CENSUS_AB)
+    sys.env.get("SPARK_GRAFT_CENSUS").foreach(v =>
+      spark.conf.set("spark.graft.storeCensus.enabled", v))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
