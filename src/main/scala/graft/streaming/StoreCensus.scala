@@ -149,8 +149,16 @@ private[graft] object StoreCensus {
   private val recoveryBackoff =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
 
-  private def backoffMs(attempt: Int): Long =
-    math.min(600000L, 10000L * math.pow(10, (attempt - 1).toDouble).toLong)
+  private[graft] def backoffMs(attempt: Int): Long =
+    // the schedule is exactly 10 s / 100 s / 600 s-forever, so write it
+    // as a table instead of computing a power: the r13 formula
+    // (10000L * pow(10, attempt-1).toLong) overflowed Long at
+    // attempt >= 20 (~2.8 h of persistent failure), wrapped the window
+    // to -10000 ms — i.e. into the PAST — and degraded the backoff
+    // into the per-probe retry storm it exists to prevent
+    // (VERDICT r13). Spec-pinned at a forced attempt=25 in
+    // StoreFsSpec's storm test.
+    if (attempt >= 3) 600000L else if (attempt == 2) 100000L else 10000L
 
   /** Record a recovery failure: bump the attempt count, open the next
     * backoff window, log ONCE (per attempt, not per probe), and
@@ -181,6 +189,21 @@ private[graft] object StoreCensus {
     val (_, q) = qualified(dir)
     val prior = recoveryBackoff.get(q.toString)
     if (prior != null) recoveryBackoff.put(q.toString, (prior._1, 0L))
+    ()
+  }
+
+  /** Test hook: force a dir's recovery-failure attempt count, with the
+    * window re-derived from [[backoffMs]] exactly as
+    * [[noteRecoveryFailure]] would — so specs can pin HIGH-attempt
+    * behavior (the r13 power formula wrapped the window negative at
+    * attempt ≥ 20, turning the backoff into a per-probe retry storm
+    * after ~2.8 h of persistent failure) without hours of wall
+    * clock. */
+  private[graft] def forceRecoveryAttemptForTest(dir: String,
+      attempt: Int): Unit = {
+    val (_, q) = qualified(dir)
+    recoveryBackoff.put(q.toString,
+      (attempt, System.currentTimeMillis() + backoffMs(attempt)))
     ()
   }
 

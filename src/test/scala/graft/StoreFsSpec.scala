@@ -724,6 +724,33 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1 to 5).foreach(_ => assert(StoreCensus.nonEmpty(store).isEmpty))
       assert(GraftTestFs.metadataCalls(localRoot) == after2,
         "the second window must gate probes like the first")
+      // HIGH-attempt regime (VERDICT r13's one bug): the r13 power
+      // formula overflowed Long at attempt >= 20 (~2.8 h of persistent
+      // failure) and wrapped the window into the PAST, so every probe
+      // of a still-broken store re-paid a failed walk — the exact
+      // storm this test exists to forbid. Force attempt 25 (seam keeps
+      // the window derivation honest: it calls backoffMs) and assert
+      // the window still gates (mutation: restore the
+      // `10000L * pow(10, attempt-1).toLong` formula — red here)
+      StoreCensus.forceRecoveryAttemptForTest(store, 25)
+      val after25 = GraftTestFs.metadataCalls(localRoot)
+      (1 to 5).foreach(_ => assert(StoreCensus.nonEmpty(store).isEmpty))
+      assert(GraftTestFs.metadataCalls(localRoot) == after25,
+        "attempt-25 in-window probes must make zero filesystem calls " +
+          "(a negative/overflowed window lands in the past and storms)")
+      // and the schedule itself is law-pinned: positive, bounded by
+      // the 10-min ceiling, and monotone across the whole attempt
+      // range a multi-day outage can reach
+      (1 to 1000).foreach { a =>
+        val w = StoreCensus.backoffMs(a)
+        assert(w > 0 && w <= 600000L, s"backoffMs($a) = $w out of band")
+        assert(w >= StoreCensus.backoffMs(math.max(1, a - 1)),
+          s"backoffMs must be monotone at $a")
+      }
+      assert(StoreCensus.backoffMs(1) == 10000L &&
+        StoreCensus.backoffMs(2) == 100000L &&
+        StoreCensus.backoffMs(3) == 600000L,
+        "the documented 10 s / 100 s / 600 s schedule must hold exactly")
       // and when the OUTAGE clears (not the JVM), the next
       // out-of-window probe recovers — a hard attempt cap would have
       // settled the store dead for the JVM's lifetime off one brief
