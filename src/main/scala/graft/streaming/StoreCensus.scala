@@ -81,10 +81,15 @@ import org.apache.spark.sql.types.StructType
   * likewise not drift when its footer carries exactly the pinned
   * DATA columns — partition columns absent from a root-level PATH
   * are a layout quirk, not schema evolution ([[fenceViolation]]
-  * holds the exact rule). The name-level check catches the evolution
-  * shapes a writer actually produces (added/renamed columns); a
-  * same-name type change still surfaces loudly at scan time as a
-  * parquet decode error.
+  * holds the exact rule). The fence compares NAMES AND TYPES: a
+  * same-name type change (INT64 -> DOUBLE in an out-of-band append)
+  * used to pass the r13 name-only fence and surface later as a
+  * parquet decode error at SCAN time — loud, but at the reader, far
+  * from the writer that caused it; the footer metadata the fence
+  * already reads carries the field types, so the type check is free
+  * of new I/O and fails the offending REFRESH instead. Path
+  * partition components stay name-based by contract: their types are
+  * derived from path VALUES at read time, not pinned per file.
   *
   * Consistency with st20Batch's concurrency: the census entry a probe
   * reads is by construction the PRE-append snapshot (refresh runs on
@@ -404,30 +409,47 @@ private[graft] object StoreCensus {
     * property-testable (StoreFsSpec's ScalaCheck block). A new file
     * CONFORMS when the columns it contributes — footer fields plus
     * its path's `k=v` partition components — equal the pinned name
-    * set; with ONE tolerance: a file whose path carries none of some
-    * store partition columns (e.g. a stray part file at the store
-    * root, which maxFilesPerBucket already tolerates) may omit
-    * exactly those columns, because a missing PATH component is a
-    * layout quirk, while an added/renamed/dropped DATA column is
-    * drift. Returns the violation message, or None when conforming.
-    */
-  private[graft] def fenceViolation(footerNames: Set[String],
+    * set AND every footer field's type equals the pinned type; with
+    * ONE tolerance: a file whose path carries none of some store
+    * partition columns (e.g. a stray part file at the store root,
+    * which maxFilesPerBucket already tolerates) may omit exactly
+    * those columns, because a missing PATH component is a layout
+    * quirk, while an added/renamed/dropped DATA column is drift.
+    * Types are nullability-free catalogStrings (file scans force
+    * top-level fields nullable, and writers legitimately vary
+    * required/optional repetition — see [[Entry]]); path partition
+    * components contribute no footer type and stay name-checked.
+    * Returns the violation message, or None when conforming. */
+  private[graft] def fenceViolation(footerFields: Seq[(String, String)],
       filePartNames: Set[String], storePartNames: Set[String],
-      pinned: Set[String]): Option[String] = {
-    val found = footerNames ++ filePartNames
+      pinnedTypes: Map[String, String]): Option[String] = {
+    val pinned = pinnedTypes.keySet
+    val found = footerFields.iterator.map(_._1).toSet ++ filePartNames
     // partition columns this file's PATH does not carry (root-level
     // or shallower-than-layout files) — tolerated as absent, never as
     // renamed: any other difference is drift
     val missing = (storePartNames & pinned) -- filePartNames
-    if (found == pinned || (missing.nonEmpty && found == pinned -- missing))
-      None
-    else Some(
-      s"carries columns ${found.toSeq.sorted.mkString("[", ",", "]")} " +
-        s"but the store's pinned schema has " +
-        s"${pinned.toSeq.sorted.mkString("[", ",", "]")}")
+    if (found != pinned && !(missing.nonEmpty && found == pinned -- missing))
+      Some(
+        s"carries columns ${found.toSeq.sorted.mkString("[", ",", "]")} " +
+          s"but the store's pinned schema has " +
+          s"${pinned.toSeq.sorted.mkString("[", ",", "]")}")
+    else
+      // names conform — now the TYPE dimension (the r13 seam): a
+      // same-name retyped append must fail the writer's refresh, not
+      // the eventual reader's scan
+      footerFields.collectFirst {
+        case (n, t) if pinnedTypes.get(n).exists(_ != t) =>
+          s"carries column `$n` as $t but the store's pinned schema " +
+            s"has ${pinnedTypes(n)}"
+      }
   }
 
-  /** One file's footer FIELD NAMES — a schema-only metadata read,
+  /** One file's footer top-level FIELDS — (name, Spark type) pairs,
+    * the type being what the standard parquet read path would assign
+    * (the same ParquetToSparkSchemaConverter Spark's scans use, over
+    * the footer MessageType) rendered as a nullability-free
+    * catalogString. A schema-only metadata read,
     * tuned because the every-file fence multiplies it by the
     * mutation's width: SKIP_ROW_GROUPS elides the row-group metadata
     * (the bulk of a footer; measured ~9-16 ms full vs ~2.5 ms
@@ -446,8 +468,10 @@ private[graft] object StoreCensus {
       org.apache.parquet.format.converter.ParquetMetadataConverter.SKIP_ROW_GROUPS)
     .build()
 
-  private def fenceFooterNames(fs: org.apache.hadoop.fs.FileSystem,
-      fresh: FileStatus): Set[String] = {
+  private def fenceFooterFields(fs: org.apache.hadoop.fs.FileSystem,
+      fresh: FileStatus,
+      converter: org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter)
+      : Seq[(String, String)] = {
     val readFs = fs match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case other => other
@@ -460,9 +484,9 @@ private[graft] object StoreCensus {
     }
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in, fenceReadOptions)
     try {
-      import scala.jdk.CollectionConverters._
-      reader.getFooter.getFileMetaData.getSchema.getFields.asScala
-        .map(_.getName).toSet
+      val msg = reader.getFooter.getFileMetaData.getSchema
+      converter.convert(msg).fields.toSeq
+        .map(f => f.name -> f.dataType.catalogString)
     } finally reader.close()
   }
 
@@ -489,13 +513,28 @@ private[graft] object StoreCensus {
   private def fenceSchemas(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       freshFiles: Seq[FileStatus], storeParts: Set[String],
       pinned: StructType, dir: String): Unit = {
-    val pinnedNames = pinned.fieldNames.toSet
+    val pinnedTypes: Map[String, String] =
+      pinned.fields.iterator.map(f => f.name -> f.dataType.catalogString).toMap
+    // one converter per refresh, shared across the pool fan-out (it is
+    // an immutable config holder; convert() is pure). Constructed with
+    // Spark's parquet conversion DEFAULTS (the no-arg Scala ctor; the
+    // Configuration overload requires the scan path's pre-set hadoop
+    // keys and NPEs without them): the stores are written and pinned
+    // by this engine's own read path under those defaults, so
+    // converter and pin agree. A deployment overriding
+    // spark.sql.parquet.* conversion confs session-wide shifts BOTH
+    // the pin (taken through sp.read.parquet at first refresh) and
+    // the scan the same way, and only a conversion-relevant retype in
+    // an out-of-band append could then slip to the scan-time error —
+    // the pre-r14 behavior, never wrong results.
+    val converter =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter()
     val ordered = freshFiles.sortBy(_.getPath.toString)
     val checks = ordered.map { fresh =>
       fresh -> fencePool.submit(new java.util.concurrent.Callable[Option[String]] {
         def call(): Option[String] =
-          fenceViolation(fenceFooterNames(fs, fresh),
-            pathPartitionNames(fresh, root), storeParts, pinnedNames)
+          fenceViolation(fenceFooterFields(fs, fresh, converter),
+            pathPartitionNames(fresh, root), storeParts, pinnedTypes)
       })
     }
     checks.foreach { case (fresh, fut) =>

@@ -630,7 +630,7 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage.contains("wide_col"), e.getMessage)
   }
 
-  test("fence comparator laws: fires iff a non-path-explicable name difference exists (seeded sweep)") {
+  test("fence comparator laws: fires iff a non-path-explicable name OR type difference exists (seeded sweep)") {
     val pool = ('a' to 'j').map("c" + _)
     val rnd = new scala.util.Random(13)
     (1 to 500).foreach { _ =>
@@ -638,8 +638,10 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val data = shuffled.take(1 + rnd.nextInt(6)).toSet
       val parts = rnd.shuffle(pool.filterNot(data)).take(rnd.nextInt(3)).toSet
       val pinned = data ++ parts
+      val pinnedT = pinned.iterator.map(_ -> "bigint").toMap
       def fence(footer: Set[String], fileParts: Set[String]) =
-        StoreCensus.fenceViolation(footer, fileParts, parts, pinned)
+        StoreCensus.fenceViolation(
+          footer.toSeq.sorted.map(_ -> "bigint"), fileParts, parts, pinnedT)
       // a conforming bucket-dir file never fires
       assert(fence(data, parts).isEmpty)
       // a root-level file missing ONLY path-partition columns never fires
@@ -661,7 +663,52 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
         // renamed data column (drop one, add one) fires
         extra.foreach(e => assert(fence(dropped + e, parts).nonEmpty))
       }
+      // TYPE dimension (r14): a same-name retyped data column fires
+      // in BOTH placements — the root tolerance is a NAME tolerance
+      // and must never excuse a type change — and the message names
+      // the offending column
+      val retyped = data.head
+      def fenceT(fileParts: Set[String]) = StoreCensus.fenceViolation(
+        data.toSeq.sorted.map(n =>
+          n -> (if (n == retyped) "double" else "bigint")),
+        fileParts, parts, pinnedT)
+      assert(fenceT(parts).exists(m =>
+        m.contains(retyped) && m.contains("double") && m.contains("bigint")))
+      assert(fenceT(Set.empty).nonEmpty)
+      // a retype of a PATH partition column cannot be seen through a
+      // footer (partition values live in the path); the name check
+      // stays authoritative there — pinned-typed fields absent from
+      // the footer are never type-checked
+      assert(fence(data, parts).isEmpty)
     }
+  }
+
+  test("schema fence catches a same-name RETYPED append at the writer's refresh, not the reader's scan") {
+    import spark.implicits._
+    val (store, _) = freshStore("fence_retype")
+    StoreCensus.refresh(spark, store) // pins doc_id BIGINT, text STRING
+    val root = java.nio.file.Paths.get(store.stripPrefix("graftfs:"))
+    val b0 = root.resolve("bucket=0")
+    // same names, doc_id written as INT32 — r13's name-only fence let
+    // this into the census and the failure surfaced later as a scan
+    // decode error (mutation: drop fenceViolation's type pass — this
+    // file conforms by name and the intercept below fails)
+    plantPartFile((920 to 923).map(i => (i, s"rt_$i")).toDF("doc_id", "text"),
+      b0, "part-00000-retyped.parquet")
+    val e = intercept[IllegalStateException] { StoreCensus.refresh(spark, store) }
+    assert(e.getMessage.contains("schema drift") &&
+      e.getMessage.contains("doc_id") && e.getMessage.contains("int") &&
+      e.getMessage.contains("bigint"), e.getMessage)
+    assert(StoreCensus.nonEmpty(store).isEmpty,
+      "a type-drift violation must invalidate the entry")
+    assert(ES.storeNonEmpty(store), "fallback paths must still answer")
+    // the root-level NAME tolerance never excuses a retype either
+    java.nio.file.Files.delete(b0.resolve("part-00000-retyped.parquet"))
+    StoreCensus.refresh(spark, store) // back to a clean pin
+    plantPartFile((924 to 925).map(i => (i, s"rr_$i")).toDF("doc_id", "text"),
+      root, "part-00001-retyped-root.parquet")
+    val e2 = intercept[IllegalStateException] { StoreCensus.refresh(spark, store) }
+    assert(e2.getMessage.contains("doc_id"), e2.getMessage)
   }
 
   test("a transient FS error during restart recovery degrades to live listing and retries — never throws from a probe, never settles permanently") {
