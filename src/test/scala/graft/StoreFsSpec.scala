@@ -866,6 +866,33 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "census-on and census-off must be row-identical end-to-end")
   }
 
+  test("gate-level census kill-switch equivalence: st26 end-to-end, census-on == census-off") {
+    // second standing gate (VERDICT r13 item 3): st24 covers the
+    // ANN-index probe shape; st26 is the TOMBSTONE FOLD — the probe
+    // shape most entangled with invalidate/refresh ordering
+    // (deleteFromStore rides rewriteStore's swap: invalidate on
+    // failure, refresh on success, then the post-delete probe must
+    // see the folded store, not a stale pre-delete census). Mutation:
+    // a census serving a wrong file set after the fold (e.g. skip
+    // rewriteStore's refresh) turns it red. sf0.01, not st24's
+    // sf0.001: the tiny corpus yields ZERO near-dup matches after the
+    // fold there, and empty==empty would pass with a broken census —
+    // the nonEmpty guard below is what makes the equivalence mean
+    // anything.
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf).isDirectory)
+    def run(): Seq[String] =
+      ES.st26TombstoneDedup(spark, sf).collect().map(_.toString).sorted.toSeq
+    val on = run()
+    spark.conf.set("spark.graft.storeCensus.enabled", "false")
+    val off =
+      try run()
+      finally spark.conf.unset("spark.graft.storeCensus.enabled")
+    assert(on.nonEmpty, "the gate must produce rows")
+    assert(on == off,
+      "census-on and census-off must be row-identical end-to-end")
+  }
+
   test("non-atomic-rename schemes are refused loudly unless opted in") {
     import spark.implicits._
     val local = tmpDir("graft_s3a_store_")
