@@ -32,8 +32,15 @@ object Verify {
     // mirrored): the driver never sets it, so default runs are
     // untouched; a local `st2` subset run both ways + a hash compare
     // is the all-gates kill-switch equivalence artifact (CENSUS_AB)
-    sys.env.get("SPARK_GRAFT_CENSUS").foreach(v =>
-      spark.conf.set("spark.graft.storeCensus.enabled", v))
+    // validate at SET time: the conf is read via .toBoolean inside
+    // lookup(), a probe path that is contractually never supposed to
+    // throw — a typo'd env var must fail HERE, next to its cause, not
+    // as an IllegalArgumentException out of a census probe (ADVICE r13)
+    sys.env.get("SPARK_GRAFT_CENSUS").foreach { v =>
+      require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+        s"SPARK_GRAFT_CENSUS must be true or false, got '$v'")
+      spark.conf.set("spark.graft.storeCensus.enabled", v.toLowerCase)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -123,7 +123,12 @@ private[graft] object StoreCensus {
 
   /** Restart-recovery marker dropped at the store root by the first
     * refresh of a non-empty store (see the class doc). Underscore
-    * prefix = hidden from Spark/Hadoop path filters. */
+    * prefix = hidden from Spark/Hadoop path filters. Known seam,
+    * accepted: recovery-failure backoff state is per-JVM, so a driver
+    * restarted DURING a store outage forgets an open long window and
+    * re-pays one failed walk on its first probe — bounded (one per
+    * restart), and persisting backoff state would cost more than it
+    * saves. */
   private[graft] val MarkerName = "_graft_census"
 
   /** Dirs whose lazy-recovery decision is settled for this JVM: a
@@ -385,7 +390,10 @@ private[graft] object StoreCensus {
       // a refresh that dies mid-way (listing error, fence violation,
       // cold schema read) must not leave the PREVIOUS entry serving a
       // store whose on-disk state already moved — drop it so reads
-      // fall back to live listings until the next successful refresh
+      // fall back to live listings until the next successful refresh.
+      // Deliberately Throwable, not NonFatal: a fatal error (OOM mid
+      // listing) must ALSO drop the now-unknown entry before it
+      // propagates — invalidate is two map writes, safe under fatals
       invalidate(dir)
       throw e
     }
