@@ -71,8 +71,11 @@ object StoreProbe {
     buckets.foreach(b => spark.conf.set("spark.graft.storeBuckets", b.toString))
     // SPARK_GRAFT_CENSUS=false A/Bs the catalog-backed file index
     // itself (reads take the raw listing path; semantics unchanged)
-    sys.env.get("SPARK_GRAFT_CENSUS").foreach(v =>
-      spark.conf.set("spark.graft.storeCensus.enabled", v))
+    sys.env.get("SPARK_GRAFT_CENSUS").foreach { v =>
+      require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+        s"SPARK_GRAFT_CENSUS must be true or false, got '$v'")
+      spark.conf.set("spark.graft.storeCensus.enabled", v.toLowerCase)
+    }
     graft.functions.VectorExpressions.register(spark)
 
     // resolve the CURRENT scheme's 10× twin via ScaleProbe's staging

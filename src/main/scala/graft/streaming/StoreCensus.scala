@@ -224,12 +224,18 @@ private[graft] object StoreCensus {
     * store semantics, and the probes can A/B the census itself.
     * Resolved active-then-default, matching [[maybeRecover]]'s session
     * resolution: a probe thread with no ACTIVE session must still see
-    * the deployment's kill switch, not treat it as unset. */
+    * the deployment's kill switch, not treat it as unset. TOTAL by
+    * construction: lookup() is a probe path that contractually never
+    * throws, so only a case-insensitive "false" disables — any other
+    * value (a typo'd conf set programmatically, bypassing the
+    * operator-facing validation in Verify/StoreProbe) leaves the
+    * default ON rather than detonating .toBoolean inside a census
+    * probe far from the misconfiguration. */
   private def enabled: Boolean =
-    org.apache.spark.sql.SparkSession.getActiveSession
+    !org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .flatMap(_.conf.getOption("spark.graft.storeCensus.enabled"))
-      .forall(_.toBoolean)
+      .exists(_.equalsIgnoreCase("false"))
 
   /** Qualified-URI key (r10's store-addressing rule: two spellings of
     * one dir — bare path vs file: URI — must hit one entry). */

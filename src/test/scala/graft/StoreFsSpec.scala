@@ -893,6 +893,27 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "census-on and census-off must be row-identical end-to-end")
   }
 
+  test("a garbage kill-switch conf value never throws from a census probe (default-on)") {
+    // lookup() is a probe path that contractually never throws; the
+    // r13 resolution did .toBoolean on the conf, so a value that
+    // bypassed the operator-facing env validation (set directly on
+    // the session) detonated IllegalArgumentException out of every
+    // probe. Only a case-insensitive "false" disables; anything else
+    // stays default-ON — and loudness for typos lives at the set
+    // sites (Verify/StoreProbe fail fast on non-boolean env values).
+    val (store, before) = freshStore("killswitch_garbage")
+    StoreCensus.refresh(spark, store)
+    spark.conf.set("spark.graft.storeCensus.enabled", "bogus")
+    try {
+      assert(StoreCensus.nonEmpty(store).contains(true),
+        "a garbage value must leave census serving ON, not throw")
+      assert(StoreCensus.read(spark, store).collect().toSet == before)
+      spark.conf.set("spark.graft.storeCensus.enabled", "FALSE")
+      assert(StoreCensus.nonEmpty(store).isEmpty,
+        "case-insensitive false must still disable")
+    } finally spark.conf.unset("spark.graft.storeCensus.enabled")
+  }
+
   test("non-atomic-rename schemes are refused loudly unless opted in") {
     import spark.implicits._
     val local = tmpDir("graft_s3a_store_")
