@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool (Bench's little sibling): time just the queries named on
   * the command line against SPARK_GRAFT_SF_DIR, two passes each
   * (report both), so a single operator can be iterated on without
-  * paying the full 190-query suite. Same session config as Bench
+  * paying the full 207-query suite. Same session config as Bench
   * minus the Hive catalog (none of the streaming/dedup gates need
   * it, and skipping derby keeps concurrent use safe).
   */
