@@ -247,7 +247,7 @@ object Bench {
               .sortBy(-_.get("queries").size()).headOption
             val m = best.map { node =>
               import scala.jdk.CollectionConverters._
-              node.get("queries").fields().asScala
+              node.get("queries").properties().asScala
                 .map(e => e.getKey -> e.getValue.asDouble()).toMap
             }.getOrElse(Map.empty[String, Double])
             System.err.println(
