@@ -194,83 +194,56 @@ object Bench {
     // moves queries 1.3x with zero code cause, which is exactly why
     // flagged movers get the A/B instead of a revert.
     val kind = sys.env.getOrElse("SPARK_GRAFT_BENCH_KIND", "driver")
-    // driver runs lose their full query map to the harness's ~2000-char
-    // stdout window (the official BENCH_r*.json "parsed" carries only
-    // the slowest 20), so a mid-pack driver-side regression was
-    // invisible to the flag mechanism (VERDICT r13 item 4). Each
-    // driver-kind run therefore persists its FULL-precision line to a
-    // committed sidecar, keyed by scale factor so a stray manual run
-    // at another sf can never poison the series, and the next round's
-    // driver run prefers it as the prior — full 207-query flag
-    // coverage from the first sidecar-bearing round on.
-    val fullSidecar = new java.io.File(System.getProperty("user.dir"),
-      s"BENCH_full_driver_${new java.io.File(sfDir).getName}.json")
-    val (priorPath, priorQ): (String, Map[String, Double]) = {
-      val auto = {
-        val dir = new java.io.File(System.getProperty("user.dir"))
-        val re = if (kind == "local") "BENCH_r(\\d+)_local\\.json".r
-                 else "BENCH_r(\\d+)\\.json".r
-        val artifact = Option(dir.listFiles()).toSeq.flatten
-          .flatMap(f => f.getName match {
-            case re(n) => Some((n.toInt, f.getPath))
-            case _ => None
-          })
-          .sortBy(-_._1).headOption.map(_._2)
-        if (kind != "local" && fullSidecar.isFile) Some(fullSidecar.getPath)
-        else artifact
-      }
-      sys.env.get("SPARK_GRAFT_PRIOR_BENCH").orElse(auto) match {
-        case None => ("", Map.empty[String, Double])
-        case Some(p) =>
-          try {
-            val om = new com.fasterxml.jackson.databind.ObjectMapper()
-            val srcF = scala.io.Source.fromFile(p)
-            val text = try srcF.mkString finally srcF.close()
-            // candidate nodes, covering both artifact shapes: raw
-            // stdout sweeps carry one JSON per line (full-precision
-            // line + compact slowest-20 line — take the biggest map);
-            // the driver's artifact is ONE pretty-printed object whose
-            // query map sits under "parsed" (slowest 20 only — flags
-            // are then limited to those, which is exactly the set
-            // worth watching). Only compare like scale factors: a
-            // sf0.01 dev sweep diffed against the sf0.1 reference
-            // series flags everything and means nothing.
-            val lineNodes = text.linesIterator.map(_.trim)
-              .filter(_.startsWith("{"))
-              .flatMap(l => scala.util.Try(om.readTree(l)).toOption)
-              .toList
-            val wholeNodes = scala.util.Try(om.readTree(text)).toOption
-              .toList.flatMap(n => n :: Option(n.get("parsed")).toList)
-            val best = (lineNodes ++ wholeNodes)
-              .filter(n => n.has("queries") && n.get("queries").isObject &&
-                (!n.has("sf") || n.get("sf").asText() == sfDir))
-              .sortBy(-_.get("queries").size()).headOption
-            val m = best.map { node =>
-              import scala.jdk.CollectionConverters._
-              node.get("queries").properties().asScala
-                .map(e => e.getKey -> e.getValue.asDouble()).toMap
-            }.getOrElse(Map.empty[String, Double])
-            System.err.println(
-              s"[bench] prior ($kind kind): $p — ${m.size} queries")
-            (p, m)
-          } catch { case e: Throwable =>
-            System.err.println(
-              s"[bench] prior artifact unreadable ($p): ${e.getMessage}")
-            ("", Map.empty[String, Double])
-          }
-      }
+    // Prior selection + flag computation live in BenchPrior, a pure
+    // unit with its own spec (BenchPriorSpec) — the inline version
+    // produced two consecutive rounds of silent flag-coverage loss
+    // (r13: slowest-20 driver prior; r14: local self-prior, where both
+    // "zero-flag" windows diffed against the round's OWN committed
+    // artifact). The rules it pins: only rounds strictly below the
+    // current one (the driver artifact series is the round clock)
+    // qualify as priors; kinds never cross; driver runs prefer the
+    // round-keyed full-map sidecar (VERDICT r13 item 4 — the official
+    // artifact carries only the slowest 20) and fall through corrupt /
+    // sf-mismatched candidates instead of zeroing coverage.
+    val repoDir = new java.io.File(System.getProperty("user.dir"))
+    val repoFiles = Option(repoDir.listFiles()).toSeq.flatten.map(_.getName)
+    val sfName = BenchPrior.canonicalSf(sfDir)
+    val round = BenchPrior.currentRound(repoFiles)
+    def readText(p: String): String = {
+      val srcF = scala.io.Source.fromFile(p)
+      try srcF.mkString finally srcF.close()
     }
-    val flags = results.flatMap { case (n, v) =>
-      priorQ.get(n)
-        .filter(pv => pv > 0 && v > 0 && v > pv * 1.3 && v - pv > 0.3)
-        .map(pv => (n, pv, v))
-    }
+    val note: String => Unit = m => System.err.println(s"[bench] $m")
+    val candidates = sys.env.get("SPARK_GRAFT_PRIOR_BENCH").map(Seq(_))
+      .getOrElse(BenchPrior.priorCandidates(kind, repoFiles, sfName)
+        .map(n => new java.io.File(repoDir, n).getPath))
+    val (priorPath, priorQ) =
+      BenchPrior.resolvePrior(candidates, sfDir, readText, note)
+    System.err.println(
+      if (priorQ.isEmpty) s"[bench] prior ($kind kind): none — no flags"
+      else s"[bench] prior ($kind kind): $priorPath — ${priorQ.size} queries")
+    val flags = BenchPrior.computeFlags(priorQ, results)
     flags.foreach { case (n, pv, v) => System.err.println(
       f"[bench] FLAG $n%-28s $pv%7.2f -> $v%7.2f s (${v / pv}%.2fx) — " +
         "same-boot A/B required before belief") }
-    val flagsJson = flags.map { case (n, pv, v) =>
-      f"""{"q":"$n","prior":$pv%.3f,"now":$v%.3f,"ratio":${v / pv}%.2f}""" }
-      .mkString("[", ",", "]")
+    def flagsToJson(fs: Seq[(String, Double, Double)]): String =
+      fs.map { case (n, pv, v) =>
+        f"""{"q":"$n","prior":$pv%.3f,"now":$v%.3f,"ratio":${v / pv}%.2f}""" }
+        .mkString("[", ",", "]")
+    val flagsJson = flagsToJson(flags)
+    // second, intra-round prior for local sweeps (VERDICT r14 item 5):
+    // once this round's best window is promoted, later sweeps also
+    // diff against it — catching intra-round regressions the
+    // cross-round prior dilutes. Separate flag set, never mixed into
+    // the cross-round series' flags.
+    val (intraPath, intraQ) = BenchPrior.intraRoundPrior(kind, repoFiles)
+      .map(n => BenchPrior.resolvePrior(
+        Seq(new java.io.File(repoDir, n).getPath), sfDir, readText, note))
+      .getOrElse(("", Map.empty[String, Double]))
+    val flagsIntra = BenchPrior.computeFlags(intraQ, results)
+    flagsIntra.foreach { case (n, pv, v) => System.err.println(
+      f"[bench] FLAG(intra-round) $n%-28s $pv%7.2f -> $v%7.2f s " +
+        f"(${v / pv}%.2fx vs this round's promoted window)") }
     val diskMbps = Seq(diskProbe(), diskProbe()).max // page-cache warm pass
     System.err.println(f"[bench] disk probe $diskMbps%8.1f MB/s")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -283,11 +256,17 @@ object Bench {
     // Full-detail line FIRST: every query at full precision plus the
     // interleaved calibration series (repo-local sweeps capture all of
     // stdout, so nothing is lost for analysis).
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,"disk_mbps":$diskMbps},"calibs":$calibArr,"flags":$flagsJson,"flags_prior":"$priorPath"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,"disk_mbps":$diskMbps},"calibs":$calibArr,"flags":$flagsJson,"flags_prior":"$priorPath","flags_intra":${flagsToJson(flagsIntra)},"flags_intra_prior":"$intraPath"}"""
     println(fullLine)
-    // never from a SPARK_GRAFT_ONLY subset run: a partial map would
-    // shrink next round's flag coverage to the subset
-    if (kind != "local" && sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
+    // persist the full-precision line as the next round's driver-kind
+    // prior — round-keyed (BENCH_full_driver_r{N}_{sf}.json, ADVICE
+    // r14) so a stray same-sf run or an intra-round re-run overwrites
+    // only its own round's file and the prior stays round-over-round;
+    // never from a local sweep or a SPARK_GRAFT_ONLY subset run (a
+    // partial map would shrink next round's flag coverage)
+    if (BenchPrior.shouldWriteSidecar(kind, sys.env.get("SPARK_GRAFT_ONLY"))) {
+      val fullSidecar =
+        new java.io.File(repoDir, BenchPrior.sidecarName(round, sfName))
       try {
         val w = new java.io.PrintWriter(fullSidecar, "UTF-8")
         try w.println(fullLine) finally w.close()
@@ -305,7 +284,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
     val flagNames = flags.map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$slow,"queries_note":"slowest 20 of ${results.size}; full map on the first metric line","sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,"disk_mbps":${f"$diskMbps%.1f"}},"n_flags":${flags.size},"flags":$flagNames}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$slow,"queries_note":"slowest 20 of ${results.size}; full map on the first metric line","sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,"disk_mbps":${f"$diskMbps%.1f"}},"n_flags":${flags.size},"flags":$flagNames,"n_flags_intra":${flagsIntra.size}}""")
     spark.stop()
   }
 }

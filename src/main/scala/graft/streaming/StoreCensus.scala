@@ -364,7 +364,7 @@ private[graft] object StoreCensus {
           // root-level-file tolerance in fenceViolation compares against
           val storeParts = files.iterator
             .map(f => pathPartitionNames(f, q)).foldLeft(Set.empty[String])(_ ++ _)
-          fenceSchemas(fs, q, freshFiles.toSeq, storeParts, pinned, dir)
+          fenceSchemas(sp, fs, q, freshFiles.toSeq, storeParts, pinned, dir)
         }
       }
       val schema = prior.orElse {
@@ -498,9 +498,28 @@ private[graft] object StoreCensus {
     }
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in, fenceReadOptions)
     try {
-      val msg = reader.getFooter.getFileMetaData.getSchema
-      converter.convert(msg).fields.toSeq
-        .map(f => f.name -> f.dataType.catalogString)
+      val fmd = reader.getFooter.getFileMetaData
+      // mirror ParquetFileFormat.readSchemaFromFooter, the function
+      // behind the pin's own schema inference: a Spark-written file
+      // embeds its exact Spark schema in the footer key-value metadata
+      // and inference PREFERS it over MessageType conversion — so the
+      // fence must too, or a conversion-conf override (binaryAsString
+      // etc.) would shift the converter away from an embedded-schema
+      // pin and fence-fail conforming Spark-written appends. Only a
+      // FOREIGN file (no embedded schema, e.g. a non-Spark writer's
+      // out-of-band append) falls through to the converter — which is
+      // built from the refreshing session's SQLConf (ADVICE r14), the
+      // same conf the pin read such files under. An unparseable
+      // embedded schema falls through to the converter rather than
+      // failing the refresh: conversion is the inference fallback too.
+      val struct = Option(fmd.getKeyValueMetaData.get(
+          org.apache.spark.sql.execution.datasources.parquet
+            .ParquetReadSupport.SPARK_METADATA_KEY))
+        .flatMap(s => scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromJson(s)
+            .asInstanceOf[StructType]).toOption)
+        .getOrElse(converter.convert(fmd.getSchema))
+      struct.fields.toSeq.map(f => f.name -> f.dataType.catalogString)
     } finally reader.close()
   }
 
@@ -524,25 +543,28 @@ private[graft] object StoreCensus {
     * [[fencePool]]) and apply [[fenceViolation]] to each; the first
     * drift (in path order, deterministic) throws, naming the store,
     * the file, and both column sets. */
-  private def fenceSchemas(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+  private def fenceSchemas(sp: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: Path,
       freshFiles: Seq[FileStatus], storeParts: Set[String],
       pinned: StructType, dir: String): Unit = {
     val pinnedTypes: Map[String, String] =
       pinned.fields.iterator.map(f => f.name -> f.dataType.catalogString).toMap
     // one converter per refresh, shared across the pool fan-out (it is
-    // an immutable config holder; convert() is pure). Constructed with
-    // Spark's parquet conversion DEFAULTS (the no-arg Scala ctor; the
-    // Configuration overload requires the scan path's pre-set hadoop
-    // keys and NPEs without them): the stores are written and pinned
-    // by this engine's own read path under those defaults, so
-    // converter and pin agree. A deployment overriding
-    // spark.sql.parquet.* conversion confs session-wide shifts BOTH
-    // the pin (taken through sp.read.parquet at first refresh) and
-    // the scan the same way, and only a conversion-relevant retype in
-    // an out-of-band append could then slip to the scan-time error —
-    // the pre-r14 behavior, never wrong results.
+    // an immutable config holder; convert() is pure). Constructed from
+    // the REFRESHING SESSION's SQLConf (the same conf the pin was
+    // taken under via sp.read.parquet, and the conf the eventual scan
+    // will decode under) — NOT the no-arg defaults ctor (ADVICE r14):
+    // a session overriding a spark.sql.parquet.* conversion conf
+    // (binaryAsString, int96TimestampConversion, inferTimestampNTZ)
+    // shifts the pin but would not shift a defaults-built fence, so
+    // every post-pin refresh of a store with a conversion-affected
+    // column would fence-fail CONFORMING appends — a persistent
+    // false-positive that fails the triggering write. Spec-pinned in
+    // StoreFsSpec with a binaryAsString session whose conforming
+    // append must pass (red under the defaults ctor).
     val converter =
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter()
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter(sp.sessionState.conf)
     val ordered = freshFiles.sortBy(_.getPath.toString)
     val checks = ordered.map { fresh =>
       fresh -> fencePool.submit(new java.util.concurrent.Callable[Option[String]] {

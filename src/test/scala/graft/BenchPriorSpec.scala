@@ -1,0 +1,170 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct tests on [[BenchPrior]] — the prior-selection and flag
+  * logic that decides what the whole perf discipline can see. The
+  * inline predecessor produced two consecutive rounds of silent
+  * coverage loss (r13: driver runs diffed against a slowest-20
+  * artifact; r14: local sweeps diffed against the round's OWN
+  * committed artifact), so each historical failure is asserted red
+  * here: restoring the bare newest-first pick (dropping the
+  * strictly-below-current-round filter) fails the self-prior tests;
+  * restoring the take-one-candidate parse fails the fall-through
+  * tests; restoring the exact-string sf compare fails the
+  * canonical-sf tests.
+  */
+class BenchPriorSpec extends AnyFunSuite {
+
+  // a repo listing mid-round-15: driver artifacts through r14 (the
+  // round clock), local artifacts through r15 (the round's own,
+  // already promoted), both sidecar generations
+  private val midRound15 = Seq(
+    "BENCH_r13.json", "BENCH_r14.json",
+    "BENCH_r13_local.json", "BENCH_r14_local.json", "BENCH_r15_local.json",
+    "BENCH_full_driver_r14_sf0.1.json", "BENCH_full_driver_r15_sf0.1.json",
+    "BENCH_full_driver_r14_sf0.01.json",
+    "CORRECTNESS_r14.json", "SURVEY.md", "src")
+
+  test("currentRound: one past the newest driver artifact; locals and sidecars are not the clock") {
+    assert(BenchPrior.currentRound(midRound15) == 15)
+    assert(BenchPrior.currentRound(Seq("BENCH_r3.json", "BENCH_r14.json")) == 15)
+    // locals running ahead must not advance the clock
+    assert(BenchPrior.currentRound(
+      Seq("BENCH_r14.json", "BENCH_r15_local.json",
+        "BENCH_full_driver_r15_sf0.1.json")) == 15)
+    assert(BenchPrior.currentRound(Seq("SURVEY.md")) == 1)
+    assert(BenchPrior.currentRound(Nil) == 1)
+  }
+
+  test("local kind: self-prior excluded — the r14 defect") {
+    // during round 15, with the round's own BENCH_r15_local.json
+    // already committed, the prior must be r14_local, never r15_local
+    val c = BenchPrior.priorCandidates("local", midRound15, "sf0.1")
+    assert(c == Seq("BENCH_r14_local.json", "BENCH_r13_local.json"),
+      s"a bare newest-first pick would put BENCH_r15_local.json (self) first; got $c")
+  }
+
+  test("local kind: only the local series, never driver artifacts or sidecars") {
+    val c = BenchPrior.priorCandidates("local",
+      Seq("BENCH_r14.json", "BENCH_full_driver_r14_sf0.1.json"), "sf0.1")
+    assert(c.isEmpty, s"cross-kind priors are noise, not a fallback; got $c")
+  }
+
+  test("driver kind: round-keyed sidecar preferred, self-round excluded, sf filtered, artifact fallback ordered") {
+    val c = BenchPrior.priorCandidates("driver", midRound15, "sf0.1")
+    assert(c == Seq(
+      "BENCH_full_driver_r14_sf0.1.json", // newest prior-round sidecar, right sf
+      "BENCH_r14.json", "BENCH_r13.json"), // slowest-20 artifacts, newest first
+      s"got $c")
+    assert(!c.contains("BENCH_full_driver_r15_sf0.1.json"),
+      "the current round's own sidecar (a re-run or stray same-sf run) must never be the prior")
+    assert(!c.contains("BENCH_full_driver_r14_sf0.01.json"),
+      "another scale factor's sidecar must never be the prior")
+  }
+
+  test("driver kind: legacy unkeyed sidecar slots between round-keyed sidecars and artifacts") {
+    val files = Seq("BENCH_r14.json", "BENCH_full_driver_sf0.1.json")
+    val c = BenchPrior.priorCandidates("driver", files, "sf0.1")
+    assert(c == Seq("BENCH_full_driver_sf0.1.json", "BENCH_r14.json"))
+    // and the legacy name is sf-exact too
+    assert(!BenchPrior.priorCandidates("driver", files, "sf0.01")
+      .contains("BENCH_full_driver_sf0.1.json"))
+  }
+
+  test("canonicalSf: absolute, relative, and trailing-slash spellings collapse to the basename") {
+    for (s <- Seq("/root/testdata/sf0.1", "sf0.1", "/root/testdata/sf0.1/",
+        "testdata/sf0.1", "/root/testdata/sf0.1//"))
+      assert(BenchPrior.canonicalSf(s) == "sf0.1", s"for input '$s'")
+    assert(BenchPrior.canonicalSf("/root/testdata/sf0.01") == "sf0.01")
+  }
+
+  test("parsePriorQueries: biggest sf-matching map wins across line and whole-object shapes") {
+    val text =
+      """{"metric":"total","queries":{"q1":1.0,"q2":2.0,"q3":3.0},"sf":"/root/testdata/sf0.1"}
+        |{"metric":"total","queries":{"q1":1.000},"sf":"/root/testdata/sf0.1"}
+        |""".stripMargin
+    val m = BenchPrior.parsePriorQueries(text, "/root/testdata/sf0.1")
+    assert(m == Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 3.0))
+  }
+
+  test("parsePriorQueries: sf matched canonically — respelled path still parses (the ADVICE hole)") {
+    val text = """{"queries":{"q1":1.5},"sf":"/root/testdata/sf0.1"}"""
+    // pre-r15 this exact-string compare parsed 0 queries and flag
+    // coverage silently dropped to zero
+    assert(BenchPrior.parsePriorQueries(text, "sf0.1") == Map("q1" -> 1.5))
+    assert(BenchPrior.parsePriorQueries(text, "/root/testdata/sf0.1/") ==
+      Map("q1" -> 1.5))
+    // …while a genuinely different sf still filters out
+    assert(BenchPrior.parsePriorQueries(text, "/root/testdata/sf0.01").isEmpty)
+  }
+
+  test("parsePriorQueries: driver artifact shape (query map under \"parsed\")") {
+    val text =
+      """{ "round": 14,
+        |  "parsed": {"metric":"total","queries":{"q7":4.2},"sf":"/root/testdata/sf0.1"} }
+        |""".stripMargin
+    assert(BenchPrior.parsePriorQueries(text, "sf0.1") == Map("q7" -> 4.2))
+  }
+
+  test("resolvePrior: corrupt and sf-mismatched candidates degrade to the next, loudly") {
+    val texts = Map(
+      "corrupt.json" -> "not json at all {{{",
+      "wrong_sf.json" -> """{"queries":{"q1":9.9},"sf":"sf0.01"}""",
+      "good.json" -> """{"queries":{"q1":1.0,"q2":2.0},"sf":"sf0.1"}""")
+    val notes = scala.collection.mutable.ListBuffer[String]()
+    val reader: String => String =
+      p => texts.getOrElse(p, throw new java.io.FileNotFoundException(p))
+    val (path, m) = BenchPrior.resolvePrior(
+      Seq("missing.json", "corrupt.json", "wrong_sf.json", "good.json"),
+      "/root/testdata/sf0.1", reader, notes += _)
+    assert(path == "good.json" && m == Map("q1" -> 1.0, "q2" -> 2.0))
+    // every skipped candidate is noted (missing→unreadable,
+    // corrupt→no map, wrong sf→no map); silence was the pre-r15 bug
+    assert(notes.size == 3, notes.mkString("; "))
+    assert(notes.exists(_.contains("missing.json")))
+    assert(notes.exists(_.contains("wrong_sf.json")))
+  }
+
+  test("resolvePrior: all candidates bad → no prior, no flags, stated") {
+    val (path, m) = BenchPrior.resolvePrior(
+      Seq("a", "b"), "sf0.1", _ => "garbage", _ => ())
+    assert(path == "" && m.isEmpty)
+    assert(BenchPrior.computeFlags(m, Seq("q1" -> 100.0)).isEmpty)
+  }
+
+  test("shouldWriteSidecar: never local kind, never a subset run") {
+    assert(BenchPrior.shouldWriteSidecar("driver", None))
+    assert(!BenchPrior.shouldWriteSidecar("local", None))
+    assert(!BenchPrior.shouldWriteSidecar("driver", Some("st2")))
+    assert(!BenchPrior.shouldWriteSidecar("local", Some("st2")))
+  }
+
+  test("sidecarName is round-keyed and sf-keyed") {
+    assert(BenchPrior.sidecarName(15, "sf0.1") ==
+      "BENCH_full_driver_r15_sf0.1.json")
+  }
+
+  test("intraRoundPrior: local kind sees this round's promoted window; driver kind never does") {
+    assert(BenchPrior.intraRoundPrior("local", midRound15) ==
+      Some("BENCH_r15_local.json"))
+    assert(BenchPrior.intraRoundPrior("driver", midRound15).isEmpty)
+    // not yet promoted this round → none
+    assert(BenchPrior.intraRoundPrior("local",
+      Seq("BENCH_r14.json", "BENCH_r14_local.json")).isEmpty)
+  }
+
+  test("computeFlags: both bars required; failed runs on either side never flag") {
+    val prior = Map("ratio_only" -> 0.2, "abs_only" -> 10.0,
+      "both" -> 1.0, "prior_failed" -> -1.0, "now_failed" -> 1.0)
+    val now = Seq(
+      "ratio_only" -> 0.45, // 2.25× but +0.25 s — under the abs bar
+      "abs_only" -> 11.0, // +1.0 s but 1.1× — under the ratio bar
+      "both" -> 1.5, // 1.5× and +0.5 s — flagged
+      "prior_failed" -> 5.0, // prior run failed — never flag
+      "now_failed" -> -1.0, // this run failed — bench reports n_failed
+      "new_query" -> 9.0) // no prior entry — nothing to compare
+    assert(BenchPrior.computeFlags(prior, now) ==
+      Seq(("both", 1.0, 1.5)))
+  }
+}

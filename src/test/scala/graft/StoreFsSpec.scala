@@ -711,6 +711,117 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("doc_id"), e2.getMessage)
   }
 
+  /** A parquet file written through parquet-hadoop's Group API — a
+    * FOREIGN writer: no embedded Spark schema in the footer, exactly
+    * what a non-Spark tool's out-of-band append looks like. `payload`
+    * is unannotated BINARY, the type whose Spark reading
+    * spark.sql.parquet.binaryAsString flips. */
+  private def writeForeignFile(dir: java.nio.file.Path, name: String,
+      ids: Range, retypedDocId: Boolean = false): Unit = {
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      if (retypedDocId)
+        "message g { required int32 doc_id; optional binary payload; }"
+      else
+        "message g { required int64 doc_id; optional binary payload; }")
+    java.nio.file.Files.createDirectories(dir)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new Path(dir.resolve(name).toString))
+      .withConf(new Configuration()).withType(schema).build()
+    try ids.foreach { i =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+      if (retypedDocId) g.add("doc_id", i) else g.add("doc_id", i.toLong)
+      g.add("payload", org.apache.parquet.io.api.Binary.fromString(s"p_$i"))
+      w.write(g)
+    } finally w.close()
+  }
+
+  test("fence follows the session's parquet conversion confs on FOREIGN files — a conforming append under binaryAsString passes, real drift still fires") {
+    // ADVICE r14 (medium): the pin is taken via sp.read.parquet under
+    // the SESSION conf, but the r14 fence converted footers with
+    // static defaults — on foreign files (no embedded Spark schema) a
+    // session overriding binaryAsString made pin ("string") and fence
+    // ("binary") disagree on IDENTICAL files, so every post-pin
+    // refresh fence-failed conforming appends: a persistent false
+    // positive that fails the triggering write. Mutation: rebuild the
+    // converter with the no-arg ctor in fenceSchemas — the first
+    // refresh below throws.
+    val store = tmpDir("graft_fence_foreign_")
+    val root = java.nio.file.Paths.get(store)
+    writeForeignFile(root, "part-00000-foreign.parquet", 0 until 8)
+    spark.conf.set("spark.sql.parquet.binaryAsString", "true")
+    try {
+      StoreCensus.refresh(spark, store)
+      assert(StoreCensus.lookup(store).get.schema.get("payload")
+        .dataType.typeName == "string",
+        "precondition: binaryAsString must shift a foreign pin to string")
+      val before = StoreCensus.lookup(store).get.files.length
+      writeForeignFile(root, "part-00001-foreign.parquet", 8 until 16)
+      StoreCensus.refresh(spark, store) // must NOT throw
+      assert(StoreCensus.lookup(store).get.files.length == before + 1,
+        "a conforming foreign append must be censused, not fenced out")
+      // ...and the fence still fires on REAL foreign drift under the
+      // same overridden conf (the session converter is not a bypass)
+      writeForeignFile(root, "part-00002-retyped.parquet", 16 until 20,
+        retypedDocId = true)
+      val e = intercept[IllegalStateException] {
+        StoreCensus.refresh(spark, store)
+      }
+      assert(e.getMessage.contains("schema drift") &&
+        e.getMessage.contains("doc_id") && e.getMessage.contains("int") &&
+        e.getMessage.contains("bigint"), e.getMessage)
+    } finally spark.conf.unset("spark.sql.parquet.binaryAsString")
+  }
+
+  test("fence honors a file's embedded Spark schema — conversion-conf overrides never fence Spark-written appends") {
+    import spark.implicits._
+    // the other half of the ADVICE r14 fix, guarding against the
+    // naive converter-only repair: Spark-written files EMBED their
+    // exact Spark schema in the footer and both the pin's inference
+    // and the scan prefer it over MessageType conversion, so under
+    // binaryAsString=true a Spark-written store pins payload as
+    // BINARY. A fence that converted the raw MessageType with the
+    // session conf would read "string" and fence-fail every
+    // conforming Spark-written append — the same false-positive class
+    // the fix removes, introduced from the other side. Mutation: drop
+    // the embedded-schema preference in fenceFooterFields — the
+    // conforming refresh below throws.
+    val store = "graftfs:" + tmpDir("graft_fence_embed_")
+    val df = (0L until 32L).map(i => (i, s"payload_$i"))
+      .toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary")) // footer: unannotated BINARY
+      .withColumn("bucket", pmod(hash(col("doc_id")), lit(4)))
+    df.repartition(4, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(store)
+    spark.conf.set("spark.sql.parquet.binaryAsString", "true")
+    try {
+      StoreCensus.refresh(spark, store)
+      assert(StoreCensus.lookup(store).get.schema.get("payload")
+        .dataType.typeName == "binary",
+        "precondition: the embedded Spark schema must win the pin over binaryAsString")
+      val before = StoreCensus.lookup(store).get.files.length
+      plantPartFile((100L to 103L).map(i => (i, s"ok_$i"))
+          .toDF("doc_id", "text")
+          .withColumn("payload", col("text").cast("binary")),
+        java.nio.file.Paths.get(store.stripPrefix("graftfs:"), "bucket=0"),
+        "part-00000-conforming-binary.parquet")
+      StoreCensus.refresh(spark, store) // must NOT throw
+      assert(StoreCensus.lookup(store).get.files.length == before + 1,
+        "a conforming Spark-written append must be censused, not fenced out")
+      // real drift in a Spark-written append still fires: the
+      // embedded schema is compared, not trusted blindly
+      plantPartFile((104 to 105).map(i => (i, s"rt_$i"))
+          .toDF("doc_id", "text") // doc_id INT32 — a true retype
+          .withColumn("payload", lit("x").cast("binary")),
+        java.nio.file.Paths.get(store.stripPrefix("graftfs:"), "bucket=0"),
+        "part-00001-retyped.parquet")
+      val e = intercept[IllegalStateException] {
+        StoreCensus.refresh(spark, store)
+      }
+      assert(e.getMessage.contains("schema drift") &&
+        e.getMessage.contains("doc_id"), e.getMessage)
+    } finally spark.conf.unset("spark.sql.parquet.binaryAsString")
+  }
+
   test("a transient FS error during restart recovery degrades to live listing and retries — never throws from a probe, never settles permanently") {
     val (store, before) = freshStore("hiccup")
     StoreCensus.refresh(spark, store) // drops the marker
