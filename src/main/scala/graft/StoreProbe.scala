@@ -221,6 +221,13 @@ object StoreProbe {
     val times = Array.ofDim[Double](nBatches)
     val files = Array.ofDim[Int](nBatches)
     val listMs = Array.ofDim[Double](nBatches)
+    // the REAL mutation refresh's wall time (listing + fence fan-out),
+    // read from StoreCensus's gauge after each batch — an explicit
+    // re-refresh here would see zero fresh files and skip the fence,
+    // measuring only the walk. This is the series the STORE100
+    // artifacts' refresh_ms band pins (the fence must stay invisible
+    // next to batch times three orders larger).
+    val refreshMs = Array.ofDim[Double](nBatches)
     for (i <- 0 until nBatches) {
       if (i % 8 == 0) probeCalib(i)
       if (tombMid && i == midAt) {
@@ -250,8 +257,10 @@ object StoreProbe {
       val tl = System.nanoTime()
       graft.streaming.StoreCensus.read(spark, mainStore)
       listMs(i) = (System.nanoTime() - tl) / 1e6
+      refreshMs(i) = graft.streaming.StoreCensus.lastRefreshNanos / 1e6
       System.err.println(
-        f"[store] $gate batch $i%3d  ${times(i)}%6.2f s  maxFiles ${files(i)}%3d  list ${listMs(i)}%6.1f ms")
+        f"[store] $gate batch $i%3d  ${times(i)}%6.2f s  maxFiles ${files(i)}%3d  " +
+          f"list ${listMs(i)}%6.1f ms  refresh ${refreshMs(i)}%6.1f ms")
     }
     // steady-state drift: median of the second half vs the first half
     // past JVM warmup (batches 0-7 pay per-plan codegen; for short
@@ -277,6 +286,10 @@ object StoreProbe {
       val foldSec = foldStores(spark.read.parquet(src)
         .select(col(srcIdCol).as("id"))
         .filter(pmod(col("id"), lit(7L)) === 3L))
+      // the fold's own refresh is the fence's WORST CASE: the swap
+      // renews every bucket's file, so this one refresh fences the
+      // whole store's width in a single fan-out
+      val foldRefreshMs = graft.streaming.StoreCensus.lastRefreshNanos / 1e6
       // frame-creation cost against the standing store, both ways:
       // census-served (the path every probe takes — ~0 regardless of
       // store size or age) vs cold (what the same frame costs without
@@ -301,15 +314,20 @@ object StoreProbe {
       System.err.println(
         f"[store] $gate tombstone fold $foldSec%6.2f s  post-fold batch " +
           f"$postSec%6.2f s  census listing $listSec%6.3f s  cold $listColdSec%6.3f s")
-      s""","tomb_fold_sec":$foldSec,"post_fold_batch_sec":$postSec,""" +
+      s""","tomb_fold_sec":$foldSec,"fold_refresh_ms":$foldRefreshMs,""" +
+        s""""post_fold_batch_sec":$postSec,""" +
         s""""store_list_sec":$listSec,"store_list_cold_sec":$listColdSec"""
     } else ""
     val midJson = if (tombMid)
       s""""mid_fold_at":$midAt,"mid_fold_sec":$midFoldSec,""" else ""
+    val refSorted = refreshMs.sorted
+    val refreshJson =
+      s""""refresh_ms":{"n":$nBatches,"median":${refSorted(nBatches / 2)},""" +
+        s""""max":${refSorted.last},"series":[${refreshMs.mkString(",")}]}"""
     println(s"""{"metric":"store_econ","gate":"$gate","factor":$factor,"buckets":$nBuckets,"batches":$nBatches,$midJson""" +
       s""""median_first_half":$h1,"median_second_half":$h2,""" +
       s""""drift":${h2 / h1},"max_files":${files.max}$tombJson,""" +
-      s""""calibs":$calibJson,"series":[$js]}""")
+      s""""calibs":$calibJson,$refreshJson,"series":[$js]}""")
     spark.stop()
   }
 }

@@ -297,11 +297,21 @@ private[graft] object StoreCensus {
     }
   }
 
+  /** Probe-only gauge: wall nanos of the most recent SUCCESSFUL
+    * [[refresh]] in this JVM — the real mutation refresh, fence
+    * fan-out included (an explicit re-refresh from a probe would see
+    * zero fresh files and skip the fence entirely, measuring only the
+    * listing). StoreProbe reads it after each batch to emit the
+    * refresh_ms series the STORE100 artifacts carry; never consulted
+    * by any serving path. */
+  @volatile private[graft] var lastRefreshNanos: Long = -1L
+
   /** Re-list the store (the one metadata read a mutation pays) and
     * install the entry. The first refresh of a non-empty store also
     * pins the read schema via one cold resolution (one extra listing
     * + one footer, once per store lifetime — see [[Entry]]). */
   private[graft] def refresh(sp: SparkSession, dir: String): Unit = {
+    val refreshT0 = System.nanoTime()
     val (fs, q) = qualified(dir)
     try {
       val files = scala.collection.mutable.ArrayBuffer[FileStatus]()
@@ -391,6 +401,7 @@ private[graft] object StoreCensus {
       entries.put(q.toString, Entry(files.toArray, schema))
       settled.add(q.toString)
       recoveryBackoff.remove(q.toString) // success re-arms recovery
+      lastRefreshNanos = System.nanoTime() - refreshT0
       ()
     } catch { case e: Throwable =>
       // a refresh that dies mid-way (listing error, fence violation,
