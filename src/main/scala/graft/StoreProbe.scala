@@ -257,7 +257,7 @@ object StoreProbe {
       val tl = System.nanoTime()
       graft.streaming.StoreCensus.read(spark, mainStore)
       listMs(i) = (System.nanoTime() - tl) / 1e6
-      refreshMs(i) = graft.streaming.StoreCensus.lastRefreshNanos / 1e6
+      refreshMs(i) = graft.streaming.StoreCensus.lastRefreshNanos(mainStore) / 1e6
       System.err.println(
         f"[store] $gate batch $i%3d  ${times(i)}%6.2f s  maxFiles ${files(i)}%3d  " +
           f"list ${listMs(i)}%6.1f ms  refresh ${refreshMs(i)}%6.1f ms")
@@ -289,7 +289,8 @@ object StoreProbe {
       // the fold's own refresh is the fence's WORST CASE: the swap
       // renews every bucket's file, so this one refresh fences the
       // whole store's width in a single fan-out
-      val foldRefreshMs = graft.streaming.StoreCensus.lastRefreshNanos / 1e6
+      val foldRefreshMs =
+        graft.streaming.StoreCensus.lastRefreshNanos(mainStore) / 1e6
       // frame-creation cost against the standing store, both ways:
       // census-served (the path every probe takes — ~0 regardless of
       // store size or age) vs cold (what the same frame costs without

@@ -297,14 +297,25 @@ private[graft] object StoreCensus {
     }
   }
 
-  /** Probe-only gauge: wall nanos of the most recent SUCCESSFUL
-    * [[refresh]] in this JVM — the real mutation refresh, fence
+  /** Probe-only gauge: wall nanos of each store's most recent
+    * SUCCESSFUL [[refresh]] — the real mutation refresh, fence
     * fan-out included (an explicit re-refresh from a probe would see
     * zero fresh files and skip the fence entirely, measuring only the
-    * listing). StoreProbe reads it after each batch to emit the
-    * refresh_ms series the STORE100 artifacts carry; never consulted
-    * by any serving path. */
-  @volatile private[graft] var lastRefreshNanos: Long = -1L
+    * listing). Keyed per store so gates that refresh several stores
+    * per batch (st20's bands+shingles, st21's sigs+pairs) never
+    * interleave readings — StoreProbe asks for its MAIN store's
+    * value. Never consulted by any serving path; unbounded only by
+    * the number of distinct stores, the same cardinality [[entries]]
+    * already holds. */
+  private val lastRefreshNanosByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** The gauge for one store, in nanos; -1 before its first
+    * successful refresh in this JVM. */
+  private[graft] def lastRefreshNanos(dir: String): Long = {
+    val (_, q) = qualified(dir)
+    lastRefreshNanosByDir.getOrDefault(q.toString, -1L)
+  }
 
   /** Re-list the store (the one metadata read a mutation pays) and
     * install the entry. The first refresh of a non-empty store also
@@ -401,7 +412,7 @@ private[graft] object StoreCensus {
       entries.put(q.toString, Entry(files.toArray, schema))
       settled.add(q.toString)
       recoveryBackoff.remove(q.toString) // success re-arms recovery
-      lastRefreshNanos = System.nanoTime() - refreshT0
+      lastRefreshNanosByDir.put(q.toString, System.nanoTime() - refreshT0)
       ()
     } catch { case e: Throwable =>
       // a refresh that dies mid-way (listing error, fence violation,

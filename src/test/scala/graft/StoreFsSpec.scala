@@ -822,6 +822,23 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.parquet.binaryAsString")
   }
 
+  test("refresh gauge is per-store: set by a successful refresh, isolated between stores, -1 before first refresh") {
+    val (a, _) = freshStore("gauge_a")
+    val (b, _) = freshStore("gauge_b")
+    assert(StoreCensus.lastRefreshNanos(a) == -1L,
+      "a never-refreshed store must read -1")
+    StoreCensus.refresh(spark, a)
+    val ga = StoreCensus.lastRefreshNanos(a)
+    assert(ga > 0L, "a successful refresh must set the gauge")
+    assert(StoreCensus.lastRefreshNanos(b) == -1L,
+      "refreshing store A must not touch store B's gauge")
+    StoreCensus.refresh(spark, b)
+    assert(StoreCensus.lastRefreshNanos(b) > 0L)
+    assert(StoreCensus.lastRefreshNanos(a) == ga,
+      "store B's refresh must not overwrite store A's reading — " +
+        "the JVM-wide gauge this replaces interleaved exactly here")
+  }
+
   test("a transient FS error during restart recovery degrades to live listing and retries — never throws from a probe, never settles permanently") {
     val (store, before) = freshStore("hiccup")
     StoreCensus.refresh(spark, store) // drops the marker
