@@ -226,11 +226,6 @@ object Bench {
     flags.foreach { case (n, pv, v) => System.err.println(
       f"[bench] FLAG $n%-28s $pv%7.2f -> $v%7.2f s (${v / pv}%.2fx) — " +
         "same-boot A/B required before belief") }
-    def flagsToJson(fs: Seq[(String, Double, Double)]): String =
-      fs.map { case (n, pv, v) =>
-        f"""{"q":"$n","prior":$pv%.3f,"now":$v%.3f,"ratio":${v / pv}%.2f}""" }
-        .mkString("[", ",", "]")
-    val flagsJson = flagsToJson(flags)
     // second, intra-round prior for local sweeps (VERDICT r14 item 5):
     // once this round's best window is promoted, later sweeps also
     // diff against it — catching intra-round regressions the
@@ -246,17 +241,15 @@ object Bench {
         f"(${v / pv}%.2fx vs this round's promoted window)") }
     val diskMbps = Seq(diskProbe(), diskProbe()).max // page-cache warm pass
     System.err.println(f"[bench] disk probe $diskMbps%8.1f MB/s")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val calibArr = calibs.map { case (at, c, io) =>
-      s"""{"at":"$at","sec":$c,"io_mbps":$io}""" }
-      .mkString("[", ",", "]")
     val calibStart = calibs.head._2; val calibEnd = calibs.last._2
     // Full-detail line FIRST: every query at full precision plus the
     // interleaved calibration series (repo-local sweeps capture all of
-    // stdout, so nothing is lost for analysis).
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,"disk_mbps":$diskMbps},"calibs":$calibArr,"flags":$flagsJson,"flags_prior":"$priorPath","flags_intra":${flagsToJson(flagsIntra)},"flags_intra_prior":"$intraPath"}"""
+    // stdout, so nothing is lost for analysis). Rendered by the same
+    // unit that parses it next round — round-trip spec-pinned.
+    val fullLine = BenchPrior.renderFullLine(total, results, sfDir,
+      calibStart, calibEnd, diskMbps, calibs.toSeq, flags, priorPath,
+      flagsIntra, intraPath)
     println(fullLine)
     // persist the full-precision line as the next round's driver-kind
     // prior — round-keyed (BENCH_full_driver_r{N}_{sf}.json, ADVICE

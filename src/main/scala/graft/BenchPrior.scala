@@ -170,6 +170,39 @@ object BenchPrior {
   def sidecarName(round: Int, sfName: String): String =
     s"BENCH_full_driver_r${round}_$sfName.json"
 
+  /** Render a flag list as the artifact's JSON array. */
+  def flagsToJson(fs: Seq[(String, Double, Double)]): String =
+    fs.map { case (n, pv, v) =>
+      f"""{"q":"$n","prior":$pv%.3f,"now":$v%.3f,"ratio":${v / pv}%.2f}""" }
+      .mkString("[", ",", "]")
+
+  /** Render the full-precision artifact line — the EXACT shape
+    * [[parsePriorQueries]] consumes next round. Writer and parser
+    * live in this one unit so they cannot drift apart silently; the
+    * round-trip law (render → parse recovers every query at full
+    * precision, for the matching sf and only the matching sf) is
+    * property-swept in BenchPriorSpec. Query names are SparkEntry
+    * keys (identifier-safe, never needing JSON escaping); doubles
+    * render via toString, which round-trips exactly. */
+  def renderFullLine(total: Double, queries: Seq[(String, Double)],
+      sfDir: String, calibStart: Double, calibEnd: Double,
+      diskMbps: Double, calibs: Seq[(String, Double, Double)],
+      flags: Seq[(String, Double, Double)], priorPath: String,
+      flagsIntra: Seq[(String, Double, Double)],
+      intraPath: String): String = {
+    val qs = queries.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val calibArr = calibs.map { case (at, c, io) =>
+      s"""{"at":"$at","sec":$c,"io_mbps":$io}""" }
+      .mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,""" +
+      s""""disk_mbps":$diskMbps},"calibs":$calibArr,""" +
+      s""""flags":${flagsToJson(flags)},"flags_prior":"$priorPath",""" +
+      s""""flags_intra":${flagsToJson(flagsIntra)},""" +
+      s""""flags_intra_prior":"$intraPath"}"""
+  }
+
   /** The standing flag rule: a mover is flagged when it reads >1.3×
     * AND >0.3 s over the prior — both bars, so sub-second jitter on
     * tiny queries and small drift on huge ones both stay quiet.

@@ -154,6 +154,37 @@ class BenchPriorSpec extends AnyFunSuite {
       Seq("BENCH_r14.json", "BENCH_r14_local.json")).isEmpty)
   }
 
+  test("round-trip law: renderFullLine → parsePriorQueries recovers every query at full precision (seeded sweep)") {
+    // writer and parser live in the same unit; this law is what keeps
+    // them from drifting apart silently — the failure mode behind the
+    // r13/r14 coverage losses was always the parser seeing something
+    // other than what the writer meant
+    val rnd = new scala.util.Random(41)
+    val words = Vector("q", "agg", "join", "dedup", "ann", "stream", "text")
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      val queries = (0 until n).map { i =>
+        val name = s"${words(rnd.nextInt(words.size))}${i}_${words(rnd.nextInt(words.size))}"
+        // full double precision, negatives (failed runs) included —
+        // they must survive the round trip too
+        val v = if (rnd.nextInt(20) == 0) -1.0
+                else rnd.nextDouble() * math.pow(10, rnd.nextInt(3))
+        name -> v
+      }
+      val sfDir = Seq("/root/testdata/sf0.1", "sf0.1", "testdata/sf0.1/")(rnd.nextInt(3))
+      val calibs = Seq(("start", 0.35, 420.0), ("end", 0.4, 380.0))
+      val flags = if (rnd.nextBoolean()) Seq(("q1", 1.0, 1.5)) else Nil
+      val line = BenchPrior.renderFullLine(
+        queries.map(_._2).filter(_ >= 0).sum, queries, sfDir,
+        0.35, 0.4, 450.0, calibs, flags, "/p/prior.json", Nil, "")
+      // any same-sf spelling recovers the exact map…
+      assert(BenchPrior.parsePriorQueries(line, "/root/testdata/sf0.1") ==
+        queries.toMap, s"round-trip failed for sfDir=$sfDir")
+      // …and a different sf recovers nothing
+      assert(BenchPrior.parsePriorQueries(line, "sf0.01").isEmpty)
+    }
+  }
+
   test("computeFlags: both bars required; failed runs on either side never flag") {
     val prior = Map("ratio_only" -> 0.2, "abs_only" -> 10.0,
       "both" -> 1.0, "prior_failed" -> -1.0, "now_failed" -> 1.0)
