@@ -63,30 +63,48 @@ object BenchPrior {
     * go unflagged — exactly what happened to both r14 local windows.
     *
     * Kind routing (VERDICT r12 item 2): local sweeps diff only against
-    * the local series; driver runs prefer the round-keyed full-map
-    * sidecar for their sf, then the one legacy unkeyed sidecar name
-    * (r14 wrote one before round-keying existed), then the slowest-20
-    * driver artifacts. A cross-kind diff is environment noise, never a
-    * fallback. Callers feed the list to [[resolvePrior]], which walks
-    * it until a candidate yields a non-empty sf-matching map — so a
-    * corrupt or sf-mismatched sidecar degrades to the artifact series
-    * instead of to zero coverage (ADVICE r14). */
+    * the local series; driver runs order candidates by ROUND first
+    * (newest prior round wins), preferring the round-keyed full-map
+    * sidecar over the slowest-20 artifact WITHIN a round — so a
+    * missing round-16 sidecar degrades to BENCH_r16.json's slowest
+    * 20, never silently to a three-round-stale r14 sidecar (an
+    * independent-review finding on the first r15 cut, which ranked
+    * all sidecars ahead of all artifacts). The r14-era UNKEYED
+    * sidecar name is deliberately NOT read: it carries no round, so
+    * a stale pre-r15 binary could write the current round's own map
+    * into it and re-open the self-prior hole through that slot; the
+    * repo's one legacy file is renamed into the keyed series. A
+    * cross-kind diff is environment noise, never a fallback. Callers
+    * feed the list to [[resolvePrior]], which walks it until a
+    * candidate yields a non-empty sf-matching map — so a corrupt or
+    * sf-mismatched sidecar degrades to the next candidate instead of
+    * to zero coverage (ADVICE r14).
+    *
+    * Fresh-dir fallback: a working dir with NO committed driver
+    * artifacts has no round clock (currentRound is always 1), so the
+    * strictly-below filter would exclude even the previous run's own
+    * sidecar forever — strictly worse than the pre-r15 unkeyed flow.
+    * Only when the filtered candidate list is empty, the current
+    * round's sidecar (necessarily a PREVIOUS run's: each run reads
+    * before it writes) is offered as the last resort; with any
+    * artifact series present the normal rules apply unchanged. */
   def priorCandidates(kind: String, fileNames: Seq[String],
       sfName: String): Seq[String] = {
     val cur = currentRound(fileNames)
-    def series(pairs: Seq[(Int, String)]): Seq[String] =
-      pairs.filter(_._1 < cur).sortBy(-_._1).map(_._2)
     if (kind == "local")
-      series(fileNames.collect { case f @ LocalArtifact(n) => (n.toInt, f) })
+      fileNames.collect { case f @ LocalArtifact(n) => (n.toInt, f) }
+        .filter(_._1 < cur).sortBy(-_._1).map(_._2)
     else {
-      val sidecars = series(fileNames.collect {
-        case f @ Sidecar(n, sf) if sf == sfName => (n.toInt, f)
-      })
-      val legacy = fileNames.filter(_ == s"BENCH_full_driver_$sfName.json")
-      val artifacts = series(fileNames.collect {
-        case f @ DriverArtifact(n) => (n.toInt, f)
-      })
-      sidecars ++ legacy ++ artifacts
+      // rank within a round: sidecar (full map) before artifact
+      val ranked =
+        fileNames.collect {
+          case f @ Sidecar(n, sf) if sf == sfName => (n.toInt, 0, f)
+        } ++
+        fileNames.collect { case f @ DriverArtifact(n) => (n.toInt, 1, f) }
+      val prior = ranked.filter(_._1 < cur)
+        .sortBy(t => (-t._1, t._2)).map(_._3)
+      if (prior.nonEmpty) prior
+      else ranked.collect { case (n, 0, f) if n == cur => f }
     }
   }
 

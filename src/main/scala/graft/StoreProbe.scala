@@ -283,14 +283,20 @@ object StoreProbe {
     // tombstone leg: fold the slice out of every standing store, then
     // one more replayed batch at the post-fold store
     val tombJson = if (tomb) {
+      // the fold's own refresh is the fence's WORST CASE: the swap
+      // renews every bucket's file, so this one refresh fences the
+      // whole store's width in a single fan-out. Guard against gauge
+      // staleness (an independent-review finding): if the fold's
+      // swap somehow skipped the refresh, the gauge still holds the
+      // last ingest batch's reading — publishing THAT as the worst
+      // case would be a lie, so an unchanged gauge records -1.
+      val preFoldGauge = graft.streaming.StoreCensus.lastRefreshNanos(mainStore)
       val foldSec = foldStores(spark.read.parquet(src)
         .select(col(srcIdCol).as("id"))
         .filter(pmod(col("id"), lit(7L)) === 3L))
-      // the fold's own refresh is the fence's WORST CASE: the swap
-      // renews every bucket's file, so this one refresh fences the
-      // whole store's width in a single fan-out
+      val postFoldGauge = graft.streaming.StoreCensus.lastRefreshNanos(mainStore)
       val foldRefreshMs =
-        graft.streaming.StoreCensus.lastRefreshNanos(mainStore) / 1e6
+        if (postFoldGauge != preFoldGauge) postFoldGauge / 1e6 else -1.0
       // frame-creation cost against the standing store, both ways:
       // census-served (the path every probe takes — ~0 regardless of
       // store size or age) vs cold (what the same frame costs without
@@ -321,10 +327,11 @@ object StoreProbe {
     } else ""
     val midJson = if (tombMid)
       s""""mid_fold_at":$midAt,"mid_fold_sec":$midFoldSec,""" else ""
-    val refSorted = refreshMs.sorted
+    // same median convention as the drift halves above (one rule per
+    // artifact, so the two medians stay comparable)
     val refreshJson =
-      s""""refresh_ms":{"n":$nBatches,"median":${refSorted(nBatches / 2)},""" +
-        s""""max":${refSorted.last},"series":[${refreshMs.mkString(",")}]}"""
+      s""""refresh_ms":{"n":$nBatches,"median":${median(refreshMs.toSeq)},""" +
+        s""""max":${refreshMs.max},"series":[${refreshMs.mkString(",")}]}"""
     println(s"""{"metric":"store_econ","gate":"$gate","factor":$factor,"buckets":$nBuckets,"batches":$nBatches,$midJson""" +
       s""""median_first_half":$h1,"median_second_half":$h2,""" +
       s""""drift":${h2 / h1},"max_files":${files.max}$tombJson,""" +

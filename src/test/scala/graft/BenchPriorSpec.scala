@@ -63,13 +63,40 @@ class BenchPriorSpec extends AnyFunSuite {
       "another scale factor's sidecar must never be the prior")
   }
 
-  test("driver kind: legacy unkeyed sidecar slots between round-keyed sidecars and artifacts") {
-    val files = Seq("BENCH_r14.json", "BENCH_full_driver_sf0.1.json")
+  test("driver kind: candidates ordered by round first — a missing newest sidecar degrades to that round's artifact, never to an older sidecar") {
+    // independent-review finding on the first r15 cut: ranking ALL
+    // sidecars ahead of ALL artifacts made a missing r16 sidecar fall
+    // back to a three-round-stale r14 sidecar instead of r16's own
+    // slowest-20 artifact
+    val files = Seq("BENCH_r13.json", "BENCH_r14.json", "BENCH_r16.json",
+      "BENCH_full_driver_r14_sf0.1.json") // r16 sidecar never written
     val c = BenchPrior.priorCandidates("driver", files, "sf0.1")
-    assert(c == Seq("BENCH_full_driver_sf0.1.json", "BENCH_r14.json"))
-    // and the legacy name is sf-exact too
-    assert(!BenchPrior.priorCandidates("driver", files, "sf0.01")
-      .contains("BENCH_full_driver_sf0.1.json"))
+    assert(c == Seq("BENCH_r16.json", // round beats sidecar-ness…
+      "BENCH_full_driver_r14_sf0.1.json", "BENCH_r14.json", // …within a round the full map wins
+      "BENCH_r13.json"), s"got $c")
+  }
+
+  test("driver kind: the legacy unkeyed sidecar name is never read (it carries no round, so it could self-prior)") {
+    val files = Seq("BENCH_r14.json", "BENCH_full_driver_sf0.1.json")
+    assert(BenchPrior.priorCandidates("driver", files, "sf0.1") ==
+      Seq("BENCH_r14.json"))
+  }
+
+  test("driver kind: fresh-dir fallback — with no round clock, the previous run's same-round sidecar beats zero coverage") {
+    // a working dir without the committed BENCH_r*.json series:
+    // currentRound is pinned at 1, so the strictly-below filter alone
+    // would exclude the sidecar every run writes, forever
+    val fresh = Seq("BENCH_full_driver_r1_sf0.1.json", "SURVEY.md")
+    assert(BenchPrior.priorCandidates("driver", fresh, "sf0.1") ==
+      Seq("BENCH_full_driver_r1_sf0.1.json"))
+    // the fallback never fires when any prior-round candidate exists
+    val normal = Seq("BENCH_r14.json", "BENCH_full_driver_r15_sf0.1.json")
+    assert(BenchPrior.priorCandidates("driver", normal, "sf0.1") ==
+      Seq("BENCH_r14.json"),
+      "a same-round sidecar must stay excluded while a real prior exists")
+    // and never for local kind
+    assert(BenchPrior.priorCandidates("local",
+      Seq("BENCH_r1_local.json"), "sf0.1").isEmpty)
   }
 
   test("canonicalSf: absolute, relative, and trailing-slash spellings collapse to the basename") {

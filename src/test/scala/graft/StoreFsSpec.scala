@@ -697,8 +697,8 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       b0, "part-00000-retyped.parquet")
     val e = intercept[IllegalStateException] { StoreCensus.refresh(spark, store) }
     assert(e.getMessage.contains("schema drift") &&
-      e.getMessage.contains("doc_id") && e.getMessage.contains("int") &&
-      e.getMessage.contains("bigint"), e.getMessage)
+      e.getMessage.contains("`doc_id` as int ") &&
+      e.getMessage.contains("has bigint"), e.getMessage)
     assert(StoreCensus.nonEmpty(store).isEmpty,
       "a type-drift violation must invalidate the entry")
     assert(ES.storeNonEmpty(store), "fallback paths must still answer")
@@ -766,9 +766,12 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val e = intercept[IllegalStateException] {
         StoreCensus.refresh(spark, store)
       }
+      // direction pinned: the FILE carries int, the PIN has bigint —
+      // a bare contains("int") is implied by contains("bigint") and
+      // cannot catch a fence reporting the pinned type on both sides
       assert(e.getMessage.contains("schema drift") &&
-        e.getMessage.contains("doc_id") && e.getMessage.contains("int") &&
-        e.getMessage.contains("bigint"), e.getMessage)
+        e.getMessage.contains("`doc_id` as int ") &&
+        e.getMessage.contains("has bigint"), e.getMessage)
     } finally spark.conf.unset("spark.sql.parquet.binaryAsString")
   }
 
