@@ -214,26 +214,39 @@ object Bench {
       try srcF.mkString finally srcF.close()
     }
     val note: String => Unit = m => System.err.println(s"[bench] $m")
-    val candidates = sys.env.get("SPARK_GRAFT_PRIOR_BENCH").map(Seq(_))
-      .getOrElse(BenchPrior.priorCandidates(kind, repoFiles, sfName)
-        .map(n => new java.io.File(repoDir, n).getPath))
-    val (priorPath, priorQ) =
-      BenchPrior.resolvePrior(candidates, sfDir, readText, note)
+    // WEATHER DEFENSE (VERDICT r15 item 1): the flag base is the
+    // per-query MIN over the best candidate of each of the newest
+    // K=3 prior rounds, not the single newest prior — a prior
+    // recorded in a degraded window (r15's driver sidecar: q69 at
+    // 18.40 s vs its healthy 0.52) can't raise false flags, it MASKS
+    // true ones, and min-over-rounds means one bad-weather round can
+    // never lower the bar. SPARK_GRAFT_PRIOR_BENCH still overrides
+    // with an explicit single prior (a pool of one).
+    val pool = sys.env.get("SPARK_GRAFT_PRIOR_BENCH").map(p => Seq(Seq(p)))
+      .getOrElse(BenchPrior.priorPool(kind, repoFiles, sfName)
+        .map(_.map(n => new java.io.File(repoDir, n).getPath)))
+    val (priorPaths, priorQ) =
+      BenchPrior.resolvePriorPool(pool, sfDir, readText, note)
     System.err.println(
       if (priorQ.isEmpty) s"[bench] prior ($kind kind): none — no flags"
-      else s"[bench] prior ($kind kind): $priorPath — ${priorQ.size} queries")
+      else s"[bench] prior ($kind kind): per-query min over " +
+        s"${priorPaths.mkString(", ")} — ${priorQ.size} queries")
     val flags = BenchPrior.computeFlags(priorQ, results)
     flags.foreach { case (n, pv, v) => System.err.println(
       f"[bench] FLAG $n%-28s $pv%7.2f -> $v%7.2f s (${v / pv}%.2fx) — " +
         "same-boot A/B required before belief") }
-    // second, intra-round prior for local sweeps (VERDICT r14 item 5):
-    // once this round's best window is promoted, later sweeps also
-    // diff against it — catching intra-round regressions the
-    // cross-round prior dilutes. Separate flag set, never mixed into
-    // the cross-round series' flags.
-    val (intraPath, intraQ) = BenchPrior.intraRoundPrior(kind, repoFiles)
-      .map(n => BenchPrior.resolvePrior(
-        Seq(new java.io.File(repoDir, n).getPath), sfDir, readText, note))
+    // second, intra-round prior (VERDICT r14 item 5; driver kind per
+    // VERDICT r15 item 5): once this round has its own earlier window
+    // (a promoted local artifact, or the driver sidecar a previous
+    // same-round run wrote), later runs also diff against it — same
+    // tree on both sides, so these flags are environment BY
+    // CONSTRUCTION. Separate flag set, never mixed into the
+    // cross-round series' flags; skipped when the fresh-dir fallback
+    // already made the same file the cross-round prior.
+    val (intraPath, intraQ) = BenchPrior.intraRoundPrior(kind, repoFiles, sfName)
+      .map(n => new java.io.File(repoDir, n).getPath)
+      .filterNot(priorPaths.contains)
+      .map(p => BenchPrior.resolvePrior(Seq(p), sfDir, readText, note))
       .getOrElse(("", Map.empty[String, Double]))
     val flagsIntra = BenchPrior.computeFlags(intraQ, results)
     flagsIntra.foreach { case (n, pv, v) => System.err.println(
@@ -248,7 +261,7 @@ object Bench {
     // stdout, so nothing is lost for analysis). Rendered by the same
     // unit that parses it next round — round-trip spec-pinned.
     val fullLine = BenchPrior.renderFullLine(total, results, sfDir,
-      calibStart, calibEnd, diskMbps, calibs.toSeq, flags, priorPath,
+      calibStart, calibEnd, diskMbps, calibs.toSeq, flags, priorPaths,
       flagsIntra, intraPath)
     println(fullLine)
     // persist the full-precision line as the next round's driver-kind
@@ -274,10 +287,11 @@ object Bench {
     // This line (~1 KB: headline total + slowest 20 at 3 dp) always
     // fits the window whole, so the official artifact carries data.
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => BenchPrior.jstr(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
-    val flagNames = flags.map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$slow,"queries_note":"slowest 20 of ${results.size}; full map on the first metric line","sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,"disk_mbps":${f"$diskMbps%.1f"}},"n_flags":${flags.size},"flags":$flagNames,"n_flags_intra":${flagsIntra.size}}""")
+    val flagNames = flags.map(f => BenchPrior.jstr(f._1)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$slow,"queries_note":"slowest 20 of ${results.size}; full map on the first metric line","sf":${BenchPrior.jstr(sfDir)},"calib":{"start":$calibStart,"end":$calibEnd,"disk_mbps":${f"$diskMbps%.1f"}},"n_flags":${flags.size},"flags":$flagNames,"n_flags_intra":${flagsIntra.size}}""")
     spark.stop()
   }
 }

@@ -54,6 +54,25 @@ object BenchPrior {
     fileNames.collect { case DriverArtifact(n) => n.toInt }
       .maxOption.getOrElse(0) + 1
 
+  /** The round clock CANDIDATE SELECTION runs on. Driver kind:
+    * [[currentRound]] unchanged. Local kind: when the checkout has no
+    * driver artifact series at all (ADVICE r15 — e.g. a scratch dir
+    * holding only promoted local sweeps), [[currentRound]] pins at 1
+    * and the strictly-below filter would exclude EVERY local prior
+    * forever, including a genuine earlier round's; the local series'
+    * own max round then becomes the clock, so the NEWEST local is
+    * conservatively treated as this round's own (it becomes the
+    * intra-round prior via [[intraRoundPrior]], never the cross-round
+    * one — without a driver clock there is no way to prove it is not
+    * self) and every earlier local qualifies as a cross-round prior. */
+  private def clock(kind: String, fileNames: Seq[String]): Int = {
+    val cur = currentRound(fileNames)
+    if (kind == "local" && cur == 1)
+      fileNames.collect { case LocalArtifact(n) => n.toInt }
+        .maxOption.getOrElse(cur)
+    else cur
+  }
+
   /** Prior-artifact candidates for the cross-round flags, best first.
     *
     * SELF-PRIOR EXCLUSION (the r14 defect): only rounds STRICTLY BELOW
@@ -89,39 +108,67 @@ object BenchPrior {
     * before it writes) is offered as the last resort; with any
     * artifact series present the normal rules apply unchanged. */
   def priorCandidates(kind: String, fileNames: Seq[String],
-      sfName: String): Seq[String] = {
-    val cur = currentRound(fileNames)
-    if (kind == "local")
-      fileNames.collect { case f @ LocalArtifact(n) => (n.toInt, f) }
-        .filter(_._1 < cur).sortBy(-_._1).map(_._2)
-    else {
-      // rank within a round: sidecar (full map) before artifact
-      val ranked =
-        fileNames.collect {
-          case f @ Sidecar(n, sf) if sf == sfName => (n.toInt, 0, f)
-        } ++
-        fileNames.collect { case f @ DriverArtifact(n) => (n.toInt, 1, f) }
-      val prior = ranked.filter(_._1 < cur)
-        .sortBy(t => (-t._1, t._2)).map(_._3)
-      if (prior.nonEmpty) prior
-      else ranked.collect { case (n, 0, f) if n == cur => f }
-    }
+      sfName: String): Seq[String] =
+    priorPool(kind, fileNames, sfName, k = Int.MaxValue).flatten
+
+  /** Prior candidates GROUPED BY PRIOR ROUND, newest round first, up
+    * to `k` rounds — each inner list ordered best-first within its
+    * round (same ranking as [[priorCandidates]], which is exactly
+    * this pool flattened). This is the input shape the weather
+    * defense ([[resolvePriorPool]]) needs: one resolved map per prior
+    * round, merged per-query. The fresh-dir fallback (driver kind,
+    * no round clock) contributes a single group. */
+  def priorPool(kind: String, fileNames: Seq[String], sfName: String,
+      k: Int = 3): Seq[Seq[String]] = {
+    val cur = clock(kind, fileNames)
+    val grouped: Seq[Seq[String]] =
+      if (kind == "local")
+        fileNames.collect { case f @ LocalArtifact(n) => (n.toInt, f) }
+          .filter(_._1 < cur).sortBy(-_._1).map(t => Seq(t._2))
+      else {
+        // rank within a round: sidecar (full map) before artifact
+        val ranked =
+          fileNames.collect {
+            case f @ Sidecar(n, sf) if sf == sfName => (n.toInt, 0, f)
+          } ++
+          fileNames.collect { case f @ DriverArtifact(n) => (n.toInt, 1, f) }
+        val prior = ranked.filter(_._1 < cur)
+        if (prior.nonEmpty)
+          prior.groupBy(_._1).toSeq.sortBy(-_._1)
+            .map(_._2.sortBy(_._2).map(_._3))
+        else {
+          val fallback = ranked.collect { case (n, 0, f) if n == cur => f }
+          if (fallback.isEmpty) Nil else Seq(fallback)
+        }
+      }
+    grouped.take(k)
   }
 
-  /** The current round's own already-promoted local artifact, if any —
-    * the optional SECOND prior for local sweeps (VERDICT r14 item 5):
-    * diffing against the round's best window catches intra-round
-    * regressions the cross-round prior dilutes. Reported as a separate
+  /** The current round's own already-persisted artifact, if any — the
+    * optional SECOND prior (VERDICT r14 item 5, extended to driver
+    * kind per VERDICT r15 item 5): diffing against the round's own
+    * earlier window catches intra-round regressions the cross-round
+    * prior dilutes, and — because both sides are the same tree — any
+    * flag it raises is environment BY CONSTRUCTION, the cheapest
+    * weather attribution there is. Local kind: the round's promoted
+    * BENCH_r{cur}_local.json. Driver kind: the round's own sidecar
+    * (each run reads before it writes, so the file present at read
+    * time is a PREVIOUS run of this round). Reported as a separate
     * flag set (`flags_intra`), never mixed into the cross-round
-    * series' flags. */
-  def intraRoundPrior(kind: String, fileNames: Seq[String]): Option[String] =
-    if (kind != "local") None
-    else {
-      val cur = currentRound(fileNames)
+    * series' flags; callers must skip it when it is already serving
+    * as the cross-round prior (the fresh-dir fallback). */
+  def intraRoundPrior(kind: String, fileNames: Seq[String],
+      sfName: String): Option[String] = {
+    val cur = clock(kind, fileNames)
+    if (kind == "local")
       fileNames.collectFirst {
         case f @ LocalArtifact(n) if n.toInt == cur => f
       }
-    }
+    else
+      fileNames.collectFirst {
+        case f @ Sidecar(n, sf) if n.toInt == cur && sf == sfName => f
+      }
+  }
 
   /** Parse a prior artifact's text into its query→seconds map.
     * Covers both artifact shapes: raw stdout sweeps carry one JSON per
@@ -176,6 +223,40 @@ object BenchPrior {
       (p, m)
     }.find(_._2.nonEmpty).getOrElse(("", Map.empty[String, Double]))
 
+  /** WEATHER DEFENSE for the cross-round flag base (VERDICT r15 item
+    * 1): resolve the best readable candidate of each of the newest K
+    * prior rounds independently ([[resolvePrior]] within each round's
+    * group) and take the PER-QUERY MIN across the resolved maps.
+    *
+    * Why min, why K rounds: a single newest prior recorded in a
+    * degraded window (r15's driver sidecar: 339.9 s total, disk calib
+    * 340.8 vs 437.5 MB/s, q69 at 18.40 s vs its healthy 0.52) cannot
+    * produce false flags — it MASKS true ones, the worse direction
+    * for a regression gate, since a genuine regression to 2 s still
+    * reads as a 9× "improvement" against the inflated 18.40. The
+    * per-query min over the last few rounds is the healthiest reading
+    * any recent round achieved, so one bad-weather round can never
+    * lower the bar; it is monotone-safe (a genuine improvement
+    * tightens the base only after it lands in a prior round, which is
+    * exactly when it becomes the standard to hold). Failed prior runs
+    * (negative seconds) never participate in the min — a query that
+    * failed in one prior round but ran healthily in another must
+    * still flag against the healthy reading.
+    *
+    * Returns (paths actually merged, merged map); (Nil, empty) when
+    * nothing resolves. */
+  def resolvePriorPool(pool: Seq[Seq[String]], sfDir: String,
+      readText: String => String,
+      note: String => Unit = _ => ()): (Seq[String], Map[String, Double]) = {
+    val resolved = pool.map(g => resolvePrior(g, sfDir, readText, note))
+      .filter(_._2.nonEmpty)
+    val merged = resolved.flatMap(_._2).groupMap(_._1)(_._2)
+      .map { case (q, vs) =>
+        q -> vs.filter(_ > 0).minOption.getOrElse(-1.0)
+      }
+    (resolved.map(_._1), merged)
+  }
+
   /** Whether this run's full-map line may be persisted as a future
     * round's sidecar prior: never a local-kind sweep (wrong series),
     * never a SPARK_GRAFT_ONLY subset run (a partial map would shrink
@@ -188,10 +269,38 @@ object BenchPrior {
   def sidecarName(round: Int, sfName: String): String =
     s"BENCH_full_driver_r${round}_$sfName.json"
 
+  /** JSON string literal with full escaping (ADVICE r15): query names
+    * are SparkEntry keys and prior paths are POSIX paths today, but a
+    * parse failure in this artifact silently zeroes NEXT round's flag
+    * coverage — the exact failure class this unit exists to close —
+    * so the renderer must not depend on those invariants holding
+    * forever. */
+  private[graft] def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
+  /** JSON number rendering: doubles go via toString (round-trips
+    * exactly), but NaN/Infinity are not JSON — they render as -1, the
+    * artifact's standing failed-run sentinel, which [[computeFlags]]
+    * already never flags against (ADVICE r15: a non-finite leaking
+    * into the line would fail the whole parse next round). */
+  private[graft] def jnum(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "-1.0"
+
   /** Render a flag list as the artifact's JSON array. */
   def flagsToJson(fs: Seq[(String, Double, Double)]): String =
     fs.map { case (n, pv, v) =>
-      f"""{"q":"$n","prior":$pv%.3f,"now":$v%.3f,"ratio":${v / pv}%.2f}""" }
+      val ratio = if (pv != 0 && java.lang.Double.isFinite(v / pv))
+        f"${v / pv}%.2f" else "-1.0"
+      s"""{"q":${jstr(n)},"prior":${jnum(pv)},"now":${jnum(v)},""" +
+        s""""ratio":$ratio}""" }
       .mkString("[", ",", "]")
 
   /** Render the full-precision artifact line — the EXACT shape
@@ -199,26 +308,28 @@ object BenchPrior {
     * live in this one unit so they cannot drift apart silently; the
     * round-trip law (render → parse recovers every query at full
     * precision, for the matching sf and only the matching sf) is
-    * property-swept in BenchPriorSpec. Query names are SparkEntry
-    * keys (identifier-safe, never needing JSON escaping); doubles
-    * render via toString, which round-trips exactly. */
+    * property-swept in BenchPriorSpec, including hostile names and
+    * non-finite values. `priorPaths` is the resolved pool
+    * ([[resolvePriorPool]]) — every artifact the flag base merged. */
   def renderFullLine(total: Double, queries: Seq[(String, Double)],
       sfDir: String, calibStart: Double, calibEnd: Double,
       diskMbps: Double, calibs: Seq[(String, Double, Double)],
-      flags: Seq[(String, Double, Double)], priorPath: String,
+      flags: Seq[(String, Double, Double)], priorPaths: Seq[String],
       flagsIntra: Seq[(String, Double, Double)],
       intraPath: String): String = {
-    val qs = queries.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = queries.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
     val calibArr = calibs.map { case (at, c, io) =>
-      s"""{"at":"$at","sec":$c,"io_mbps":$io}""" }
+      s"""{"at":${jstr(at)},"sec":${jnum(c)},"io_mbps":${jnum(io)}}""" }
       .mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","calib":{"start":$calibStart,"end":$calibEnd,""" +
-      s""""disk_mbps":$diskMbps},"calibs":$calibArr,""" +
-      s""""flags":${flagsToJson(flags)},"flags_prior":"$priorPath",""" +
+    val priorArr = priorPaths.map(jstr).mkString("[", ",", "]")
+    s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
+      s""""sf":${jstr(sfDir)},"calib":{"start":${jnum(calibStart)},""" +
+      s""""end":${jnum(calibEnd)},"disk_mbps":${jnum(diskMbps)}},""" +
+      s""""calibs":$calibArr,""" +
+      s""""flags":${flagsToJson(flags)},"flags_prior":$priorArr,""" +
       s""""flags_intra":${flagsToJson(flagsIntra)},""" +
-      s""""flags_intra_prior":"$intraPath"}"""
+      s""""flags_intra_prior":${jstr(intraPath)}}"""
   }
 
   /** The standing flag rule: a mover is flagged when it reads >1.3×

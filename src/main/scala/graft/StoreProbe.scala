@@ -226,10 +226,15 @@ object StoreProbe {
     // re-refresh here would see zero fresh files and skip the fence,
     // measuring only the walk. This is the series the STORE100
     // artifacts' refresh_ms band pins (the fence must stay invisible
-    // next to batch times three orders larger).
+    // next to batch times three orders larger). Staleness guard
+    // (ADVICE r15), mirroring the fold leg's: the gauge is snapshotted
+    // BEFORE each batch, and a batch whose ingest never moved it
+    // (e.g. a dedup gate writing zero new rows) records -1 instead of
+    // silently repeating the previous batch's reading.
     val refreshMs = Array.ofDim[Double](nBatches)
     for (i <- 0 until nBatches) {
       if (i % 8 == 0) probeCalib(i)
+      val preGauge = graft.streaming.StoreCensus.lastRefreshNanos(mainStore)
       if (tombMid && i == midAt) {
         // the refresh-window fold: half the corpus ages out of the
         // standing index mid-ingest (untimed in the series; recorded
@@ -257,7 +262,10 @@ object StoreProbe {
       val tl = System.nanoTime()
       graft.streaming.StoreCensus.read(spark, mainStore)
       listMs(i) = (System.nanoTime() - tl) / 1e6
-      refreshMs(i) = graft.streaming.StoreCensus.lastRefreshNanos(mainStore) / 1e6
+      refreshMs(i) = {
+        val g = graft.streaming.StoreCensus.lastRefreshNanos(mainStore)
+        if (g != preGauge) g / 1e6 else -1.0
+      }
       System.err.println(
         f"[store] $gate batch $i%3d  ${times(i)}%6.2f s  maxFiles ${files(i)}%3d  " +
           f"list ${listMs(i)}%6.1f ms  refresh ${refreshMs(i)}%6.1f ms")
@@ -328,10 +336,15 @@ object StoreProbe {
     val midJson = if (tombMid)
       s""""mid_fold_at":$midAt,"mid_fold_sec":$midFoldSec,""" else ""
     // same median convention as the drift halves above (one rule per
-    // artifact, so the two medians stay comparable)
+    // artifact, so the two medians stay comparable); -1 staleness
+    // sentinels stay visible in the series but never skew the summary
+    // stats (all-stale → -1, stated rather than fabricated)
+    val refreshSeen = refreshMs.filter(_ >= 0)
     val refreshJson =
-      s""""refresh_ms":{"n":$nBatches,"median":${median(refreshMs.toSeq)},""" +
-        s""""max":${refreshMs.max},"series":[${refreshMs.mkString(",")}]}"""
+      s""""refresh_ms":{"n":$nBatches,"n_stale":${nBatches - refreshSeen.length},""" +
+        s""""median":${if (refreshSeen.nonEmpty) median(refreshSeen.toSeq) else -1.0},""" +
+        s""""max":${if (refreshSeen.nonEmpty) refreshSeen.max else -1.0},""" +
+        s""""series":[${refreshMs.mkString(",")}]}"""
     println(s"""{"metric":"store_econ","gate":"$gate","factor":$factor,"buckets":$nBuckets,"batches":$nBatches,$midJson""" +
       s""""median_first_half":$h1,"median_second_half":$h2,""" +
       s""""drift":${h2 / h1},"max_files":${files.max}$tombJson,""" +

@@ -172,13 +172,42 @@ class BenchPriorSpec extends AnyFunSuite {
       "BENCH_full_driver_r15_sf0.1.json")
   }
 
-  test("intraRoundPrior: local kind sees this round's promoted window; driver kind never does") {
-    assert(BenchPrior.intraRoundPrior("local", midRound15) ==
+  test("intraRoundPrior: local kind sees this round's promoted window") {
+    assert(BenchPrior.intraRoundPrior("local", midRound15, "sf0.1") ==
       Some("BENCH_r15_local.json"))
-    assert(BenchPrior.intraRoundPrior("driver", midRound15).isEmpty)
     // not yet promoted this round → none
     assert(BenchPrior.intraRoundPrior("local",
-      Seq("BENCH_r14.json", "BENCH_r14_local.json")).isEmpty)
+      Seq("BENCH_r14.json", "BENCH_r14_local.json"), "sf0.1").isEmpty)
+  }
+
+  test("intraRoundPrior: driver kind sees this round's own sidecar (a previous same-round run), sf-filtered — VERDICT r15 item 5") {
+    assert(BenchPrior.intraRoundPrior("driver", midRound15, "sf0.1") ==
+      Some("BENCH_full_driver_r15_sf0.1.json"))
+    // never another scale factor's, never a prior round's
+    assert(BenchPrior.intraRoundPrior("driver", midRound15, "sf0.01").isEmpty,
+      "r15's sf0.01 sidecar does not exist; the sf0.01 file present is r14's (prior round)")
+    assert(BenchPrior.intraRoundPrior("driver",
+      Seq("BENCH_r14.json", "BENCH_full_driver_r14_sf0.1.json"),
+      "sf0.1").isEmpty,
+      "the prior round's sidecar is the CROSS prior, never the intra one")
+  }
+
+  test("local kind without a driver round clock: the local series' own max round is the clock (ADVICE r15)") {
+    // a checkout holding only promoted local sweeps: currentRound pins
+    // at 1, and pre-r16 the strictly-below filter excluded EVERY local
+    // prior — including a genuine earlier round's — zeroing coverage
+    val files = Seq("BENCH_r13_local.json", "BENCH_r14_local.json", "SURVEY.md")
+    assert(BenchPrior.priorCandidates("local", files, "sf0.1") ==
+      Seq("BENCH_r13_local.json"),
+      "the earlier local must qualify as the cross-round prior")
+    // the newest local can't be proven non-self without a driver
+    // clock, so it serves as the intra prior instead
+    assert(BenchPrior.intraRoundPrior("local", files, "sf0.1") ==
+      Some("BENCH_r14_local.json"))
+    // with any driver artifact present, the driver series is the clock
+    assert(BenchPrior.priorCandidates("local",
+      files :+ "BENCH_r14.json", "sf0.1") ==
+      Seq("BENCH_r14_local.json", "BENCH_r13_local.json"))
   }
 
   test("round-trip law: renderFullLine → parsePriorQueries recovers every query at full precision (seeded sweep)") {
@@ -203,13 +232,110 @@ class BenchPriorSpec extends AnyFunSuite {
       val flags = if (rnd.nextBoolean()) Seq(("q1", 1.0, 1.5)) else Nil
       val line = BenchPrior.renderFullLine(
         queries.map(_._2).filter(_ >= 0).sum, queries, sfDir,
-        0.35, 0.4, 450.0, calibs, flags, "/p/prior.json", Nil, "")
+        0.35, 0.4, 450.0, calibs, flags, Seq("/p/prior.json"), Nil, "")
       // any same-sf spelling recovers the exact map…
       assert(BenchPrior.parsePriorQueries(line, "/root/testdata/sf0.1") ==
         queries.toMap, s"round-trip failed for sfDir=$sfDir")
       // …and a different sf recovers nothing
       assert(BenchPrior.parsePriorQueries(line, "sf0.01").isEmpty)
     }
+  }
+
+  test("priorPool: candidates grouped by prior round, newest first, capped at k; flattening is priorCandidates") {
+    val pool = BenchPrior.priorPool("driver", midRound15, "sf0.1", k = 3)
+    assert(pool == Seq(
+      Seq("BENCH_full_driver_r14_sf0.1.json", "BENCH_r14.json"),
+      Seq("BENCH_r13.json")), s"got $pool")
+    assert(BenchPrior.priorPool("driver", midRound15, "sf0.1", k = 1) ==
+      Seq(Seq("BENCH_full_driver_r14_sf0.1.json", "BENCH_r14.json")))
+    // local kind: one candidate per round
+    assert(BenchPrior.priorPool("local", midRound15, "sf0.1", k = 3) ==
+      Seq(Seq("BENCH_r14_local.json"), Seq("BENCH_r13_local.json")))
+  }
+
+  test("weather defense: a degraded newest prior must not mask a regression the healthy round-before would flag — VERDICT r15 item 1") {
+    // the exact r15→r16 shape: the newest prior round's sidecar was
+    // recorded in a degraded window (q69 at 18.40 s; its healthy r14
+    // reading was 0.52 s). This run regresses q69 to 2.0 s — a real
+    // 3.8× regression vs healthy that reads as a 9× "improvement" vs
+    // the degraded prior.
+    val texts = Map(
+      "BENCH_full_driver_r15_sf0.1.json" ->
+        """{"queries":{"q69":18.40,"q01":0.9},"sf":"sf0.1"}""",
+      "BENCH_full_driver_r14_sf0.1.json" ->
+        """{"queries":{"q69":0.52,"q01":0.95},"sf":"sf0.1"}""")
+    val files = texts.keys.toSeq ++ Seq("BENCH_r14.json", "BENCH_r15.json")
+    val pool = BenchPrior.priorPool("driver", files, "sf0.1")
+    val (paths, merged) = BenchPrior.resolvePriorPool(pool, "sf0.1",
+      p => texts.getOrElse(p, """{"queries":{},"sf":"sf0.1"}"""))
+    assert(paths == Seq("BENCH_full_driver_r15_sf0.1.json",
+      "BENCH_full_driver_r14_sf0.1.json"))
+    // the merged base is the per-query min: the healthiest recent reading
+    assert(merged("q69") == 0.52 && merged("q01") == 0.9)
+    val flags = BenchPrior.computeFlags(merged, Seq("q69" -> 2.0, "q01" -> 1.0))
+    assert(flags == Seq(("q69", 0.52, 2.0)),
+      "the regression must flag against the healthy r14 base")
+    // the r15-era mutation, red: a single newest prior masks it
+    val (_, newestOnly) = BenchPrior.resolvePriorPool(pool.take(1), "sf0.1",
+      p => texts.getOrElse(p, """{"queries":{},"sf":"sf0.1"}"""))
+    assert(BenchPrior.computeFlags(newestOnly, Seq("q69" -> 2.0)).isEmpty,
+      "this is the masking failure the pool exists to close")
+  }
+
+  test("weather defense: a failed prior run never participates in the min") {
+    val pool = Seq(Seq("a.json"), Seq("b.json"))
+    val texts = Map(
+      "a.json" -> """{"queries":{"q1":-1.0},"sf":"sf0.1"}""",
+      "b.json" -> """{"queries":{"q1":0.5},"sf":"sf0.1"}""")
+    val (_, merged) = BenchPrior.resolvePriorPool(pool, "sf0.1", texts(_))
+    // min(-1, 0.5) = -1 would disable flagging for q1 entirely
+    assert(merged("q1") == 0.5)
+    // …and a query that failed in EVERY prior stays unflaggable
+    val (_, allFailed) = BenchPrior.resolvePriorPool(
+      Seq(Seq("a.json")), "sf0.1", texts(_))
+    assert(BenchPrior.computeFlags(allFailed, Seq("q1" -> 100.0)).isEmpty)
+  }
+
+  test("resolvePriorPool: corrupt groups degrade within themselves; all-bad pool is (Nil, empty)") {
+    val texts = Map(
+      "r15_sidecar" -> "garbage {{{",
+      "r15_artifact" -> """{"parsed":{"queries":{"q1":3.0},"sf":"sf0.1"}}""",
+      "r14_sidecar" -> """{"queries":{"q1":1.0,"q2":2.0},"sf":"sf0.1"}""")
+    val (paths, merged) = BenchPrior.resolvePriorPool(
+      Seq(Seq("r15_sidecar", "r15_artifact"), Seq("r14_sidecar")),
+      "sf0.1", texts(_))
+    // the corrupt r15 sidecar fell through to r15's artifact WITHIN
+    // the round group; the merge still spans both rounds
+    assert(paths == Seq("r15_artifact", "r14_sidecar"))
+    assert(merged == Map("q1" -> 1.0, "q2" -> 2.0))
+    val (p2, m2) = BenchPrior.resolvePriorPool(
+      Seq(Seq("x")), "sf0.1", _ => "garbage")
+    assert(p2.isEmpty && m2.isEmpty)
+  }
+
+  test("renderFullLine: hostile names and non-finite values still render valid JSON (ADVICE r15)") {
+    val hostile = Seq(
+      """q_with_"quote""" -> 1.5,
+      "q_with_\\backslash" -> Double.NaN,
+      "q_with_\ncontrol" -> Double.PositiveInfinity,
+      "q_plain" -> 2.0)
+    val line = BenchPrior.renderFullLine(Double.NaN, hostile,
+      "/tmp/sf dir/\"x\"", Double.NegativeInfinity, 0.4, Double.NaN,
+      Seq(("at\"weird", Double.NaN, 1.0)),
+      Seq(("f\"lag", 0.0, 1.0)), Seq("/p/pr\"ior.json"), Nil, "in\"tra")
+    // must be ONE parseable JSON object — a parse failure here would
+    // silently zero next round's flag coverage
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(line)
+    assert(node.get("queries").size() == 4)
+    // non-finite values render as the failed-run sentinel
+    assert(node.get("queries").get("q_with_\\backslash").asDouble() == -1.0)
+    assert(node.get("value").asDouble() == -1.0)
+    // escaped names round-trip exactly through the real parser
+    val m = BenchPrior.parsePriorQueries(line, "/tmp/sf dir/\"x\"")
+    assert(m("""q_with_"quote""") == 1.5 && m("q_plain") == 2.0)
+    // a zero-prior flag renders ratio as the sentinel, not Infinity
+    assert(node.get("flags").get(0).get("ratio").asDouble() == -1.0)
   }
 
   test("computeFlags: both bars required; failed runs on either side never flag") {

@@ -825,6 +825,61 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.parquet.binaryAsString")
   }
 
+  test("fence cross-checks the embedded schema against the physical columns — an inconsistent writer cannot slip physical drift past matching metadata (ADVICE r15)") {
+    val (store, _) = freshStore("fence_inconsistent")
+    StoreCensus.refresh(spark, store) // pins (doc_id, text) + bucket
+    // a file whose footer KEY-VALUE METADATA claims exactly the
+    // pinned columns while its PHYSICAL MessageType drifted (text
+    // dropped, extra added) — a stale/forged-metadata writer. The
+    // embedded preference alone (mutation: drop the name cross-check
+    // in chooseFooterStruct) trusts the metadata, censuses the file,
+    // and the drift surfaces only as a later scan error — the exact
+    // seam the fence exists to close. Zero row groups keeps the
+    // fixture minimal: the fence is footer-only (SKIP_ROW_GROUPS).
+    val b0 = java.nio.file.Paths.get(store.stripPrefix("graftfs:"), "bucket=0")
+    java.nio.file.Files.createDirectories(b0)
+    val phys = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message g { required int64 doc_id; optional binary extra; }")
+    val claimed = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val w = new org.apache.parquet.hadoop.ParquetFileWriter(
+      org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new Path(b0.resolve("part-00000-inconsistent.parquet").toString),
+        new Configuration()),
+      phys, org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE,
+      128L << 20, 8 << 20)
+    w.start()
+    w.end(java.util.Collections.singletonMap(
+      org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport.SPARK_METADATA_KEY, claimed.json))
+    val e = intercept[IllegalStateException] {
+      StoreCensus.refresh(spark, store)
+    }
+    assert(e.getMessage.contains("schema drift") &&
+      e.getMessage.contains("extra"), e.getMessage)
+    assert(StoreCensus.nonEmpty(store).isEmpty,
+      "the violation must invalidate the entry")
+  }
+
+  test("chooseFooterStruct: embedded trusted only while its names match the physical columns") {
+    import org.apache.spark.sql.types._
+    val emb = new StructType().add("a", "long").add("b", "string")
+    val conv = new StructType().add("a", "long").add("c", "binary")
+    // consistent writer: embedded wins (its types are the scan's truth,
+    // immune to conversion-conf overrides — the r15 fix's direction)
+    assert(StoreCensus.chooseFooterStruct(Some(emb), Set("a", "b"), conv) eq emb)
+    // inconsistent writer: PHYSICAL truth wins — unconditional
+    // embedded preference is the red mutation here
+    assert(StoreCensus.chooseFooterStruct(Some(emb), Set("a", "c"), conv) eq conv)
+    // foreign file (no embedded schema): converted
+    assert(StoreCensus.chooseFooterStruct(None, Set("a", "c"), conv) eq conv)
+    // conversion is by-name — a trusted embedded schema must not pay it
+    var forced = false
+    StoreCensus.chooseFooterStruct(Some(emb), Set("a", "b"),
+      { forced = true; conv })
+    assert(!forced, "trusted-embedded path must not force the converter")
+  }
+
   test("refresh gauge is per-store: set by a successful refresh, isolated between stores, -1 before first refresh") {
     val (a, _) = freshStore("gauge_a")
     val (b, _) = freshStore("gauge_b")
