@@ -234,7 +234,6 @@ object StoreProbe {
     val refreshMs = Array.ofDim[Double](nBatches)
     for (i <- 0 until nBatches) {
       if (i % 8 == 0) probeCalib(i)
-      val preGauge = graft.streaming.StoreCensus.lastRefreshNanos(mainStore)
       if (tombMid && i == midAt) {
         // the refresh-window fold: half the corpus ages out of the
         // standing index mid-ingest (untimed in the series; recorded
@@ -247,6 +246,10 @@ object StoreProbe {
         System.err.println(
           f"[store] $gate MID-SERIES fold at batch $i%3d  $midFoldSec%6.2f s")
       }
+      // snapshot AFTER the mid-series fold (whose swap moves the same
+      // gauge), or the fold's reading would mask a batch that skipped
+      // its refresh on exactly the midAt iteration
+      val preGauge = graft.streaming.StoreCensus.lastRefreshNanos(mainStore)
       val t0 = System.nanoTime()
       runBatch(i)
       times(i) = (System.nanoTime() - t0) / 1e9
