@@ -93,11 +93,13 @@ object BenchPrior {
     * a stale pre-r15 binary could write the current round's own map
     * into it and re-open the self-prior hole through that slot; the
     * repo's one legacy file is renamed into the keyed series. A
-    * cross-kind diff is environment noise, never a fallback. Callers
-    * feed the list to [[resolvePrior]], which walks it until a
-    * candidate yields a non-empty sf-matching map — so a corrupt or
-    * sf-mismatched sidecar degrades to the next candidate instead of
-    * to zero coverage (ADVICE r14).
+    * cross-kind diff is environment noise, never a fallback. Bench
+    * feeds the GROUPED form ([[priorPool]]) to [[resolvePriorPool]],
+    * which walks each round's group until a candidate yields a
+    * non-empty sf-matching map — so a corrupt or sf-mismatched
+    * sidecar degrades to the next candidate within its round instead
+    * of to zero coverage (ADVICE r14); this flattened form is the
+    * same candidates in the same order.
     *
     * Fresh-dir fallback: a working dir with NO committed driver
     * artifacts has no round clock (currentRound is always 1), so the
