@@ -296,6 +296,53 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(BenchPrior.computeFlags(allFailed, Seq("q1" -> 100.0)).isEmpty)
   }
 
+  test("resolvePriorPool laws: union of keys, per-key min of positives, group-order-independent merge, more rounds never raise the base (seeded sweep)") {
+    val rnd = new scala.util.Random(163)
+    (1 to 200).foreach { _ =>
+      // random pool: up to 4 round groups, each with one readable
+      // candidate carrying a random query map (negatives = failed
+      // runs); some groups corrupt entirely
+      val nGroups = 1 + rnd.nextInt(4)
+      val texts = scala.collection.mutable.Map[String, String]()
+      val pool = (0 until nGroups).map { g =>
+        val name = s"r$g.json"
+        if (rnd.nextInt(5) == 0) texts(name) = "corrupt {{{"
+        else {
+          val qs = (0 until rnd.nextInt(6)).map { i =>
+            val v = if (rnd.nextInt(4) == 0) -1.0 else rnd.nextDouble() * 10
+            s""""q$i":$v"""
+          }.mkString(",")
+          texts(name) = s"""{"queries":{$qs},"sf":"sf0.1"}"""
+        }
+        Seq(name)
+      }
+      val read: String => String = texts(_)
+      val (paths, merged) = BenchPrior.resolvePriorPool(pool, "sf0.1", read)
+      val resolvedMaps = paths.map(p =>
+        BenchPrior.parsePriorQueries(texts(p), "sf0.1"))
+      // law 1: merged keys are exactly the union of the resolved maps'
+      assert(merged.keySet == resolvedMaps.flatMap(_.keySet).toSet)
+      // law 2: each value is the min of the positives for that key —
+      // a failed run never drags the base down; all-failed stays
+      // unflaggable (-1)
+      merged.foreach { case (k, v) =>
+        val vs = resolvedMaps.flatMap(_.get(k)).filter(_ > 0)
+        assert(v == (if (vs.nonEmpty) vs.min else -1.0), s"key $k")
+      }
+      // law 3: the merge is group-order-independent (the PATH order is
+      // reporting; the BASE must not depend on which round is newest)
+      val (_, reversed) = BenchPrior.resolvePriorPool(pool.reverse, "sf0.1", read)
+      assert(reversed == merged)
+      // law 4: adding rounds never RAISES the base on shared keys —
+      // min is monotone, so a truncated pool is always >= the full one
+      val (_, truncated) = BenchPrior.resolvePriorPool(pool.take(1), "sf0.1", read)
+      truncated.foreach { case (k, v) =>
+        if (v > 0 && merged.getOrElse(k, -1.0) > 0)
+          assert(merged(k) <= v, s"key $k: full pool raised the base")
+      }
+    }
+  }
+
   test("resolvePriorPool: corrupt groups degrade within themselves; all-bad pool is (Nil, empty)") {
     val texts = Map(
       "r15_sidecar" -> "garbage {{{",
