@@ -252,6 +252,28 @@ object Bench {
     flagsIntra.foreach { case (n, pv, v) => System.err.println(
       f"[bench] FLAG(intra-round) $n%-28s $pv%7.2f -> $v%7.2f s " +
         f"(${v / pv}%.2fx vs this round's promoted window)") }
+    // SELF-ADJUDICATING RETRY (VERDICT r16 item 4): re-run each
+    // flagged query once, same boot, minutes after its pass-1 reading
+    // — a retry that lands back at base is weather, adjudicated IN
+    // the artifact (flags carry retry + retry_verdict) with no human
+    // QBench session; only "stands" survivors need the A/B. Cost is
+    // bounded by the flag count (the r16 driver window's 80 flags are
+    // mostly sub-second queries); results/total stay the pass-1/2
+    // readings — the retry is adjudication metadata, never a rewrite
+    // of the series' numbers.
+    val retryTargets = (flags.map(_._1) ++ flagsIntra.map(_._1)).distinct.sorted
+    if (retryTargets.nonEmpty) probe("before-flag-retry")
+    val flagRetries: Map[String, Double] = retryTargets.map { n =>
+      val t = execOnce(n)
+      n -> t
+    }.toMap
+    if (retryTargets.nonEmpty) probe("after-flag-retry")
+    val retryWeather = flags.count { case (n, pv, _) =>
+      flagRetries.get(n).exists(BenchPrior.retryVerdict(pv, _) == "weather") }
+    (flags ++ flagsIntra).foreach { case (n, pv, _) =>
+      flagRetries.get(n).foreach { rv => System.err.println(
+        f"[bench] flag-retry $n%-28s $rv%8.2f s vs base $pv%.2f — " +
+          BenchPrior.retryVerdict(pv, rv)) } }
     val diskMbps = Seq(diskProbe(), diskProbe()).max // page-cache warm pass
     System.err.println(f"[bench] disk probe $diskMbps%8.1f MB/s")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -262,7 +284,7 @@ object Bench {
     // unit that parses it next round — round-trip spec-pinned.
     val fullLine = BenchPrior.renderFullLine(total, results, sfDir,
       calibStart, calibEnd, diskMbps, calibs.toSeq, flags, priorPaths,
-      flagsIntra, intraPath)
+      flagsIntra, intraPath, base = priorQ, retries = flagRetries)
     println(fullLine)
     // persist the full-precision line as the next round's driver-kind
     // prior — round-keyed (BENCH_full_driver_r{N}_{sf}.json, ADVICE
@@ -284,14 +306,13 @@ object Bench {
     // Compact summary LAST: the driver keeps only the final ~2,000
     // chars of stdout, and with 125 queries the full line is ~6 KB —
     // the r2/r3 artifacts show it beheaded mid-map ("parsed": null).
-    // This line (~1 KB: headline total + slowest 20 at 3 dp) always
-    // fits the window whole, so the official artifact carries data.
-    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-      .map { case (k, v) => BenchPrior.jstr(k) + ":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val nFailed = results.count(_._2 < 0)
-    val flagNames = flags.map(f => BenchPrior.jstr(f._1)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$slow,"queries_note":"slowest 20 of ${results.size}; full map on the first metric line","sf":${BenchPrior.jstr(sfDir)},"calib":{"start":$calibStart,"end":$calibEnd,"disk_mbps":${f"$diskMbps%.1f"}},"n_flags":${flags.size},"flags":$flagNames,"n_flags_intra":${flagsIntra.size}}""")
+    // Rendered by BenchPrior.renderCompactLine, whose greedy fit
+    // BOUNDS the line under the window at any flag count (the r16
+    // inline version embedded all 80 flag names, outgrew the window,
+    // and the official BENCH_r16.json landed parsed:null — VERDICT
+    // r16 item 1; the size law is spec-pinned in BenchPriorSpec).
+    println(BenchPrior.renderCompactLine(total, results, sfDir,
+      calibStart, calibEnd, diskMbps, flags, flagsIntra.size, retryWeather))
     spark.stop()
   }
 }

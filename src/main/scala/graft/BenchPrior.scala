@@ -119,9 +119,15 @@ object BenchPrior {
     * this pool flattened). This is the input shape the weather
     * defense ([[resolvePriorPool]]) needs: one resolved map per prior
     * round, merged per-query. The fresh-dir fallback (driver kind,
-    * no round clock) contributes a single group. */
+    * no round clock) contributes a single group.
+    *
+    * `k` here caps the CANDIDATE groups, pre-resolution; the pool
+    * CONSUMER caps post-resolution (ADVICE r16: a round that resolves
+    * to nothing must fall through to round k+1, not shrink the merge)
+    * — so [[Bench]] passes `Int.MaxValue` here and lets
+    * [[resolvePriorPool]] take the first k NON-EMPTY rounds lazily. */
   def priorPool(kind: String, fileNames: Seq[String], sfName: String,
-      k: Int = 3): Seq[Seq[String]] = {
+      k: Int = Int.MaxValue): Seq[Seq[String]] = {
     val cur = clock(kind, fileNames)
     val grouped: Seq[Seq[String]] =
       if (kind == "local")
@@ -172,16 +178,19 @@ object BenchPrior {
       }
   }
 
-  /** Parse a prior artifact's text into its query→seconds map.
-    * Covers both artifact shapes: raw stdout sweeps carry one JSON per
-    * line (full-precision line + compact slowest-20 line — the biggest
-    * map wins); the driver's artifact is ONE pretty-printed object
-    * whose query map sits under "parsed". Only sf-matching nodes
-    * qualify — by canonical identity ([[canonicalSf]]), so an absolute
-    * sfDir matches a sidecar that recorded a relative spelling of the
-    * same scale factor, while a genuinely different sf (a sf0.01 dev
-    * sweep vs the sf0.1 series) still filters out. */
-  def parsePriorQueries(text: String, sfDir: String): Map[String, Double] = {
+  /** The node both parse accessors read: covers both artifact shapes —
+    * raw stdout sweeps carry one JSON per line (full-precision line +
+    * compact slowest-20 line — the biggest query map wins); the
+    * driver's artifact is ONE pretty-printed object whose query map
+    * sits under "parsed". Only sf-matching nodes qualify — by
+    * canonical identity ([[canonicalSf]]), so an absolute sfDir
+    * matches a sidecar that recorded a relative spelling of the same
+    * scale factor, while a genuinely different sf (a sf0.01 dev sweep
+    * vs the sf0.1 series) still filters out. ONE selection for
+    * queries AND base: the base must come from the same node whose
+    * readings it annotates, never a different line's. */
+  private def bestNode(text: String, sfDir: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val want = canonicalSf(sfDir)
     val lineNodes = text.linesIterator.map(_.trim)
@@ -190,16 +199,34 @@ object BenchPrior {
       .toList
     val wholeNodes = scala.util.Try(om.readTree(text)).toOption
       .toList.flatMap(n => n :: Option(n.get("parsed")).toList)
-    val best = (lineNodes ++ wholeNodes)
+    (lineNodes ++ wholeNodes)
       .filter(n => n.has("queries") && n.get("queries").isObject &&
         (!n.has("sf") || canonicalSf(n.get("sf").asText()) == want))
       .sortBy(-_.get("queries").size()).headOption
-    best.map { node =>
-      import scala.jdk.CollectionConverters._
-      node.get("queries").properties().asScala
-        .map(e => e.getKey -> e.getValue.asDouble()).toMap
-    }.getOrElse(Map.empty[String, Double])
   }
+
+  private def nodeToMap(node: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    node.properties().asScala
+      .map(e => e.getKey -> e.getValue.asDouble()).toMap
+  }
+
+  /** Parse a prior artifact's text into its query→seconds map (see
+    * [[bestNode]] for shape and sf rules). */
+  def parsePriorQueries(text: String, sfDir: String): Map[String, Double] =
+    bestNode(text, sfDir).map(n => nodeToMap(n.get("queries")))
+      .getOrElse(Map.empty[String, Double])
+
+  /** Parse a prior artifact's recorded flag BASE — the merged
+    * per-query base the prior run itself flagged against, written by
+    * [[renderFullLine]] since r17. Pre-r17 artifacts carry no "base"
+    * → empty map (the carry starts from this round's readings).
+    * Read from the SAME node [[parsePriorQueries]] selects. */
+  def parsePriorBase(text: String, sfDir: String): Map[String, Double] =
+    bestNode(text, sfDir)
+      .flatMap(n => Option(n.get("base")).filter(_.isObject))
+      .map(nodeToMap).getOrElse(Map.empty[String, Double])
 
   /** Walk the candidate list (paths, best first) and return the first
     * that parses to a NON-EMPTY sf-matching query map, with (path,
@@ -226,9 +253,13 @@ object BenchPrior {
     }.find(_._2.nonEmpty).getOrElse(("", Map.empty[String, Double]))
 
   /** WEATHER DEFENSE for the cross-round flag base (VERDICT r15 item
-    * 1): resolve the best readable candidate of each of the newest K
-    * prior rounds independently ([[resolvePrior]] within each round's
-    * group) and take the PER-QUERY MIN across the resolved maps.
+    * 1): resolve each prior round's group independently
+    * ([[resolvePrior]] within the group), keep the FIRST `k` rounds
+    * that resolve non-empty (lazy — a round whose every candidate is
+    * corrupt or sf-mismatched falls through to round k+1 instead of
+    * shrinking the pool to k−1 rounds, ADVICE r16), and take the
+    * PER-QUERY MIN across the resolved maps AND each resolved
+    * artifact's own recorded `base` map.
     *
     * Why min, why K rounds: a single newest prior recorded in a
     * degraded window (r15's driver sidecar: 339.9 s total, disk calib
@@ -238,21 +269,43 @@ object BenchPrior {
     * reads as a 9× "improvement" against the inflated 18.40. The
     * per-query min over the last few rounds is the healthiest reading
     * any recent round achieved, so one bad-weather round can never
-    * lower the bar; it is monotone-safe (a genuine improvement
-    * tightens the base only after it lands in a prior round, which is
-    * exactly when it becomes the standard to hold). Failed prior runs
-    * (negative seconds) never participate in the min — a query that
-    * failed in one prior round but ran healthily in another must
-    * still flag against the healthy reading.
+    * lower the bar. Failed prior runs (negative seconds) never
+    * participate in the min — a query that failed in one prior round
+    * but ran healthily in another must still flag against the healthy
+    * reading.
+    *
+    * BASE CARRY (VERDICT r16 item 3): a round-windowed pool decays
+    * under persistent degradation — three consecutive soft windows
+    * rotate the last healthy round out and the bar quietly inflates.
+    * Each run therefore RECORDS the merged base it flagged against
+    * (the `"base"` map [[renderFullLine]] writes), and this merge
+    * mins it back in: base_N = min(newest-K readings, base_{N−1}
+    * transitively), so the healthiest reading ever achieved survives
+    * any run of bad weather. The deliberate trade: a slowdown ACCEPTED
+    * on purpose (a correctness fix that costs time) keeps flagging
+    * until the flag's adjudication note becomes part of the series'
+    * record — which is the discipline working, not a false positive;
+    * a flag is a to-verify marker, never a verdict.
     *
     * Returns (paths actually merged, merged map); (Nil, empty) when
     * nothing resolves. */
   def resolvePriorPool(pool: Seq[Seq[String]], sfDir: String,
       readText: String => String,
-      note: String => Unit = _ => ()): (Seq[String], Map[String, Double]) = {
-    val resolved = pool.map(g => resolvePrior(g, sfDir, readText, note))
-      .filter(_._2.nonEmpty)
-    val merged = resolved.flatMap(_._2).groupMap(_._1)(_._2)
+      note: String => Unit = _ => (),
+      k: Int = 3): (Seq[String], Map[String, Double]) = {
+    val resolved = pool.iterator
+      .map(g => resolvePrior(g, sfDir, readText, note))
+      .filter(_._2.nonEmpty).take(k).toList
+    // the resolved artifacts' own carried bases — readText already
+    // succeeded for these paths inside resolvePrior, but a re-read can
+    // still race a deletion; a base is an extra defense layer, so its
+    // read failure degrades to empty rather than failing the pool
+    val bases = resolved.map { case (p, _) =>
+      try parsePriorBase(readText(p), sfDir)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+    }
+    val merged = (resolved.map(_._2) ++ bases).flatten
+      .groupMap(_._1)(_._2)
       .map { case (q, vs) =>
         q -> vs.filter(_ > 0).minOption.getOrElse(-1.0)
       }
@@ -296,13 +349,43 @@ object BenchPrior {
   private[graft] def jnum(d: Double): String =
     if (java.lang.Double.isFinite(d)) d.toString else "-1.0"
 
-  /** Render a flag list as the artifact's JSON array. */
-  def flagsToJson(fs: Seq[(String, Double, Double)]): String =
+  /** [[jnum]]'s fixed-precision sibling for the compact summary line
+    * (ADVICE r16: its numerics rendered via raw %f interpolation, so
+    * one non-finite total would have broken the official artifact's
+    * JSON — the exact parse-failure class jstr/jnum were added to
+    * close). Locale pinned to ROOT: a comma decimal separator is the
+    * same parse failure by another road. */
+  private[graft] def jnumF(d: Double, dp: Int): String =
+    if (java.lang.Double.isFinite(d))
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(d))
+    else "-1.0"
+
+  /** Self-adjudication verdict for a flagged query's same-boot retry
+    * (VERDICT r16 item 4): a retry that would NOT itself flag against
+    * the same base is "weather" — the box moved, not the code — and
+    * needs no human A/B session; a retry that still crosses both flag
+    * bars "stands" (a real mover, or a window long enough to poison
+    * both passes); a failed retry adjudicates nothing. Same two bars
+    * as [[computeFlags]], deliberately: one flag rule per artifact. */
+  def retryVerdict(prior: Double, retry: Double, ratio: Double = 1.3,
+      absSec: Double = 0.3): String =
+    if (retry < 0) "failed"
+    else if (prior > 0 && retry > prior * ratio && retry - prior > absSec)
+      "stands"
+    else "weather"
+
+  /** Render a flag list as the artifact's JSON array; flags with a
+    * same-boot retry reading carry it plus its [[retryVerdict]]. */
+  def flagsToJson(fs: Seq[(String, Double, Double)],
+      retries: Map[String, Double] = Map.empty): String =
     fs.map { case (n, pv, v) =>
       val ratio = if (pv != 0 && java.lang.Double.isFinite(v / pv))
         f"${v / pv}%.2f" else "-1.0"
+      val retry = retries.get(n).fold("") { rv =>
+        s""","retry":${jnum(rv)},"retry_verdict":${jstr(retryVerdict(pv, rv))}"""
+      }
       s"""{"q":${jstr(n)},"prior":${jnum(pv)},"now":${jnum(v)},""" +
-        s""""ratio":$ratio}""" }
+        s""""ratio":$ratio$retry}""" }
       .mkString("[", ",", "]")
 
   /** Render the full-precision artifact line — the EXACT shape
@@ -318,20 +401,84 @@ object BenchPrior {
       diskMbps: Double, calibs: Seq[(String, Double, Double)],
       flags: Seq[(String, Double, Double)], priorPaths: Seq[String],
       flagsIntra: Seq[(String, Double, Double)],
-      intraPath: String): String = {
+      intraPath: String,
+      base: Map[String, Double] = Map.empty,
+      retries: Map[String, Double] = Map.empty): String = {
     val qs = queries.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
     val calibArr = calibs.map { case (at, c, io) =>
       s"""{"at":${jstr(at)},"sec":${jnum(c)},"io_mbps":${jnum(io)}}""" }
       .mkString("[", ",", "]")
     val priorArr = priorPaths.map(jstr).mkString("[", ",", "]")
+    // the merged base this run flagged against, sorted for stable
+    // diffs — what resolvePriorPool's base carry mins back in next
+    // round, making the bar monotone across persistent bad weather
+    val baseObj = base.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jnum(v) }
+      .mkString("{", ",", "}")
     s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
       s""""sf":${jstr(sfDir)},"calib":{"start":${jnum(calibStart)},""" +
       s""""end":${jnum(calibEnd)},"disk_mbps":${jnum(diskMbps)}},""" +
       s""""calibs":$calibArr,""" +
-      s""""flags":${flagsToJson(flags)},"flags_prior":$priorArr,""" +
-      s""""flags_intra":${flagsToJson(flagsIntra)},""" +
-      s""""flags_intra_prior":${jstr(intraPath)}}"""
+      s""""flags":${flagsToJson(flags, retries)},"flags_prior":$priorArr,""" +
+      s""""flags_intra":${flagsToJson(flagsIntra, retries)},""" +
+      s""""flags_intra_prior":${jstr(intraPath)},""" +
+      s""""base":$baseObj}"""
+  }
+
+  /** Render the compact summary line — the LAST stdout line, the one
+    * the driver's ~2000-char tail window must hold WHOLE for the
+    * official BENCH_r{N}.json to carry data. The r16 lesson (VERDICT
+    * r16 item 1): the old inline renderer embedded EVERY flag name,
+    * and an 80-flag soft window grew the line to ~2.6 KB — the tail
+    * held a truncated fragment and the committed official artifact
+    * landed `parsed: null`. The stricter min-pool base raises MORE
+    * flags on soft windows by design (55–111 measured in one r16
+    * afternoon), so the line must be bounded STRUCTURALLY, not by
+    * hoping flag counts stay small.
+    *
+    * The size law, spec-pinned in BenchPriorSpec: the rendered line
+    * never exceeds `budget` chars (1900 — window minus margin for the
+    * trailing newline), enforced by GREEDY FIT in priority order —
+    * headline scaffolding always; then the slowest-20 query map; then
+    * flag names while they fit. `n_flags` always carries the TRUE
+    * count and `flags_note` says what was elided; the full flag set
+    * with priors/ratios/retries lives on the full-precision first
+    * line and in the sidecar, so nothing is lost — only the compact
+    * VIEW narrows. All numerics render via [[jnum]]/[[jnumF]]
+    * (ADVICE r16: one non-finite through raw %f breaks the whole
+    * artifact's parse). */
+  def renderCompactLine(total: Double, results: Seq[(String, Double)],
+      sfDir: String, calibStart: Double, calibEnd: Double,
+      diskMbps: Double, flags: Seq[(String, Double, Double)],
+      nFlagsIntra: Int, nRetryWeather: Int,
+      budget: Int = 1900): String = {
+    val nFailed = results.count(_._2 < 0)
+    val slowAll = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v) => jstr(k) + ":" + jnumF(v, 3) }
+    val flagNames = flags.map(f => jstr(f._1))
+    def line(nq: Int, nf: Int): String = {
+      val qNote = s"slowest $nq of ${results.size}; full map on the first metric line"
+      val fNote =
+        if (nf == flags.size) "all"
+        else s"first $nf of ${flags.size}; full set with priors/ratios/retries on the first metric line"
+      s"""{"metric":"total","value":${jnumF(total, 3)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"n_failed":$nFailed,""" +
+        s""""queries":${slowAll.take(nq).mkString("{", ",", "}")},""" +
+        s""""queries_note":${jstr(qNote)},"sf":${jstr(sfDir)},""" +
+        s""""calib":{"start":${jnum(calibStart)},"end":${jnum(calibEnd)},""" +
+        s""""disk_mbps":${jnumF(diskMbps, 1)}},""" +
+        s""""n_flags":${flags.size},"flags":${flagNames.take(nf).mkString("[", ",", "]")},""" +
+        s""""flags_note":${jstr(fNote)},""" +
+        s""""n_flags_retry_weather":$nRetryWeather,"n_flags_intra":$nFlagsIntra}"""
+    }
+    // greedy fit: all flags first, shedding flag names before query
+    // entries (the slowest-20 map is what the driver's parsed view
+    // shows; flag DETAIL already lives elsewhere)
+    val candidates =
+      (flagNames.size to 0 by -1).iterator.map(nf => line(slowAll.size, nf)) ++
+        (slowAll.size - 1 to 0 by -1).iterator.map(nq => line(nq, 0))
+    candidates.find(_.length <= budget).getOrElse(line(0, 0))
   }
 
   /** The standing flag rule: a mover is flagged when it reads >1.3×

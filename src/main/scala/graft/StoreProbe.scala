@@ -227,10 +227,13 @@ object StoreProbe {
     // measuring only the walk. This is the series the STORE100
     // artifacts' refresh_ms band pins (the fence must stay invisible
     // next to batch times three orders larger). Staleness guard
-    // (ADVICE r15), mirroring the fold leg's: the gauge is snapshotted
-    // BEFORE each batch, and a batch whose ingest never moved it
-    // (e.g. a dedup gate writing zero new rows) records -1 instead of
-    // silently repeating the previous batch's reading.
+    // (ADVICE r15), mirroring the fold leg's: a batch whose ingest
+    // never refreshed the store (e.g. a dedup gate writing zero new
+    // rows) records -1 instead of silently repeating the previous
+    // batch's reading — detected via the store's monotone refresh
+    // SEQUENCE snapshotted BEFORE each batch (ADVICE r16: the old
+    // duration-compare would miss two refreshes that happened to take
+    // identical nanos).
     val refreshMs = Array.ofDim[Double](nBatches)
     for (i <- 0 until nBatches) {
       if (i % 8 == 0) probeCalib(i)
@@ -249,7 +252,7 @@ object StoreProbe {
       // snapshot AFTER the mid-series fold (whose swap moves the same
       // gauge), or the fold's reading would mask a batch that skipped
       // its refresh on exactly the midAt iteration
-      val preGauge = graft.streaming.StoreCensus.lastRefreshNanos(mainStore)
+      val preSeq = graft.streaming.StoreCensus.lastRefreshSeq(mainStore)
       val t0 = System.nanoTime()
       runBatch(i)
       times(i) = (System.nanoTime() - t0) / 1e9
@@ -266,8 +269,9 @@ object StoreProbe {
       graft.streaming.StoreCensus.read(spark, mainStore)
       listMs(i) = (System.nanoTime() - tl) / 1e6
       refreshMs(i) = {
-        val g = graft.streaming.StoreCensus.lastRefreshNanos(mainStore)
-        if (g != preGauge) g / 1e6 else -1.0
+        if (graft.streaming.StoreCensus.lastRefreshSeq(mainStore) != preSeq)
+          graft.streaming.StoreCensus.lastRefreshNanos(mainStore) / 1e6
+        else -1.0
       }
       System.err.println(
         f"[store] $gate batch $i%3d  ${times(i)}%6.2f s  maxFiles ${files(i)}%3d  " +
@@ -300,14 +304,17 @@ object StoreProbe {
       // staleness (an independent-review finding): if the fold's
       // swap somehow skipped the refresh, the gauge still holds the
       // last ingest batch's reading — publishing THAT as the worst
-      // case would be a lie, so an unchanged gauge records -1.
-      val preFoldGauge = graft.streaming.StoreCensus.lastRefreshNanos(mainStore)
+      // case would be a lie, so an unmoved refresh SEQUENCE records
+      // -1 (the sequence, not the duration, is the staleness key —
+      // ADVICE r16).
+      val preFoldSeq = graft.streaming.StoreCensus.lastRefreshSeq(mainStore)
       val foldSec = foldStores(spark.read.parquet(src)
         .select(col(srcIdCol).as("id"))
         .filter(pmod(col("id"), lit(7L)) === 3L))
-      val postFoldGauge = graft.streaming.StoreCensus.lastRefreshNanos(mainStore)
       val foldRefreshMs =
-        if (postFoldGauge != preFoldGauge) postFoldGauge / 1e6 else -1.0
+        if (graft.streaming.StoreCensus.lastRefreshSeq(mainStore) != preFoldSeq)
+          graft.streaming.StoreCensus.lastRefreshNanos(mainStore) / 1e6
+        else -1.0
       // frame-creation cost against the standing store, both ways:
       // census-served (the path every probe takes — ~0 regardless of
       // store size or age) vs cold (what the same frame costs without

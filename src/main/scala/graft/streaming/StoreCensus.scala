@@ -322,6 +322,26 @@ private[graft] object StoreCensus {
     lastRefreshNanosByDir.getOrDefault(q.toString, -1L)
   }
 
+  /** Monotone per-store refresh SEQUENCE — the staleness check's key
+    * (ADVICE r16): StoreProbe used to detect a moved gauge by
+    * comparing refresh DURATIONS, and two distinct refreshes with
+    * identical nano durations would falsely read as "no refresh
+    * happened". The counter is JVM-global (ticks on every successful
+    * refresh of any store) but READ per store, so "did THIS store
+    * refresh between my two snapshots" is exact. */
+  private val refreshSeqCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastRefreshSeqByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** The sequence number of one store's most recent successful
+    * refresh; -1 before its first in this JVM. Strictly increases
+    * across that store's refreshes — equality between two snapshots
+    * proves no refresh completed in between. */
+  private[graft] def lastRefreshSeq(dir: String): Long = {
+    val (_, q) = qualified(dir)
+    lastRefreshSeqByDir.getOrDefault(q.toString, -1L)
+  }
+
   /** Re-list the store (the one metadata read a mutation pays) and
     * install the entry. The first refresh of a non-empty store also
     * pins the read schema via one cold resolution (one extra listing
@@ -418,6 +438,7 @@ private[graft] object StoreCensus {
       settled.add(q.toString)
       recoveryBackoff.remove(q.toString) // success re-arms recovery
       lastRefreshNanosByDir.put(q.toString, System.nanoTime() - refreshT0)
+      lastRefreshSeqByDir.put(q.toString, refreshSeqCounter.incrementAndGet())
       ()
     } catch { case e: Throwable =>
       // a refresh that dies mid-way (listing error, fence violation,

@@ -317,10 +317,16 @@ class BenchPriorSpec extends AnyFunSuite {
         Seq(name)
       }
       val read: String => String = texts(_)
-      val (paths, merged) = BenchPrior.resolvePriorPool(pool, "sf0.1", read)
+      // k unbounded here: the laws are about the MERGE (the lazy
+      // first-k-non-empty selection gets its own test above), and an
+      // order-reversed pool must resolve the same rounds for law 3
+      val (paths, merged) = BenchPrior.resolvePriorPool(pool, "sf0.1", read,
+        k = Int.MaxValue)
       val resolvedMaps = paths.map(p =>
         BenchPrior.parsePriorQueries(texts(p), "sf0.1"))
       // law 1: merged keys are exactly the union of the resolved maps'
+      // (these fixtures carry no "base" field; the base carry's keys
+      // are pinned in its own tests above)
       assert(merged.keySet == resolvedMaps.flatMap(_.keySet).toSet)
       // law 2: each value is the min of the positives for that key —
       // a failed run never drags the base down; all-failed stays
@@ -331,7 +337,8 @@ class BenchPriorSpec extends AnyFunSuite {
       }
       // law 3: the merge is group-order-independent (the PATH order is
       // reporting; the BASE must not depend on which round is newest)
-      val (_, reversed) = BenchPrior.resolvePriorPool(pool.reverse, "sf0.1", read)
+      val (_, reversed) = BenchPrior.resolvePriorPool(pool.reverse, "sf0.1",
+        read, k = Int.MaxValue)
       assert(reversed == merged)
       // law 4: adding rounds never RAISES the base on shared keys —
       // min is monotone, so a truncated pool is always >= the full one
@@ -383,6 +390,164 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(m("""q_with_"quote""") == 1.5 && m("q_plain") == 2.0)
     // a zero-prior flag renders ratio as the sentinel, not Infinity
     assert(node.get("flags").get(0).get("ratio").asDouble() == -1.0)
+  }
+
+  test("parsePriorBase: read from the same node parsePriorQueries selects; pre-r17 artifacts carry none") {
+    val withBase =
+      """{"queries":{"q1":5.0},"sf":"sf0.1","base":{"q1":0.5,"q2":0.7}}"""
+    assert(BenchPrior.parsePriorBase(withBase, "sf0.1") ==
+      Map("q1" -> 0.5, "q2" -> 0.7))
+    // pre-r17 shape (no base field) → empty, the carry starts fresh
+    assert(BenchPrior.parsePriorBase(
+      """{"queries":{"q1":5.0},"sf":"sf0.1"}""", "sf0.1").isEmpty)
+    // sf mismatch filters the whole node out, base included
+    assert(BenchPrior.parsePriorBase(withBase, "sf0.01").isEmpty)
+    // the base must ride the SELECTED node: the bigger query map wins,
+    // so the smaller line's base must not leak in
+    val twoLines =
+      """{"queries":{"q1":1.0},"sf":"sf0.1","base":{"q9":9.9}}
+        |{"queries":{"q1":1.0,"q2":2.0},"sf":"sf0.1","base":{"q1":0.4}}
+        |""".stripMargin
+    assert(BenchPrior.parsePriorBase(twoLines, "sf0.1") == Map("q1" -> 0.4))
+  }
+
+  test("base carry: three consecutive degraded rounds still flag against the rotated-out healthy reading — VERDICT r16 item 3") {
+    // the decay scenario VERDICT r16 named: r14 was the last healthy
+    // window (q1 at 0.5 s); r15–r17 all ran degraded (q1 at ~5 s).
+    // Round 18's K=3 pool is r17+r16+r15 — r14 has rotated out of the
+    // round window. Without the carry the bar inflates to 5.0 and a
+    // real regression to 2.0 sails through; WITH it, each degraded
+    // round's sidecar recorded the merged base it flagged against
+    // (0.5, transitively from r14), and the min folds it back in.
+    def sidecar(reading: Double, base: String) =
+      s"""{"queries":{"q1":$reading},"sf":"sf0.1","base":$base}"""
+    val texts = Map(
+      "r17.json" -> sidecar(5.2, """{"q1":0.5}"""),
+      "r16.json" -> sidecar(5.1, """{"q1":0.5}"""),
+      "r15.json" -> sidecar(5.0, """{"q1":0.5}"""))
+    val pool = Seq(Seq("r17.json"), Seq("r16.json"), Seq("r15.json"))
+    val (_, merged) = BenchPrior.resolvePriorPool(pool, "sf0.1", texts(_))
+    assert(merged("q1") == 0.5,
+      s"the carried base must survive the healthy round rotating out; got $merged")
+    assert(BenchPrior.computeFlags(merged, Seq("q1" -> 2.0)) ==
+      Seq(("q1", 0.5, 2.0)))
+    // the mutation, red: strip the carried bases (the pre-r17 shape)
+    // and the bar quietly inflates to the degraded readings' min
+    val stripped = texts.map { case (k, _) =>
+      k -> s"""{"queries":{"q1":5.0},"sf":"sf0.1"}""" }
+    val (_, decayed) = BenchPrior.resolvePriorPool(pool, "sf0.1", stripped(_))
+    assert(decayed("q1") == 5.0 &&
+      BenchPrior.computeFlags(decayed, Seq("q1" -> 2.0)).isEmpty,
+      "this is the rolling-decay failure the carry exists to close")
+    // a failed-run sentinel in a carried base never participates
+    val withNeg = Map("r17.json" -> sidecar(5.2, """{"q1":-1.0,"q3":0.2}"""))
+    val (_, m2) = BenchPrior.resolvePriorPool(Seq(Seq("r17.json")), "sf0.1",
+      withNeg(_))
+    assert(m2("q1") == 5.2 && m2("q3") == 0.2)
+  }
+
+  test("resolvePriorPool: a round resolving to nothing falls through to round k+1 (ADVICE r16)") {
+    // pre-fix, priorPool.take(k) ran BEFORE resolution: a fully
+    // corrupt round SHRANK the merge to k−1 rounds instead of letting
+    // the next-older round in
+    val texts = Map(
+      "r16.json" -> """{"queries":{"q1":3.0},"sf":"sf0.1"}""",
+      "r15.json" -> "corrupt {{{",
+      "r14.json" -> """{"queries":{"q1":2.0},"sf":"sf0.1"}""",
+      "r13.json" -> """{"queries":{"q1":1.0},"sf":"sf0.1"}""",
+      "r12.json" -> """{"queries":{"q1":0.1},"sf":"sf0.1"}""")
+    val pool = Seq("r16.json", "r15.json", "r14.json", "r13.json", "r12.json")
+      .map(Seq(_))
+    val (paths, merged) = BenchPrior.resolvePriorPool(pool, "sf0.1", texts(_))
+    assert(paths == Seq("r16.json", "r14.json", "r13.json"),
+      s"the corrupt r15 round must fall through to r13, and r12 stays outside k=3; got $paths")
+    assert(merged("q1") == 1.0)
+  }
+
+  test("renderCompactLine size law: bounded under the driver's tail window at the worst case — every query flagged, real names (VERDICT r16 item 1)") {
+    // the r16 failure: 80 flag names inline grew the line to ~2.6 KB
+    // against the driver's 2000-char stdout tail, and the committed
+    // official BENCH_r16.json landed parsed:null. The law: at the
+    // absolute worst case — all 207 real queries flagged — the line
+    // still fits, with n_flags carrying the true count.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    assert(names.size >= 200, "worst case must be the real query set")
+    val results = names.map(_ -> 12.345678)
+    val flags = names.map(n => (n, 0.301, 12.345678))
+    val line = BenchPrior.renderCompactLine(2556.0, results,
+      "/root/testdata/sf0.1", 0.35, 0.41, 450.0, flags,
+      nFlagsIntra = 111, nRetryWeather = 207)
+    assert(line.length <= 1900, s"line is ${line.length} chars")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(line)
+    assert(node.get("n_flags").asInt() == names.size,
+      "the true flag count must survive the elision")
+    assert(node.get("queries").size() == 20, "the slowest-20 map is the driver's parsed view")
+    assert(node.get("flags").size() < names.size && node.get("flags").size() > 0)
+    assert(node.get("flags_note").asText().startsWith("first "))
+    assert(node.get("n_flags_retry_weather").asInt() == 207)
+    // …and a healthy window elides nothing
+    val smallLine = BenchPrior.renderCompactLine(253.6, results,
+      "/root/testdata/sf0.1", 0.35, 0.41, 450.0, flags.take(7),
+      nFlagsIntra = 1, nRetryWeather = 7)
+    val smallNode = om.readTree(smallLine)
+    assert(smallNode.get("flags").size() == 7 &&
+      smallNode.get("flags_note").asText() == "all")
+    assert(smallLine.length <= 1900)
+  }
+
+  test("renderCompactLine: non-finite numerics render as the sentinel, never NaN/Infinity (ADVICE r16)") {
+    // the compact line's numbers went through raw %f interpolation
+    // pre-r17 — one NaN total would have broken the official
+    // artifact's parse, the exact failure class jstr/jnum closed for
+    // the full line
+    val line = BenchPrior.renderCompactLine(Double.NaN,
+      Seq("q1" -> Double.PositiveInfinity, "q2" -> 1.0), "sf0.1",
+      Double.NegativeInfinity, Double.NaN, Double.NaN,
+      Seq(("q1", 0.5, 2.0)), 0, 0)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(line) // must parse at all
+    assert(node.get("value").asDouble() == -1.0)
+    assert(node.get("calib").get("start").asDouble() == -1.0)
+    assert(node.get("calib").get("disk_mbps").asDouble() == -1.0)
+    assert(node.get("queries").get("q1").asDouble() == -1.0)
+  }
+
+  test("retryVerdict and retry-annotated flags: weather lands at base, stands crosses both bars, failed adjudicates nothing — VERDICT r16 item 4") {
+    assert(BenchPrior.retryVerdict(1.0, 1.1) == "weather") // back at base
+    assert(BenchPrior.retryVerdict(0.2, 0.45) == "weather") // 2.25× but +0.25 s — under the abs bar, computeFlags wouldn't flag either
+    assert(BenchPrior.retryVerdict(1.0, 2.0) == "stands")
+    assert(BenchPrior.retryVerdict(1.0, -1.0) == "failed")
+    val js = BenchPrior.flagsToJson(
+      Seq(("qa", 1.0, 2.0), ("qb", 1.0, 2.0), ("qc", 1.0, 2.0)),
+      retries = Map("qa" -> 1.05, "qb" -> 1.9))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = om.readTree(js)
+    assert(arr.get(0).get("retry").asDouble() == 1.05 &&
+      arr.get(0).get("retry_verdict").asText() == "weather")
+    assert(arr.get(1).get("retry_verdict").asText() == "stands")
+    assert(!arr.get(2).has("retry"), "no retry reading → no retry fields")
+  }
+
+  test("renderFullLine writes the base and retries; parsePriorBase recovers the base through the real parser") {
+    val line = BenchPrior.renderFullLine(10.0,
+      Seq("q1" -> 5.0, "q2" -> 1.0), "sf0.1", 0.3, 0.4, 400.0,
+      Seq(("start", 0.3, 400.0)), Seq(("q1", 0.5, 5.0)), Seq("/p/prior"),
+      Nil, "", base = Map("q1" -> 0.5, "q2" -> 0.9),
+      retries = Map("q1" -> 0.52))
+    assert(BenchPrior.parsePriorBase(line, "sf0.1") ==
+      Map("q1" -> 0.5, "q2" -> 0.9))
+    assert(BenchPrior.parsePriorQueries(line, "sf0.1") ==
+      Map("q1" -> 5.0, "q2" -> 1.0))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val flag = om.readTree(line).get("flags").get(0)
+    assert(flag.get("retry").asDouble() == 0.52 &&
+      flag.get("retry_verdict").asText() == "weather")
+    // the carry, end-to-end: next round resolving THIS line as a
+    // prior must min the recorded base into its own flag base
+    val (_, merged) = BenchPrior.resolvePriorPool(
+      Seq(Seq("me.json")), "sf0.1", _ => line)
+    assert(merged == Map("q1" -> 0.5, "q2" -> 0.9))
   }
 
   test("computeFlags: both bars required; failed runs on either side never flag") {

@@ -442,6 +442,28 @@ class StoreFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cold == before.filterNot(_.getLong(0) == 0L))
   }
 
+  test("refresh sequence gauge: strictly monotone per successful refresh, per store, -1 before the first (ADVICE r16)") {
+    // StoreProbe's staleness guard keys on this sequence — the old
+    // duration-compare could read two refreshes with identical nano
+    // durations as "no refresh happened" and falsely record -1
+    val (store, _) = freshStore("seq_gauge")
+    assert(StoreCensus.lastRefreshSeq(store) == -1L,
+      "untracked store must read -1")
+    StoreCensus.refresh(spark, store)
+    val s1 = StoreCensus.lastRefreshSeq(store)
+    assert(s1 >= 0L)
+    StoreCensus.refresh(spark, store)
+    val s2 = StoreCensus.lastRefreshSeq(store)
+    assert(s2 > s1,
+      "a second refresh of the SAME unchanged store must still move the sequence")
+    // per-store reads: another store's refresh never moves this one's
+    val (other, _) = freshStore("seq_gauge_other")
+    StoreCensus.refresh(spark, other)
+    assert(StoreCensus.lastRefreshSeq(store) == s2)
+    assert(StoreCensus.lastRefreshSeq(other) > s2,
+      "the counter is global, so the other store's seq is newer")
+  }
+
   test("docstring corollary pinned: out-of-band mutation of a tracked store is served stale until invalidate/refresh") {
     import spark.implicits._
     val (store, before) = freshStore("stale_corollary")
