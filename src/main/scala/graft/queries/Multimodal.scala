@@ -48,7 +48,14 @@ object Multimodal {
     */
   def m01DecodeMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val assets = Tables.documents(s, d)
+    // Tables.spread on the base scan (here and in m02–m04/m06–m08):
+    // the single-file fixture would otherwise run the whole synth +
+    // per-partition codec pass (md5 per emitted row) in ONE task
+    // however many cores exist — cdcOverlap's fixture-layout
+    // adaptation; production binary-asset inputs arrive in many
+    // splits and take the no-op branch (m05's binaryFile ingest
+    // already does: 100 files)
+    val assets = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         (lit(32) + col("doc_id") % 97).cast("long").as("width"),
         (lit(32) + (col("doc_id") * 7) % 89).cast("long").as("height"),
@@ -82,7 +89,7 @@ object Multimodal {
     */
   def m02FrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val assets = Tables.documents(s, d)
+    val assets = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         concat_ws(":", lit("FAKEVID1"), (lit(8) + col("doc_id") % 23),
           lit(24), md5(col("text").cast("binary"))).cast("binary").as("asset"))
@@ -123,7 +130,7 @@ object Multimodal {
     */
   def m03ResizeThumb(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val assets = Tables.documents(s, d)
+    val assets = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         (lit(32) + col("doc_id") % 97).cast("long").as("width"),
         (lit(32) + (col("doc_id") * 7) % 89).cast("long").as("height"),
@@ -168,7 +175,7 @@ object Multimodal {
     */
   def m04FeatureExtract(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val assets = Tables.documents(s, d)
+    val assets = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         (lit(32) + col("doc_id") % 97).cast("long").as("width"),
         (lit(32) + (col("doc_id") * 7) % 89).cast("long").as("height"),
@@ -227,7 +234,7 @@ object Multimodal {
     */
   def m06PhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val assets = Tables.documents(s, d)
+    val assets = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), (col("doc_id") % 350).as("asset_key"))
       .select(col("doc_id"),
         (lit(32) + col("asset_key") % 97).cast("long").as("width"),
@@ -333,7 +340,7 @@ object Multimodal {
     */
   def m07AudioWindows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val assets = Tables.documents(s, d)
+    val assets = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         concat_ws(":", lit("FAKEAUD1"),
           (lit(16000) + (col("doc_id") % 7919) * 37),
@@ -377,7 +384,7 @@ object Multimodal {
     */
   def m08PatchGrid(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val assets = Tables.documents(s, d)
+    val assets = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         (lit(32) + col("doc_id") % 97).cast("long").as("width"),
         (lit(32) + (col("doc_id") * 7) % 89).cast("long").as("height"),

@@ -1050,10 +1050,16 @@ object PipelineOps {
       .select(col("doc_id"),
         when(col("b") < 8, "train").when(col("b") === 8, "validation")
           .otherwise("test").as("split"))
+    // no (doc_id, s0) distinct: graft_shingles5 returns a per-doc
+    // DISTINCT set already (ShingleSet's LinkedHashSet — the oracle's
+    // list_distinct is likewise per-doc only), so the global distinct
+    // was a full extra exchange+aggregate of the widest stream in the
+    // query for rows that cannot repeat (xxhash64-collision caveat =
+    // d02's accepted analysis)
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), explode(expr("graft_shingles5(text)")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("s0"))
-      .distinct().cache()
+      .cache()
     registerRelease(() => { grams.unpersist(); () })
     def audit(splits: DataFrame, mode: String): DataFrame = {
       val g = grams.join(splits, "doc_id")

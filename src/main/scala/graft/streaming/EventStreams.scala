@@ -1294,7 +1294,18 @@ object EventStreams {
         } else phT.set(System.nanoTime())
         graft.functions.VectorExpressions.register(sp)
         import sp.implicits._
-        val sigs = batch
+        // spreadRows before the heavy narrow map (cdcOverlap's spread
+        // discipline, applied to the micro-batch): each replay chunk is
+        // ONE parquet file → one input split, so the shingle+banding
+        // projection would run in a single task however many cores
+        // exist. The batch rows are tiny (ids + text), so the
+        // round-robin costs far less than the serialized shingling it
+        // parallelizes (st21Batch's twin measured ~2× off the gate's
+        // stage phase at sf0.1 / 4 cores). RDD-level spread, not the
+        // SQL repartition: this frame is cached and read by concurrent
+        // jobs — see Tables.spreadRows. Production micro-batches
+        // arrive in many source splits and take the no-op branch.
+        val sigs = Tables.spreadRows(batch)
           .withColumn("sh", expr("graft_shingles(text)"))
           .filter(size(col("sh")) > 0)
           .select(col("doc_id"), col("is_new"), col("sh"))
@@ -1710,8 +1721,13 @@ object EventStreams {
       val now = System.nanoTime()
       System.err.println(f"[phase21] $name%-8s ${(now - phT.getAndSet(now)) / 1e9}%6.2f s")
     } else phT.set(System.nanoTime())
+    // spreadRows before the chunking map — the micro-batch arrives as
+    // one single-file split (see st20Batch's spread note); cdcSigs'
+    // rolling-hash projection is the batch's dominant narrow stage.
+    // RDD-level, not SQL repartition: cached + concurrent consumers
+    // (Tables.spreadRows' race note)
     val sigs = graft.queries.Dedup
-      .cdcSigs(batch.select(col("doc_id"), col("text")))
+      .cdcSigs(Tables.spreadRows(batch.select(col("doc_id"), col("text"))))
       .withColumn("bucket", bucketOf(col("h"))).cache()
     // ONE staging action yields both the bucket list (prunes the
     // store) and the batch signature count (arms the funnel guard)
@@ -1848,7 +1864,9 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1").parquet(chunks)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.queries.PipelineOps.lrScoreWith(batch, w)
+        // spread: the scoring features tokenize text per row, and the
+        // micro-batch is one single-file split (st20Batch's note)
+        graft.queries.PipelineOps.lrScoreWith(Tables.spread(batch), w)
           .write.mode("append").parquet(outDir)
         ()
       }

@@ -44,6 +44,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(BuildInfo.scalaVersion.startsWith("2.13"))
   }
 
+  test("spreadRows raises a single-split scan to core parallelism, rows intact") {
+    import graft.core.Tables
+    // single-file fixture scan: one input split < defaultParallelism
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val out = Tables.spreadRows(docs)
+    assert(out.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // exact multiset equality — the spread is a pure re-layout
+    assert(out.exceptAll(docs).isEmpty && docs.exceptAll(out).isEmpty)
+    // the spread plan stays a LEAF (no SQL Exchange): the property that
+    // keeps cached+concurrently-consumed micro-batch frames off the
+    // AQE stage-materialization race (Tables.spreadRows' doc)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "spreadRows must not plan a SQL Exchange")
+  }
+
   // --- native expressions --------------------------------------------
 
   test("DotProduct/SumSquares match left-fold semantics exactly") {
