@@ -91,7 +91,10 @@ object AggQueries {
     val sketch = items.select(cms.toColumn.name("sketch")).head()
     val bc = s.sparkContext.broadcast(sketch)
     val exact = items.groupByKey(identity).count()
-    val nTotal = Tables.lineitem(s, d).count()
+    // every item increments exactly one cell per sketch row, so row 0
+    // sums to the stream length — nTotal rides the sketch the query
+    // already built instead of a third lineitem scan
+    val nTotal = sketch.take(width).sum
     val slack = 8L * nTotal / width
     exact.map { case (k, n) =>
       val est = graft.functions.Aggregators.CountMinSketch

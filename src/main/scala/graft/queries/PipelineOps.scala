@@ -779,7 +779,10 @@ object PipelineOps {
     * prior.
     */
   private def lrFeatures(s: SparkSession, d: String): DataFrame =
-    lrFeaturesOf(Tables.documents(s, d))
+    // spread: the feature map tokenizes text per row and the
+    // single-file fixture would run it (and each GD round's re-scan
+    // when uncached) in one task — TextOps.sdoc's rationale
+    lrFeaturesOf(Tables.spread(Tables.documents(s, d)))
 
   /** The feature map over ANY (doc_id, lang, n_chars, text) frame —
     * factored so the planted-signal spec trains on a synthetic corpus

@@ -586,7 +586,9 @@ object EventStreams {
     val batchSketch = items.select(cms.toColumn.name("sk")).head()
     val bcS = s.sparkContext.broadcast(streamed.get())
     val bcB = s.sparkContext.broadcast(batchSketch)
-    val slack = 8L * graft.core.Tables.events(s, d).count() / width
+    // row 0 of the sketch sums to the stream length (a03's note) — no
+    // separate events count scan
+    val slack = 8L * batchSketch.take(width).sum / width
     items.groupByKey(identity).count().map { case (k, n) =>
       val estS = CountMinSketch.estimate(bcS.value, k, depth, width)
       val estB = CountMinSketch.estimate(bcB.value, k, depth, width)
