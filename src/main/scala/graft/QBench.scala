@@ -21,6 +21,14 @@ object QBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only A/B hook: GRAFT_CONF="k=v;k=v" applies session confs so
+    // a knob (spread width, store buckets, state partitions) can be
+    // A/B-measured same-boot without recompiling. Bench never reads it.
+    sys.env.get("GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)

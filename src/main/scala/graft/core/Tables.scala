@@ -30,8 +30,19 @@ object Tables {
     * no-op branch, so no shuffle is ever added at scale: this is
     * fixture-layout adaptation, not a plan change.
     */
+  /** Spread width: defaultParallelism (every core busy) unless the
+    * deployment overrides via spark.graft.spreadParts — the knob a
+    * cluster uses to size fixture-layout adaptation to its own core
+    * count/overhead trade (per-stage cost is tasks × rounds for the
+    * iterative consumers).
+    */
+  private def spreadWidth(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("spark.graft.spreadParts")
+      .map(_.toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+
   def spread(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val cores = spreadWidth(df)
     // probe the layout via inputFiles, NOT df.rdd: under AQE,
     // Dataset.rdd materializes every upstream query stage at
     // construction time (silent double execution for any frame with
@@ -58,7 +69,7 @@ object Tables {
     */
   def spreadRows(df: DataFrame): DataFrame = {
     val sp = df.sparkSession
-    val cores = sp.sparkContext.defaultParallelism
+    val cores = spreadWidth(df)
     if (df.inputFiles.length < cores)
       sp.createDataFrame(df.rdd.repartition(cores), df.schema)
     else df

@@ -318,6 +318,21 @@ object Dedup {
     if (nPairs > 100000L) throw new IllegalStateException(
       s"q68: $nPairs dup pairs — the simple-path walk is a declarative-surface " +
         "demo for small graphs; use d07DupClusters (pointer-jumping) instead")
+    // Everything below operates on the guarded pair graph (≤100k edges
+    // by the check above — orders of magnitude under the session
+    // shuffle sizing, which is set for corpus scans): size the guard
+    // joins and the walk's per-iteration shuffles by ccBody's
+    // edge-count formula, and run the walk EAGERLY inside the scope
+    // (UnionLoop reads the conf at execution; a lazily-returned frame
+    // would execute after the finally restored it). The eager result
+    // is component labels over pair-graph nodes only — tiny, cached,
+    // released via the registry like ccBody's output.
+    val sess = pairs.sparkSession
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = sess.conf.get(spKey)
+    sess.conf.set(spKey, math.max(1L, math.min(
+      sess.sparkContext.defaultParallelism.toLong, nPairs / 50000L + 1)).toString)
+    try {
     // component labels via the same BSP loop d07 ships (ccBody: no
     // entry releaseCaches, which would drop the pair cache above)
     val labels = ccBody(pairs, reuseCallerCache = true,
@@ -370,7 +385,7 @@ object Dedup {
           "in dense clusters; use d07DupClusters (pointer-jumping) instead")
     }
     pairs.createOrReplaceTempView("dup_pairs_rv")
-    s.sql("""
+    val out = s.sql("""
       WITH RECURSIVE
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup_pairs_rv
                 UNION SELECT doc_b, doc_a FROM dup_pairs_rv),
@@ -383,7 +398,11 @@ object Dedup {
       reach AS (SELECT DISTINCT src, dst FROM walk)
       SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
         src = least(src, min(dst)) AS is_canonical
-      FROM reach GROUP BY src""")
+      FROM reach GROUP BY src""").cache()
+    out.count()
+    registerRelease(() => { out.unpersist(); () })
+    out
+    } finally sess.conf.set(spKey, spPrev)
   }
 
   /** Min-label propagation over an undirected pair list (doc_a, doc_b)
@@ -419,6 +438,20 @@ object Dedup {
     val nParts = math.max(1, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism,
       (knownCount.getOrElse(pairs.count()) / 50000L + 1).toInt))
+    // The loop's joins/aggregates execute INSIDE this call (each round
+    // materializes via localCheckpoint), so the session's shuffle
+    // partitioning applies to them here — and the session default is
+    // sized for corpus-scale scans, not a pair graph orders of
+    // magnitude smaller. Size the round shuffles by the SAME edge-count
+    // formula as nParts (scale-adaptive, not a constant): at 32 cores
+    // the 32-reducer rounds measured ~0.5 s/query slower than
+    // edge-sized ones for identical labels. Restored in finally —
+    // callers' own plans never see the override.
+    val sess = pairs.sparkSession
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = sess.conf.get(spKey)
+    sess.conf.set(spKey, math.min(spPrev.toInt, nParts).toString)
+    try {
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").repartition(nParts, col("dst")).cache()
     val base = edges.select(col("src").as("node")).distinct()
@@ -509,6 +542,7 @@ object Dedup {
     if (!reuseCallerCache) pairs.unpersist()
     registerRelease(() => out.unpersist())
     out
+    } finally sess.conf.set(spKey, spPrev)
   }
 
   /** INCREMENTAL near-dup detection — dedupe an arriving batch against

@@ -1045,40 +1045,72 @@ object PipelineOps {
   def e10SplitContamination(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     releaseCaches()
-    val atomic = p04LeakSafeSplit(s, d).select(col("doc_id"), col("split"))
+    val atomic = p04LeakSafeSplit(s, d)
+      .select(col("doc_id"), col("split").as("a_split"))
     val naive = Tables.documents(s, d).select(col("doc_id"))
       .withColumn("b",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 10)
       .select(col("doc_id"),
         when(col("b") < 8, "train").when(col("b") === 8, "validation")
-          .otherwise("test").as("split"))
+          .otherwise("test").as("n_split"))
+    // ONE split map carrying both policies (each assigns every doc
+    // exactly one split, so the join is 1:1): the two audits used to
+    // run as separate passes — two gram-stream joins, two train-gram
+    // DISTINCTs, two test⋈trainGrams joins — over the widest frame in
+    // the query (~0.9 M exploded grams at sf0.1). Fused, the stream is
+    // joined once, the per-gram train flags for BOTH policies come
+    // from one partial-aggable groupBy(s0), and the leak counts reduce
+    // per doc then to one row — half the wide exchanges for
+    // byte-identical output (guide §2: shuffle fewer bytes, fewer
+    // times).
+    val splits = atomic.join(naive, Seq("doc_id"))
     // no (doc_id, s0) distinct: graft_shingles5 returns a per-doc
     // DISTINCT set already (ShingleSet's LinkedHashSet — the oracle's
     // list_distinct is likewise per-doc only), so the global distinct
     // was a full extra exchange+aggregate of the widest stream in the
     // query for rows that cannot repeat (xxhash64-collision caveat =
     // d02's accepted analysis)
-    val grams = Tables.documents(s, d)
+    val g = Tables.documents(s, d)
       .select(col("doc_id"), explode(expr("graft_shingles5(text)")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("s0"))
+      .join(splits, "doc_id")
       .cache()
-    registerRelease(() => { grams.unpersist(); () })
-    def audit(splits: DataFrame, mode: String): DataFrame = {
-      val g = grams.join(splits, "doc_id")
-      val trainGrams = g.filter(col("split") === "train")
-        .select(col("s0")).distinct()
-      val test = g.filter(col("split") === "test")
-      test.select(col("doc_id")).distinct()
-        .agg(count(lit(1)).as("n_test_docs"))
-        .crossJoin(test.join(trainGrams, "s0")
-          .agg(countDistinct(col("doc_id")).as("n_contaminated"),
-            count(lit(1)).as("n_leaked_grams")))
-        .select(lit(mode).as("mode"), col("n_test_docs"),
-          col("n_contaminated"), col("n_leaked_grams"))
-    }
-    audit(atomic, "cluster_atomic")
-      .unionByName(audit(naive, "naive_per_doc"))
+    registerRelease(() => { g.unpersist(); () })
+    // per-gram flags: does this hash occur in either policy's train set
+    val flags = g.groupBy(col("s0")).agg(
+      max(col("a_split") === "train").as("a_train"),
+      max(col("n_split") === "train").as("n_train"))
+    // per-doc leak tallies over test docs of either policy (a doc
+    // outside both test sets contributes to neither audit)
+    val perDoc = g.filter(col("a_split") === "test" || col("n_split") === "test")
+      .join(flags, "s0")
+      .groupBy(col("doc_id"), col("a_split"), col("n_split"))
+      .agg(sum(when(col("a_train"), 1L).otherwise(0L)).as("a_hits"),
+        sum(when(col("n_train"), 1L).otherwise(0L)).as("n_hits"))
+    val one = perDoc.agg(
+      count(when(col("a_split") === "test", lit(1))).as("a_docs"),
+      count(when(col("a_split") === "test" && col("a_hits") > 0, lit(1)))
+        .as("a_contam"),
+      coalesce(sum(when(col("a_split") === "test", col("a_hits"))), lit(0L))
+        .as("a_leaked"),
+      count(when(col("n_split") === "test", lit(1))).as("nv_docs"),
+      count(when(col("n_split") === "test" && col("n_hits") > 0, lit(1)))
+        .as("nv_contam"),
+      coalesce(sum(when(col("n_split") === "test", col("n_hits"))), lit(0L))
+        .as("nv_leaked"))
+    // both output rows off the ONE aggregated row (a union of two
+    // projections would re-run the whole aggregate per branch)
+    one.select(explode(array(
+        struct(lit("cluster_atomic").as("mode"), col("a_docs").as("n_test_docs"),
+          col("a_contam").as("n_contaminated"),
+          col("a_leaked").as("n_leaked_grams")),
+        struct(lit("naive_per_doc").as("mode"), col("nv_docs").as("n_test_docs"),
+          col("nv_contam").as("n_contaminated"),
+          col("nv_leaked").as("n_leaked_grams")))).as("r"))
+      .select(col("r.mode").as("mode"), col("r.n_test_docs").as("n_test_docs"),
+        col("r.n_contaminated").as("n_contaminated"),
+        col("r.n_leaked_grams").as("n_leaked_grams"))
   }
 
   /** Calibration board for the trained gate — the reliability curve

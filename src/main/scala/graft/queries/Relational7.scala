@@ -20,22 +20,61 @@ object Relational7 {
     * fixed-size buffer per group, vs the exact percentile's
     * all-values buffer.
     */
-  def q39ApproxPercentiles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .agg(
-        // ONE percentile aggregate for all six quantiles: each separate
-        // `percentile(...)` call carries its own all-values buffer
-        // through the aggregation (6 copies of the column — measured
-        // 11.7 s at sf0.1 vs ~2 s for the single array form)
-        expr("percentile(l_extendedprice, array(0.4995D, 0.5D, 0.5005D, 0.9495D, 0.95D, 0.9505D))").as("ex"),
-        expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("ap"))
-      .select(
-        round(element_at(col("ex"), 2), 4).as("exact_p50"),
-        round(element_at(col("ex"), 5), 4).as("exact_p95"),
-        (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
-          element_at(col("ap"), 1) <= element_at(col("ex"), 3)).as("p50_within_rank_tol"),
-        (element_at(col("ap"), 2) >= element_at(col("ex"), 4) &&
-          element_at(col("ap"), 2) <= element_at(col("ex"), 6)).as("p95_within_rank_tol"))
+  def q39ApproxPercentiles(s: SparkSession, d: String): DataFrame = {
+    // EXACT side via the q65 two-level ranking machinery
+    // (Relational10.twoLevelRankAndSizes — spec-pinned to equal
+    // Spark's own `percentile` aggregate on randomized frames) instead
+    // of the `percentile(..., array(...))` form: that aggregate
+    // buffers EVERY value of the table in ONE task's OpenHashMap and
+    // sorts it there (the single-task wall the r18 notes deferred —
+    // measured ~2 s of the query at sf0.1 and growing linearly with
+    // table size, vs the distributed rank's bounded per-task work).
+    // The 6 interpolations run the explicit v_lo + (v_hi−v_lo)·frac
+    // form; the oracle compares at round-4, many orders of magnitude
+    // above the formulations' 1-ulp association differences (q65's
+    // analysis), and the rank-tolerance booleans compare the sketch
+    // against exact order statistics ∓5e-4 QUANTILES away — thousands
+    // of ranks at any realistic n, so a last-ulp wiggle on the bounds
+    // cannot flip them.
+    val li = Tables.lineitem(s, d)
+      .select(lit("all").as("g"), col("l_extendedprice").as("v"))
+    val (ranked0, sizes) = Relational10.twoLevelRankAndSizes(li, Seq.empty)
+    val ranked = ranked0.withColumn("rk", col("rnk") - 1)
+    val ps = Seq(0.4995, 0.5, 0.5005, 0.9495, 0.95, 0.9505)
+    val targets = sizes
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+    val ex = ranked.as("rr").join(broadcast(targets.as("tt")),
+        col("rr.g") === col("tt.g") &&
+          (col("rk") === col("lo") || col("rk") === col("hi")))
+      .groupBy(col("p"), col("pos"), col("lo"))
+      .agg(min(when(col("rk") === col("lo"), col("v"))).as("v_lo"),
+        min(when(col("rk") === col("hi"), col("v"))).as("v_hi"))
+      .select(col("p"),
+        (col("v_lo") + (col("v_hi") - col("v_lo")) *
+          (col("pos") - col("lo").cast("double"))).as("q"))
+    // fold the 6 (p, q) rows into one row of named quantiles; p came
+    // from the same literals compared against, so equality is exact
+    val exRow = ex.agg(
+      min(when(col("p") === 0.4995, col("q"))).as("ex_p50_lo"),
+      min(when(col("p") === 0.5, col("q"))).as("ex_p50"),
+      min(when(col("p") === 0.5005, col("q"))).as("ex_p50_hi"),
+      min(when(col("p") === 0.9495, col("q"))).as("ex_p95_lo"),
+      min(when(col("p") === 0.95, col("q"))).as("ex_p95"),
+      min(when(col("p") === 0.9505, col("q"))).as("ex_p95_hi"))
+    val apRow = Tables.lineitem(s, d).agg(
+      expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)")
+        .as("ap"))
+    exRow.crossJoin(apRow).select(
+      round(col("ex_p50"), 4).as("exact_p50"),
+      round(col("ex_p95"), 4).as("exact_p95"),
+      (element_at(col("ap"), 1) >= col("ex_p50_lo") &&
+        element_at(col("ap"), 1) <= col("ex_p50_hi")).as("p50_within_rank_tol"),
+      (element_at(col("ap"), 2) >= col("ex_p95_lo") &&
+        element_at(col("ap"), 2) <= col("ex_p95_hi")).as("p95_within_rank_tol"))
+  }
 
   /** Conversion funnel over the event stream: first-touch timestamp
     * per user per stage (conditional min — one partial-aggable

@@ -33,7 +33,9 @@ object EventStreams {
   private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, math.min(8, prev.toInt).toString)
+    val cap = s.conf.getOption("spark.graft.statePartitions")
+      .map(_.toInt).getOrElse(8)
+    s.conf.set(key, math.min(cap, prev.toInt).toString)
     try body finally s.conf.set(key, prev)
   }
 
@@ -1564,11 +1566,24 @@ object EventStreams {
       .start()
     try q.processAllAvailable() finally q.stop()
     // the refresh: tombstone the deleted corpus slice out of BOTH
-    // stores (band keys by corpus_id, shingles by doc_id)
-    val deleted = Tables.documents(s, d)
-      .filter(!isNew && col("doc_id") % 7 === 3).select(col("doc_id"))
-    deleteFromStore(s, bandStore, "corpus_id", deleted)
-    deleteFromStore(s, shStore, "doc_id", deleted)
+    // stores (band keys by corpus_id, shingles by doc_id) — as
+    // CONCURRENT jobs: the two folds touch disjoint store dirs and
+    // each is dominated by the same fixed read→rewrite→swap commit
+    // machinery the batch jobs overlap (st20Batch's measured ~1.5×),
+    // so the second fold's latency hides behind the first's
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val deleted = Tables.documents(s, d)
+        .filter(!isNew && col("doc_id") % 7 === 3).select(col("doc_id"))
+      val folds = Seq(
+        Future { deleteFromStore(s, bandStore, "corpus_id", deleted) },
+        Future { deleteFromStore(s, shStore, "doc_id", deleted) })
+      // settle both before rethrowing (st20Batch's await discipline)
+      folds.foreach(Await.ready(_, Duration.Inf))
+      folds.foreach(Await.result(_, Duration.Inf))
+    }
     // the probe: all arrivals, against the post-delete store
     st20Batch(Tables.documents(s, d).filter(isNew)
       .select(col("doc_id"), col("text")).withColumn("is_new", lit(true)),
@@ -1630,9 +1645,17 @@ object EventStreams {
     try q.processAllAvailable() finally q.stop()
     val deleted = Tables.documents(s, d)
       .filter(!isNew && col("doc_id") % 7 === 3).select(col("doc_id"))
+    // the expiry boundary needs every pre-refresh append strictly
+    // older than the TTL cutoff; the last append finished before
+    // q.stop() returned, so the tombstone fold's own wall time (a
+    // full read→rewrite→swap, far above 100 ms) is the wait — sleep
+    // only for whatever remains of the 100 ms margin instead of
+    // serially on top of it
+    val tStop = System.currentTimeMillis()
     deleteFromStore(s, sigStore, "doc_id", deleted)
     // restart the quarantine window: every pre-refresh append ages out
-    Thread.sleep(100)
+    val waited = System.currentTimeMillis() - tStop
+    if (waited < 100) Thread.sleep(100 - waited)
     expireAppendLog(pairDir, ttlMs = 50)
     st21Batch(Tables.documents(s, d).filter(isNew)
       .select(col("doc_id"), col("text")), sigStore, pairDir)
