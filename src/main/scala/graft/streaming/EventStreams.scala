@@ -21,20 +21,26 @@ object EventStreams {
   private val EventsSchema =
     "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 
-  /** Run `body` with shuffle partitions capped at 8: every stateful
-    * streaming operator instantiates one state store PER shuffle
-    * partition PER micro-batch, so partition count here is a fixed
-    * per-batch cost, not parallelism — at this gate's state volume,
-    * 32 partitions measured 3-5× slower than 8 for identical answers
-    * (133 s → 47 s across the ten gates). Production sizing is the
-    * same exercise against state volume, not CPU count. Restores the
-    * session's batch setting afterwards.
+  /** Run `body` with shuffle partitions capped (default 4): every
+    * stateful streaming operator instantiates one state store PER
+    * shuffle partition PER micro-batch, so partition count here is a
+    * fixed per-batch cost, not parallelism — at these gates' state
+    * volume, 32 partitions measured 3-5× slower than 8 for identical
+    * answers (133 s → 47 s across the ten gates), and 4 another
+    * 10-25 % under 8 at a 32-core session (same-boot A/B pairs:
+    * st13 5.65→4.14 s, st10 6.40→5.50, st04 5.74→4.94, st12
+    * 2.44→1.92) — the commit cost keeps dominating until state
+    * volume, not CPU, says otherwise. Production sizing is the same
+    * exercise against state volume via spark.graft.statePartitions
+    * (the cap never RAISES the session's own setting — a 4-core
+    * session keeps its 4). Restores the session's batch setting
+    * afterwards.
     */
   private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     val cap = s.conf.getOption("spark.graft.statePartitions")
-      .map(_.toInt).getOrElse(8)
+      .map(_.toInt).getOrElse(4)
     s.conf.set(key, math.min(cap, prev.toInt).toString)
     try body finally s.conf.set(key, prev)
   }
