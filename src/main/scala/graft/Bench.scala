@@ -246,6 +246,18 @@ object Bench {
     val (intraPath, intraQ) = BenchPrior.intraRoundPrior(kind, repoFiles, sfName)
       .map(n => new java.io.File(repoDir, n).getPath)
       .filterNot(priorPaths.contains)
+      // like-for-like core count only: a same-round sidecar written by
+      // a DIFFERENT-cpu run (the driver's scaling pass) is a machine-
+      // shape diff, not "environment by construction" — refuse it
+      // (BenchPrior.intraCpuCompatible; artifacts predating the cpus
+      // field pass, local sweeps are constant-core)
+      .filter { p =>
+        val ok = try BenchPrior.intraCpuCompatible(readText(p), sfDir, cpus.toInt)
+          catch { case scala.util.control.NonFatal(_) => true }
+        if (!ok) note(s"intra-round prior $p records a different core " +
+          s"count — skipped (cross-cpu diffs are machine shape, not weather)")
+        ok
+      }
       .map(p => BenchPrior.resolvePrior(Seq(p), sfDir, readText, note))
       .getOrElse(("", Map.empty[String, Double]))
     val flagsIntra = BenchPrior.computeFlags(intraQ, results)
@@ -284,7 +296,8 @@ object Bench {
     // unit that parses it next round — round-trip spec-pinned.
     val fullLine = BenchPrior.renderFullLine(total, results, sfDir,
       calibStart, calibEnd, diskMbps, calibs.toSeq, flags, priorPaths,
-      flagsIntra, intraPath, base = priorQ, retries = flagRetries)
+      flagsIntra, intraPath, base = priorQ, retries = flagRetries,
+      cpus = cpus.toInt)
     println(fullLine)
     // persist the full-precision line as the next round's driver-kind
     // prior — round-keyed (BENCH_full_driver_r{N}_{sf}.json, ADVICE

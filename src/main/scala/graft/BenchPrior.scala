@@ -228,6 +228,29 @@ object BenchPrior {
       .flatMap(n => Option(n.get("base")).filter(_.isObject))
       .map(nodeToMap).getOrElse(Map.empty[String, Double])
 
+  /** The core count a prior artifact's readings were produced at
+    * (written by [[renderFullLine]] since r19; older artifacts carry
+    * no "cpus" → None). Read from the SAME node the other accessors
+    * select. */
+  def parsePriorCpus(text: String, sfDir: String): Option[Int] =
+    bestNode(text, sfDir)
+      .flatMap(n => Option(n.get("cpus")).filter(_.isInt))
+      .map(_.asInt())
+
+  /** Whether a candidate INTRA-round prior is a like-for-like core
+    * count for a run at `cpus`. The r18 session exposed the hole this
+    * closes: the driver's 8-cpu scaling run wrote its full map into
+    * the NEXT round's sidecar slot (its round clock had already
+    * advanced past the freshly-written 32-cpu artifact), so the next
+    * round's 32-cpu run would adopt an 8-CPU map as its "environment
+    * by construction" intra prior and flag every anti-scaling query
+    * against a different machine shape. Both sides known and unequal
+    * → incompatible; an artifact that predates the "cpus" field stays
+    * compatible (local sweeps run at a constant 4, and dropping their
+    * intra coverage for a missing field would be the bigger loss). */
+  def intraCpuCompatible(text: String, sfDir: String, cpus: Int): Boolean =
+    parsePriorCpus(text, sfDir).forall(_ == cpus)
+
   /** Walk the candidate list (paths, best first) and return the first
     * that parses to a NON-EMPTY sf-matching query map, with (path,
     * map); corrupt or empty candidates degrade to the next with a loud
@@ -403,7 +426,8 @@ object BenchPrior {
       flagsIntra: Seq[(String, Double, Double)],
       intraPath: String,
       base: Map[String, Double] = Map.empty,
-      retries: Map[String, Double] = Map.empty): String = {
+      retries: Map[String, Double] = Map.empty,
+      cpus: Int = 0): String = {
     val qs = queries.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
     val calibArr = calibs.map { case (at, c, io) =>
@@ -416,7 +440,11 @@ object BenchPrior {
     val baseObj = base.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
+    // cpus: the core count these readings were produced at (0 =
+    // unknown, omitted) — lets next rounds refuse a cross-core-count
+    // intra prior (see intraCpuCompatible)
+    val cpusField = if (cpus > 0) s""""cpus":$cpus,""" else ""
+    s"""{"metric":"total","value":${jnum(total)},"unit":"sec",$cpusField"queries":$qs,""" +
       s""""sf":${jstr(sfDir)},"calib":{"start":${jnum(calibStart)},""" +
       s""""end":${jnum(calibEnd)},"disk_mbps":${jnum(diskMbps)}},""" +
       s""""calibs":$calibArr,""" +

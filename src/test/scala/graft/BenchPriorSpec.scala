@@ -392,6 +392,26 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(node.get("flags").get(0).get("ratio").asDouble() == -1.0)
   }
 
+  test("parsePriorCpus + intraCpuCompatible: cross-core-count intra priors are refused; legacy artifacts pass") {
+    // written since r19: the full line records its core count
+    val line = BenchPrior.renderFullLine(1.0, Seq("q1" -> 1.0), "sf0.1",
+      0.35, 0.4, 450.0, Nil, Nil, Nil, Nil, "", cpus = 32)
+    assert(BenchPrior.parsePriorCpus(line, "sf0.1") == Some(32))
+    assert(BenchPrior.intraCpuCompatible(line, "sf0.1", 32))
+    // the r18 hole: an 8-cpu scaling run's map in the next round's
+    // sidecar slot must NOT serve a 32-cpu run as "environment by
+    // construction"
+    assert(!BenchPrior.intraCpuCompatible(line, "sf0.1", 8))
+    // legacy artifacts (no cpus field) stay compatible — local sweeps
+    // are constant-core and losing their intra coverage is the bigger
+    // harm
+    val legacy = """{"queries":{"q1":5.0},"sf":"sf0.1"}"""
+    assert(BenchPrior.parsePriorCpus(legacy, "sf0.1").isEmpty)
+    assert(BenchPrior.intraCpuCompatible(legacy, "sf0.1", 32))
+    // cpus must ride the sf-selected node, like every other accessor
+    assert(BenchPrior.parsePriorCpus(line, "sf0.01").isEmpty)
+  }
+
   test("parsePriorBase: read from the same node parsePriorQueries selects; pre-r17 artifacts carry none") {
     val withBase =
       """{"queries":{"q1":5.0},"sf":"sf0.1","base":{"q1":0.5,"q2":0.7}}"""
